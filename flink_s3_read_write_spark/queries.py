@@ -1,0 +1,147 @@
+"""Query registry: every operator surface from SURVEY.md §2 as a
+named (spark_fn, oracle_sql) pair, wired into ``__spark_entry__``.
+
+Each spark_fn takes ``(spark, sf_dir)`` and returns a DataFrame; the
+oracle is the ANSI-SQL twin DuckDB runs on the same parquet tables.
+Column names are aliased identically on both sides (the driver's
+compare sorts columns by name before hashing).  ``oracle=None`` marks
+ops whose semantics are not SQL-expressible (driver falls back to a
+rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_s3_read_write_spark.functions.numeric import davg, dsum
+from flink_s3_read_write_spark.operators import raw_text
+from flink_s3_read_write_spark.sources.io import load_table
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        _REGISTRY[name] = Query(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, Query]:
+    # Import side-effect modules that register queries.
+    from flink_s3_read_write_spark import (  # noqa: F401
+        queries_relational,
+        queries_llmdata,
+        queries_streaming,
+    )
+
+    return dict(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# Tier A analogues on the driver's synthetic tables (SURVEY.md §2.1).
+# The fixture-faithful raw-text versions run in tests/test_fixture_faithful.py;
+# here the same operator chain runs over driver tables so the DuckDB oracle
+# can check it at sf0.01.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_uppercase",
+    oracle="SELECT doc_id, upper(text) AS text_upper FROM documents",
+    doc="A1∘A3∘A12 (S3ReadWriteExample.java:22-40): text in, uppercase out.",
+)
+def q1_uppercase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.upper("text").alias("text_upper"))
+
+
+@register(
+    "q2_filter_exclude_key",
+    oracle="""
+    WITH raw AS (
+      SELECT concat_ws(',', c_custkey, c_name, c_nationkey, c_mktsegment) AS value
+      FROM customer
+    )
+    SELECT value FROM raw
+    WHERE len(string_split(value, ',')) > 3
+      AND string_split(value, ',')[4] <> 'BUILDING'
+    """,
+    doc=(
+        "A2∘A4∘A5∘A7∘A12 (S3FlinkFilterJacksonville.java:31-51): raw CSV "
+        "line → split(',') → positional filter on field 3 → rejoin. Same "
+        "tokenize/filter/rejoin chain as the reference, running on lines "
+        "serialized from the customer table ('BUILDING' plays Jacksonville)."
+    ),
+)
+def q2_filter_exclude_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    raw = cust.select(
+        F.concat_ws(",", "c_custkey", "c_name", "c_nationkey", "c_mktsegment").alias("value")
+    )
+    toks = raw_text.tokenize_csv(raw)
+    kept = raw_text.filter_excluding_city(toks, "BUILDING")
+    return raw_text.rejoin_csv(kept)
+
+
+@register(
+    "q3_avg_by_group",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS avg_value,
+           COUNT(*) AS cnt
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY event_type
+    """,
+    doc=(
+        "FLAGSHIP. A2∘A4∘A6∘A8∘A9∘A10∘A11 "
+        "(S3FlinkAverageSalaryByCity.java:28-48): filter out one key, "
+        "then keyed avg+count. Catalyst partial+final HashAggregate "
+        "replaces the manual Tuple3 running reduce; decimal-routed sum "
+        "makes the double deterministic under any partitioning."
+    ),
+)
+def q3_avg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy("event_type")
+        .agg(davg("value", "avg_value"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q3_formatted",
+    oracle="""
+    SELECT event_type || ',' || format('{:.2f}',
+             round(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value), 2))
+           || ',' || COUNT(*) AS value
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY event_type
+    """,
+    doc=(
+        "A11 output formatting — '%s,%.2f,%d' exactly as "
+        "S3FlinkAverageSalaryByCity.java:86 (JVM String.format HALF_UP)."
+    ),
+)
+def q3_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = q3_avg_by_group(spark, sf_dir)
+    return agg.select(
+        F.format_string("%s,%.2f,%d", "event_type", "avg_value", "cnt").alias("value")
+    )

@@ -1,0 +1,153 @@
+"""Sources and sinks: local or S3 paths, batch and streaming.
+
+Reference surface being re-expressed (SURVEY.md §2 Tier A):
+
+- A1/A2 — ``env.readTextFile`` / ``env.readFile(TextInputFormat, ...)``
+  with the default hidden-file filter
+  (``S3ReadWriteExample.java:22-23``,
+  ``S3FlinkFilterJacksonville.java:27-31``).  Spark's file source
+  already skips ``_``/``.``-prefixed files, matching Flink's
+  ``FilePathFilter.createDefaultFilter()``.
+- A12 — ``StreamingFileSink.forRowFormat`` with a rolling policy
+  (15 min rollover / 5 min inactivity / 128 MB–1 GB part cap,
+  ``S3ReadWriteExample.java:30-38``).  Spark equivalent: batch
+  ``df.write.text`` with ``maxRecordsPerFile`` as the part-size cap
+  (record-count based), streaming ``writeStream`` with a processing
+  trigger as the time-based roll.  Byte-exact rolling is declared
+  out of scope (SURVEY.md §4.1).
+
+Scale posture: everything reads/writes through Spark's FileFormat
+data sources, so partition pruning, predicate pushdown and column
+pruning apply; paths may be ``s3a://`` URIs unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    """Path of one synthetic table (local dir or s3a:// prefix)."""
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one table.
+
+    Parquet → Catalyst gets predicate pushdown + column pruning for
+    free; at cluster scale the same call works on ``s3a://`` dirs with
+    partition pruning when the layout is hive-partitioned.
+
+    The ``events`` table is written with nanosecond timestamps, which
+    Spark's parquet reader rejects by default; we read them as int64
+    nanos (legacy flag, set at runtime so it works in any session) and
+    convert to ``timestamp`` at microsecond precision with integer
+    ``div`` (double division would lose precision above 2^53 ns).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def read_text_lines(spark: SparkSession, path: str, *, streaming: bool = False) -> DataFrame:
+    """A1/A2: one row per line, single ``value: string`` column.
+
+    ``streaming=True`` returns an unbounded file-source stream (new
+    files under ``path`` are discovered per micro-batch), the direct
+    twin of Flink's file monitoring source.
+    """
+    if streaming:
+        return spark.readStream.format("text").load(path)
+    return spark.read.text(path)
+
+
+def read_raw_csv_lines(spark: SparkSession, path: str, *, streaming: bool = False) -> DataFrame:
+    """The reference's "CSV" read is a raw line read (no quoting/
+    escaping — parsing happens in the pipeline via split(','),
+    ``S3FlinkFilterJacksonville.java:61``), so this is an alias of the
+    text source kept for intent."""
+    return read_text_lines(spark, path, streaming=streaming)
+
+
+def write_text(
+    df: DataFrame,
+    path: str,
+    *,
+    single_file: bool = False,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """A12 batch sink: newline-delimited text parts.
+
+    ``single_file`` reproduces the reference's ``setParallelism(1)``
+    output shape (``S3ReadWriteExample.java:19``); default is one part
+    per partition, which is the scalable path.  ``max_records_per_file``
+    stands in for ``withMaxPartSize`` (record-count, not bytes).
+    """
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.text(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    out = df.write.mode(mode)
+    if partition_by:
+        out = out.partitionBy(*partition_by)
+    out.parquet(path)
+
+
+def start_text_stream_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    trigger_seconds: int = 60,
+    max_records_per_file: int | None = None,
+):
+    """A12 streaming sink: rolling text parts.
+
+    The processing-time trigger is the analogue of the reference's
+    15-minute rollover interval; every micro-batch closes its part
+    files, and ``checkpointLocation`` gives exactly-once file commits —
+    strictly stronger than the reference, which never enables
+    checkpointing (SURVEY.md §2.2 checkpointing row).
+    """
+    writer = (
+        df.writeStream.format("text")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    return writer.start()

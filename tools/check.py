@@ -1,0 +1,105 @@
+"""Local driver-mimic: run every registry query on Spark AND its
+DuckDB oracle, compare row count + column names + order-insensitive
+value hash.  Usage:
+
+    python tools/check.py [--sf /root/testdata/sf0.01] [names...]
+
+Exits non-zero on any mismatch.  This is the pre-flight for the
+driver's CORRECTNESS_r{N}.json gate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from flink_s3_read_write_spark.queries import registry
+from flink_s3_read_write_spark.session import build_session
+from flink_s3_read_write_spark.sources.io import TABLES
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_summary(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(_norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return len(rows), sorted(cols), h
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    spark = build_session("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    reg = registry()
+    names = args.names or sorted(reg)
+    failures = 0
+    for name in names:
+        q = reg[name]
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, args.sf)
+            srows = sdf.collect()
+            scount, scols, shash = frame_summary(sdf.columns, [tuple(r) for r in srows])
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if q.oracle is None:
+            print(f"rows  {name}: {scount} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.sql(q.oracle)
+            ocols = list(res.columns)
+            orows = res.fetchall()
+            ocount, ocols_s, ohash = frame_summary(ocols, orows)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        ok = (scount, scols, shash) == (ocount, ocols_s, ohash)
+        if ok:
+            print(f"OK    {name}: {scount} rows hash={shash} [{time.time()-t0:.1f}s]")
+        else:
+            failures += 1
+            print(f"FAIL  {name}: spark=({scount},{scols},{shash}) oracle=({ocount},{ocols_s},{ohash})")
+            if scols == ocols_s and scount and ocount:
+                sset = {"\x01".join(_norm_cell(v) for v in r) for r in (tuple(x) for x in srows)}
+                oset = {"\x01".join(_norm_cell(v) for v in r) for r in orows}
+                for d in list(sset - oset)[:3]:
+                    print(f"      spark-only: {d[:200]}")
+                for d in list(oset - sset)[:3]:
+                    print(f"      oracle-only: {d[:200]}")
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
