@@ -1,0 +1,70 @@
+"""Benchmark harness: times every registry query at sf0.1.
+
+Usage: ``python bench.py [names...]``.  Respects
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and
+``$SPARK_GRAFT_CPUS`` (default all cores).  Prints exactly ONE JSON
+line: ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query executes end-to-end through the noop sink — the full plan
+runs (scan → shuffle → ... → sink) but nothing is collected to the
+driver, so timings measure the engine, not result serialization.  One
+warm-up query runs first so JVM/codegen startup isn't charged to the
+first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_s3_read_write_spark.queries import registry
+from flink_s3_read_write_spark.session import build_session
+
+
+def run_one(fn, spark, sf_dir: str) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    if df.isStreaming:
+        return float("nan")
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session("bench")
+    reg = registry()
+    names = sys.argv[1:] or sorted(reg)
+
+    # Warm-up: JVM classloading + first-parquet-footer costs land here.
+    try:
+        run_one(reg[names[0]].fn, spark, sf_dir)
+    except Exception:
+        pass
+
+    times: dict[str, float] = {}
+    for name in names:
+        try:
+            times[name] = round(run_one(reg[name].fn, spark, sf_dir), 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            times[name] = -1.0
+    total = round(sum(t for t in times.values() if t > 0), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    print(json.dumps({
+        "metric": "total_wall_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    return 0 if all(t >= 0 or t != t for t in times.values()) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -49,7 +49,10 @@ def strict_double(col: Column | str, alias: str | None = None) -> Column:
     fail-fast contract declaratively (SURVEY.md §2.3.4).
     """
     c = F.col(col) if isinstance(col, str) else col
-    casted = c.cast("double")
+    # try_cast (NULL on malformed) + explicit raise: identical behavior
+    # whether or not spark.sql.ansi.enabled — plain cast would throw its
+    # own error under ANSI and mask ours.
+    casted = c.try_cast("double")
     out = F.when(c.isNotNull() & casted.isNull(),
                  F.raise_error(F.concat(F.lit("strict_double: malformed numeric: "), c))
                  ).otherwise(casted)

@@ -1,0 +1,278 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families (driver north star, BASELINE.json):
+exact, normalized-exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All hot paths are pure Catalyst expressions — tokenization, shingling,
+hashing and banding happen with higher-order array functions and
+``xxhash64``, so at 100 TB the work is JVM-side, codegen'd, and the
+only shuffles are (a) the group-by on band buckets and (b) the
+candidate-pair self-join, both on well-distributed hash keys.
+
+Skew/blow-up guards: LSH buckets larger than ``max_bucket`` are
+dropped before pairing (a bucket of n docs yields n² pairs; at scale a
+degenerate bucket — empty docs, boilerplate — would otherwise
+dominate the job).  This is standard practice for web-scale minhash
+dedup pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61-1: the classic universal-hash modulus.  The base
+# shingle hash is masked to 32 bits (standard for MinHash) so the affine
+# products a*h + b stay far below 2^63 — ANSI mode (Spark 4 default)
+# rejects silent 64-bit wraparound.  Fixed seeds → fully deterministic
+# across runs/clusters.
+_P = (1 << 61) - 1
+_MASK32 = (1 << 32) - 1
+
+
+def normalize_text(col: Column) -> Column:
+    """lower → strip non-alphanumerics → collapse whitespace → trim."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles as an array<string>; empty array if < k words.
+
+    NOTE: ``col`` should be a plain column reference, not a deep
+    expression — it is referenced k times per shingle inside the
+    lambda, and higher-order functions evaluate interpreted (no CSE),
+    so an inlined regex-normalization would re-run per element.
+    Callers that normalize should materialize the token array first
+    (see ``minhash_signatures``).
+    """
+    t = tokens(col)
+    n = F.size(t)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_from_tokens(tok: Column, k: int = 3) -> Column:
+    """k-word shingles from a materialized token-array column."""
+    n = F.size(tok)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j + 1) for j in range(k)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per identical text.
+
+    groupBy on the text works but ships full documents through the
+    shuffle; grouping on a 128-bit digest ships 16 bytes per doc and
+    is collision-safe at any realistic corpus size — so we aggregate
+    on md5 and keep one representative id + one text.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("_digest"))
+        .agg(F.min(id_col).alias(id_col), F.min(text_col).alias(text_col))
+        .drop("_digest")
+    )
+
+
+def normalized_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-exact dedup on normalized text; returns keeper id, the
+    normal form, and how many raw docs collapsed into it."""
+    return (
+        df.groupBy(normalize_text(F.col(text_col)).alias("norm_text"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = 64, shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document, fully in Catalyst.
+
+    One xxhash64 per shingle, then ``num_perm`` affine permutations
+    ``(a_j·h + b_j) mod p`` reduced with array_min — no UDF, no
+    per-row Python.  Deterministic: seeds are fixed literals.
+
+    Each stage (tokens → shingles → base hashes → signature) is its
+    own projection: higher-order lambdas run interpreted with no
+    common-subexpression elimination, so if the tokenization were
+    inlined it would re-run its regexes once per shingle per
+    permutation — O(perms·shingles·|doc|) instead of O(|doc| +
+    perms·shingles).  Chained Projects over expensive multiply-used
+    aliases are kept separate by Catalyst (CollapseProject's cheap/
+    used-once rule), so each stage computes once per row.
+    """
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+    shingled = toked.select(
+        F.col(id_col), shingles_from_tokens(F.col("_tok"), shingle_k).alias("_sh")
+    )
+    hashed = shingled.select(
+        F.col(id_col),
+        F.transform(F.col("_sh"), lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK32))).alias("_h"),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_h"),
+                    lambda h: F.pmod(h * F.lit(2 * j + 1) + F.lit(j * j + 7), F.lit(_P)),
+                )
+            )
+            for j in range(num_perm)
+        ]
+    )
+    return hashed.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH on the signature.
+
+    bands=16 × rows=4 over 64 perms ⇒ the classic S-curve with ~50%
+    capture at Jaccard ≈ (1/16)^(1/4) ≈ 0.5.  Pairing is a self-join
+    on (band, band_hash) after dropping degenerate buckets.
+    Output: (id_a, id_b) with id_a < id_b, distinct.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("minhash", b * rows_per_band + r + 1)
+                              for r in range(rows_per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+    # Guard: drop buckets whose size would explode the pair join.
+    sized = (
+        banded.withColumn(
+            "_bs", F.count(F.lit(1)).over(Window.partitionBy("band", "band_hash"))
+        )
+        .filter(F.col("_bs") <= max_bucket)
+        .drop("_bs")
+    )
+    a = sized.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a"))
+    b = sized.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_tokens(a: Column, b: Column) -> Column:
+    """Token-set Jaccard of two texts (distinct word sets)."""
+    ta, tb = F.array_distinct(tokens(a)), F.array_distinct(tokens(b))
+    inter = F.size(F.array_intersect(ta, tb)).cast("double")
+    union = F.size(F.array_union(ta, tb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs_verified(
+    df: DataFrame, threshold: float = 0.6, **kwargs
+) -> DataFrame:
+    """LSH candidates re-verified with exact token Jaccard ≥ threshold.
+
+    The expensive exact check runs only on LSH survivors — the whole
+    point of the banding at scale.
+    """
+    id_col = kwargs.get("id_col", "doc_id")
+    text_col = kwargs.get("text_col", "text")
+    cand = minhash_lsh_pairs(df, **kwargs)
+    docs = df.select(F.col(id_col), F.col(text_col))
+    joined = (
+        cand.join(docs.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "text_a"), "id_a")
+        .join(docs.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "text_b"), "id_b")
+    )
+    return (
+        joined.withColumn("jaccard", jaccard_tokens(F.col("text_a"), F.col("text_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document, pure Catalyst.
+
+    Per token: xxhash64 → for each bit, +1/−1 vote; document hash =
+    sign bits of the 64 vote sums.  Implemented by exploding tokens
+    and aggregating 64 conditional sums — one shuffle keyed by doc id
+    (pre-aggregated map-side), no UDF.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    def bit_i(i: int) -> int:
+        # bit 63 as a signed-64 literal (1 << 63 overflows LongType)
+        return (1 << i) if i < 63 else -(1 << 63)
+
+    votes = [
+        F.sum(F.when(h.bitwiseAND(F.lit(bit_i(i))) != 0, 1).otherwise(-1)).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    bits = None
+    for i in range(64):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(bit_i(i))).otherwise(F.lit(0))
+        bits = term if bits is None else bits.bitwiseOR(term)
+    return agg.select(F.col(id_col), bits.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split 64 bits into 4 × 16-bit keys; any pair
+    within Hamming 3 shares at least one key, so the candidate join is
+    an equi-join per key — never an O(n²) cross join.
+    """
+    sh = simhash(df, text_col, id_col)
+    parts = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * p).bitwiseAND(F.lit(0xFFFF)).alias("k")
+        for p in range(4)
+    ]
+    banded = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[F.struct(F.lit(p).alias("p"), parts[p]) for p in range(4)])).alias("b"),
+    ).select(id_col, "simhash", "b.p", "b.k")
+    a = banded.select("p", "k", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = banded.select("p", "k", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    pairs = (
+        a.join(b, ["p", "k"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,148 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Two tiers (driver north star):
+- brute-force top-k cosine — the exact baseline.  Queries are
+  broadcast, so the corpus side streams through one scan with no
+  shuffle of the embeddings; per-pair math is higher-order-function
+  Catalyst (zip_with/aggregate), never Python.
+- LSH-bucketed ANN (random hyperplane signs) — the scale path: the
+  corpus is hashed once into 2^bits sign-buckets; a query only joins
+  its own bucket (plus optional multi-probe flips), cutting the
+  candidate set by ~2^bits at a recall cost measured in
+  tests/test_similarity.py.
+
+Deterministic hyperplanes: component r[j][d] is derived from
+xxhash64(j, d) mapped to [-1, 1) — no RNG state, identical on every
+executor, no broadcast of a weight matrix needed (it's generated in
+the expression itself at negligible cost for small dim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_s3_read_write_spark.functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    Output: (q_id, n_id, cosine) — ranking key is (cosine DESC, n_id)
+    so results are totally ordered and reproducible.  Self-matches are
+    excluded.  Plan shape: broadcast(queries) nested-loop against the
+    corpus scan → per-partition WindowGroupLimit top-k → final top-k;
+    the corpus is read exactly once.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    pairs = c.join(F.broadcast(q), F.col("n_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id", "n_id", cosine_similarity(F.col("q_vec"), F.col("n_vec")).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "cosine", "rn")
+    )
+
+
+def lsh_bucket(vec: Column, dim: int, bits: int = 8, table: int = 0) -> Column:
+    """Random-hyperplane signature: ``bits`` sign bits packed into a long.
+
+    Hyperplane component (j, d) of hash table ``table`` is generated
+    *at runtime* inside the lambda — xxhash64((table·1024 + j)·dim + d)
+    scaled to [-1, 1) — rather than as literal arrays: with
+    tables × bits × dim literals the expression tree hits tens of
+    thousands of nodes and analysis/codegen time dwarfs execution.
+    Runtime generation keeps the tree O(1) at a cost of dim·bits cheap
+    JVM hashes per row.  Deterministic: no RNG state anywhere.
+    """
+    def dot_j(j: Column) -> Column:
+        hyper = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.xxhash64((F.lit(table * 1024) + j) * F.lit(dim) + d)
+            / F.lit(float(1 << 63)),
+        )
+        return F.aggregate(
+            F.zip_with(vec, hyper, lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc * 2 + F.when(dot_j(j) >= 0, 1).otherwise(0),
+    )
+
+
+def _table_buckets(vec: Column, dim: int, bits: int, tables: int) -> Column:
+    """array<struct<t,b>> — one sign-bucket per hash table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"), lsh_bucket(vec, dim, bits, t).alias("b")
+            )
+            for t in range(tables)
+        ]
+    )
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH + exact re-rank.
+
+    Classic LSH: a neighbor at angle θ shares one table's full bucket
+    with probability (1 − θ/π)^bits, so recall of a single table decays
+    fast; with L independent tables recall is 1 − (1 − p^bits)^L while
+    the candidate set stays ~L/2^bits of the corpus.  bits/tables are
+    the precision/recall dials.
+
+    Plan shape: corpus hashed once (array of per-table buckets,
+    exploded), candidates found by equi-join against the broadcast
+    query buckets, per-pair duplicate hits collapsed by a max-cosine
+    aggregate keyed on (q_id, n_id) — ids + one double through the
+    shuffle, never vectors — then WindowGroupLimit top-k.  At 100 TB
+    the exploded (table, bucket) corpus would be precomputed and
+    bucket-partitioned, turning each query into a partition-pruned
+    scan of ~tables/2^bits of the data.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.explode(_table_buckets(F.col(vec_col), dim, bits, tables)).alias("tb"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_table_buckets(F.col(vec_col), dim, bits, tables)).alias("tb"),
+    )
+    pairs = c.join(F.broadcast(q), "tb").filter(F.col("n_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id", "n_id", cosine_similarity(F.col("q_vec"), F.col("n_vec")).alias("cosine")
+    )
+    dedup = scored.groupBy("q_id", "n_id").agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        dedup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "cosine", "rn")
+    )

@@ -1,0 +1,166 @@
+"""Text analysis operators: quality stats, language ID, token counts,
+document fingerprints (driver north star).
+
+Everything is built-in-function Catalyst — at 100 TB these run inside
+whole-stage codegen over the document scan with zero shuffles (they
+are pure projections), which is exactly what a corpus-wide quality
+filter pass needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_s3_read_write_spark.operators.dedup import normalize_text
+
+# Word + single-punctuation tokens — a BPE-ish pre-tokenizer split.
+TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword profiles for the n-gram/stopword language
+# heuristic.  Deliberately small + hard-coded: the operator's job is
+# the *mechanics* (vectorized per-language scoring + argmax), profiles
+# are pluggable.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "en", "por"],
+}
+
+
+def words(col: Column) -> Column:
+    """Alphanumeric word list (regexp-extracted, case-folded)."""
+    return F.regexp_extract_all(F.lower(col), F.lit("[a-z0-9]+"), 0)
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality statistics + a composite quality score.
+
+    All ratios are double divisions of deterministic ints — safe for
+    exact cross-engine comparison.
+    """
+    t = F.col(text_col)
+    w = words(t)
+    n_chars = F.length(t)
+    n_words = F.size(w)
+    n_alnum = F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS["en"])))
+    avg_word_len = F.when(n_words > 0, n_alnum.cast("double") / n_words).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(0.0)
+    # Heuristic quality score in [0,1]: wordy, low-punct, some stopwords.
+    score = (
+        F.when(avg_word_len >= 3, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace-word and BPE-ish token counts per document."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(t), r"\s+")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0)).alias("n_bpe_tokens"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID with deterministic argmax.
+
+    Scores each language by stopword hits (with repeats) over the word
+    list; ties break by language-code order; all-zero scores → 'und'.
+    """
+    w = words(F.col(text_col))
+    langs = sorted(STOPWORDS)
+    scores = {
+        lang: F.size(F.filter(w, lambda x: x.isin(*STOPWORDS[lang]))) for lang in langs
+    }
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → apply in reverse
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    out = df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+    return out
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-addressable document fingerprints.
+
+    - ``md5_raw``: digest of the raw bytes (exact-dup key);
+    - ``md5_norm``: digest of the normal form (near-exact-dup key).
+    """
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(t).alias("md5_raw"),
+        F.md5(normalize_text(t)).alias("md5_norm"),
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, window: int = 4,
+) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprint set per document
+    (Schleimer et al., SIGMOD'03 — the standard local fingerprinting
+    scheme for plagiarism/near-dup detection).
+
+    Character k-gram hashes via xxhash64 on substrings, window-minimum
+    selection via higher-order functions — no UDF.  Output is the
+    distinct fingerprint multiset size + a stable digest of the sorted
+    fingerprints (arrays are kept internal so downstream comparisons
+    don't depend on array order).
+
+    Staged projections (norm → grams → window-mins): lambdas run
+    interpreted with no CSE, so the normalization / gram array must be
+    bound column references inside the transforms, not inlined
+    expressions — otherwise the regex normalization re-runs per gram
+    and the gram array is rebuilt per window position (quadratic).
+    """
+    normed = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+    )
+    n = F.length(F.col("_norm"))
+    grammed = normed.select(
+        F.col(id_col),
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.xxhash64(F.col("_norm").substr(i, F.lit(k))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")).alias("_grams"),
+    )
+    g = F.col("_grams")
+    mins = F.when(
+        F.size(g) >= window,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(g) - window),
+                lambda i: F.array_min(F.slice(g, i + 1, window)),
+            )
+        ),
+    ).otherwise(F.array_distinct(g))
+    fingered = grammed.select(F.col(id_col), F.array_sort(mins).alias("_fp"))
+    return fingered.select(
+        F.col(id_col),
+        F.size(F.col("_fp")).alias("n_fingerprints"),
+        F.md5(F.to_json(F.col("_fp"))).alias("fingerprint_digest"),
+    )

@@ -1,0 +1,302 @@
+"""LLM-data-pipeline queries (driver north star): dedup, similarity
+search, text analysis, multimodal — over ``documents`` / ``embeddings``.
+
+Oracle notes:
+- DuckDB ``regexp_replace`` needs the 'g' flag to match Spark's
+  replace-all default.
+- DuckDB ``list_cosine_similarity`` computes in float32; oracles use
+  explicit double arithmetic (list_zip/list_transform/list_sum) to
+  match Spark's higher-order-function double math bit-for-bit.
+- Ops built on xxhash64 (minhash/simhash/winnowing/LSH) have no DuckDB
+  twin → registered without oracle (driver rows-only check); their
+  semantics are covered by planted-duplicate tests in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_s3_read_write_spark.operators import dedup as D
+from flink_s3_read_write_spark.operators import multimodal as M
+from flink_s3_read_write_spark.operators import similarity as S
+from flink_s3_read_write_spark.operators import textstats as T
+from flink_s3_read_write_spark.queries import register
+from flink_s3_read_write_spark.sources.io import load_table
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@register(
+    "q30_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, text
+    FROM documents
+    GROUP BY text
+    """,
+    doc="Exact dedup keyed on content digest; keeps smallest doc_id per text.",
+)
+def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q31_dedup_normalized",
+    oracle=f"""
+    SELECT {_NORM_SQL.format(c='text')} AS norm_text,
+           min(doc_id) AS doc_id,
+           COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Near-exact dedup on normalized text (lower/strip-punct/collapse-ws).",
+)
+def q31_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.normalized_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q32_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS toks
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
+                THEN CAST(len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.toks, b.toks)))
+                ELSE 0.0 END AS jaccard
+    FROM norm a JOIN norm b ON b.doc_id = a.doc_id + 1
+    """,
+    doc="Exact token-set Jaccard between adjacent doc pairs (array ops, no UDF).",
+)
+def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return pairs.select(
+        "id_a", "id_b", D.jaccard_tokens(F.col("text_a"), F.col("text_b")).alias("jaccard")
+    )
+
+
+@register(
+    "q33_minhash_dedup_pairs",
+    oracle=None,  # xxhash64-based; no DuckDB twin — verified in tests/test_dedup.py
+    doc=(
+        "MinHash(64 perms) + 16-band LSH candidates, re-verified with exact "
+        "token Jaccard >= 0.5. Catalyst-only: shingle/hash/band via "
+        "higher-order functions; bucket-size guard caps pair blow-up."
+    ),
+)
+def q33_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs_verified(docs, threshold=0.5)
+
+
+@register(
+    "q34_simhash_near_pairs",
+    oracle=None,  # xxhash64-based; verified in tests/test_dedup.py
+    doc="64-bit SimHash + 4x16-bit pigeonhole banding; pairs with Hamming <= 3.",
+)
+def q34_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q35_topk_cosine",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+    pairs AS (
+      SELECT q.q_id, c.vec_id AS n_id,
+             list_sum(list_transform(list_zip(q.q_vec, c.embedding),
+                                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine
+      FROM embeddings c, q WHERE c.vec_id <> q.q_id)
+    SELECT q_id, n_id, cosine, rn FROM (
+      SELECT q_id, n_id, cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+      FROM pairs) t
+    WHERE rn <= 5
+    """,
+    doc=(
+        "Brute-force exact top-5 cosine neighbors for 8 query vectors: "
+        "broadcast queries x corpus scan, zip_with/aggregate double math, "
+        "WindowGroupLimit top-k."
+    ),
+)
+def q35_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register(
+    "q36_ann_lsh_topk",
+    oracle=None,  # approximate by design; recall vs brute force asserted in tests
+    doc=(
+        "ANN via multi-table random-hyperplane LSH (8 tables x 4 bits) "
+        "+ exact cosine re-rank; recall@5 ~0.75 vs brute force on the "
+        "synthetic embeddings (tests/test_similarity.py). Scale path: "
+        "bucket-partitioned corpus => partition-pruned scans."
+    ),
+)
+def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64, bits=4, tables=8)
+
+
+@register(
+    "q37_text_stats",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(ws) AS n_words,
+           CASE WHEN len(ws) > 0
+                THEN CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) / len(ws)
+                ELSE 0.0 END AS avg_word_len,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN len(ws) > 0
+                THEN CAST(len(list_filter(ws, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS DOUBLE) / len(ws)
+                ELSE 0.0 END AS stopword_ratio,
+           (CASE WHEN (CASE WHEN len(ws) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) / len(ws) ELSE 0.0 END) >= 3 THEN 0.4 ELSE 0.0 END
+            + CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) <= 0.1 THEN 0.3 ELSE 0.0 END
+            + CASE WHEN (CASE WHEN len(ws) > 0 THEN CAST(len(list_filter(ws, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS DOUBLE) / len(ws) ELSE 0.0 END) >= 0.05 THEN 0.3 ELSE 0.0 END)
+             AS quality_score
+    FROM w
+    """,
+    doc="Per-doc quality stats: char/word counts, punct & stopword ratios, composite score.",
+)
+def q37_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q38_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="Whitespace + BPE-ish regex token counting.",
+)
+def q38_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_count(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q39_lang_id",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','zu'], x))) AS score_de,
+        len(list_filter(ws, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS score_en,
+        len(list_filter(ws, x -> list_contains(['el','la','los','las','y','es','un','una','en','por'], x))) AS score_es,
+        len(list_filter(ws, x -> list_contains(['le','la','les','et','est','un','une','dans','pour','que'], x))) AS score_fr
+      FROM w)
+    SELECT doc_id, score_de, score_en, score_es, score_fr,
+           CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM s
+    """,
+    doc="Stopword-profile language ID: vectorized per-language scoring + deterministic argmax.",
+)
+def q39_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q40_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(text) AS md5_raw,
+           md5({_NORM_SQL.format(c='text')}) AS md5_norm
+    FROM documents
+    """,
+    doc="Content-addressable doc fingerprints (raw + normalized md5).",
+)
+def q40_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q41_winnowing",
+    oracle=None,  # xxhash64 rolling hashes; no DuckDB twin — tests/test_textstats.py
+    doc="Winnowing (SIGMOD'03) k-gram rolling-hash fingerprints, window-min selection, Catalyst-only.",
+)
+def q41_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q42_embedding_dedup_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            > -2
+    """,
+    doc=(
+        "Embedding-cosine near-dup scoring over adjacent pairs (threshold -2 "
+        "keeps all rows so the oracle checks the full cosine computation; "
+        "production threshold ~0.95). LSH-bucketed variant = q36."
+    ),
+)
+def q42_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return pairs.select(
+        "id_a", "id_b", cosine_similarity(F.col("ea"), F.col("eb")).alias("cosine")
+    ).filter(F.col("cosine") > -2)
+
+
+@register(
+    "q43_media_features",
+    oracle=None,  # mapInPandas decode stub; plumbing verified in tests/test_multimodal.py
+    doc=(
+        "Multimodal plumbing: documents -> binary media column + typed "
+        "metadata -> Arrow-batched mapInPandas decode/feature-extract "
+        "(decode STUBBED deterministically; no imaging libs in container)."
+    ),
+)
+def q43_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.attach_media(load_table(spark, sf_dir, "documents"))
+    return M.image_features(media, fake=True)
+
+
+@register(
+    "q44_frame_samples",
+    oracle=None,  # mapInPandas explode stub; tests/test_multimodal.py
+    doc="Video frame-sampling plumbing: per-media-row frame explosion with stable digests.",
+)
+def q44_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.attach_media(load_table(spark, sf_dir, "documents"))
+    return M.sample_frames(media)

@@ -1,0 +1,92 @@
+"""Planted-duplicate tests for the dedup family (operators/dedup.py):
+exact, normalized, MinHash+LSH, SimHash.  These cover the xxhash64-based
+ops that have no DuckDB oracle (queries_llmdata.py q33/q34)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_s3_read_write_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "astronauts calibrate the ancient telescope near the quiet harbor "
+    "and the patient engineers measure gravity with copper instruments"
+)
+NEAR = BASE.replace("quiet harbor", "noisy harbor").replace("copper", "silver")
+FAR = (
+    "completely unrelated text about database systems and distributed "
+    "query processing with columnar storage vectorized execution and "
+    "adaptive partitioning across thousands of commodity machines"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),              # exact dup of 1
+        (3, "  The QUICK brown fox! " + BASE[len("the quick brown fox "):]),
+        (4, NEAR),              # near dup of 1 (2 words changed)
+        (5, FAR),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    out = {r["text"]: r["doc_id"] for r in D.exact_dedup(docs).collect()}
+    assert out[BASE] == 1           # 2 collapsed into 1
+    assert len(out) == 5            # 6 docs, one exact-dup pair
+
+
+def test_normalized_dedup_collapses_case_punct(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    rows = {r["norm_text"]: r for r in D.normalized_dedup(df).collect()}
+    assert rows["hello world"]["n_dups"] == 2
+    assert rows["hello world"]["doc_id"] == 1
+
+
+def test_minhash_finds_near_pair_not_far(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_dedup_pairs_verified(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0   # exact dups
+    assert (1, 4) in pairs and pairs[(1, 4)] >= 0.8   # near dup
+    assert not any(5 in p for p in pairs)             # FAR not paired
+
+
+def test_minhash_signature_deterministic(docs):
+    a = D.minhash_signatures(docs).collect()
+    b = D.minhash_signatures(docs).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_lsh_bucket_guard_caps_blowup(spark):
+    # 60 identical docs with max_bucket=50 -> every band bucket has 60
+    # members and is dropped; no pairs emitted, no O(n^2) join.
+    df = spark.createDataFrame([(i, BASE) for i in range(60)], "doc_id long, text string")
+    assert D.minhash_lsh_pairs(df, max_bucket=50).count() == 0
+    assert D.minhash_lsh_pairs(df, max_bucket=100).count() == 60 * 59 // 2
+
+
+def test_simhash_near_pairs(docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(docs, max_hamming=6).collect()
+    }
+    assert got.get((1, 2)) == 0                      # identical -> hamming 0
+    assert (1, 4) in got and got[(1, 4)] <= 6        # near dup, few bits differ
+    assert not any(5 in p for p in got)
+
+
+def test_jaccard_tokens_exact(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a b c d", "c d e f")], "x string, y string")
+    j = df.select(D.jaccard_tokens(F.col("x"), F.col("y")).alias("j")).collect()[0]["j"]
+    assert j == pytest.approx(2 / 6)

@@ -1,0 +1,82 @@
+"""Similarity-search tests: brute-force top-k vs a NumPy oracle, and
+LSH-ANN structural + recall checks (operators/similarity.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flink_s3_read_write_spark.operators import similarity as S
+from flink_s3_read_write_spark.sources.io import load_table
+
+DIM = 16
+N = 80
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(N, DIM).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(N)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, vecs
+
+
+def numpy_topk(vecs: np.ndarray, q: int, k: int) -> list[int]:
+    v = vecs.astype(np.float64)
+    sims = v @ v[q] / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[q]))
+    order = sorted((-(sims[i]), i) for i in range(len(v)) if i != q)
+    return [i for _, i in order[:k]]
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    df, vecs = emb
+    out = S.brute_force_topk(df, df.filter(F.col("vec_id") < 4), k=5).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["q_id"], []).append((r["rn"], r["n_id"], r["cosine"]))
+    for q in range(4):
+        ids = [n for _, n, _ in sorted(got[q])]
+        assert ids == numpy_topk(vecs, q, 5)
+        for rn, n, c in got[q]:
+            v = vecs.astype(np.float64)
+            expect = v[n] @ v[q] / (np.linalg.norm(v[n]) * np.linalg.norm(v[q]))
+            assert c == pytest.approx(expect, rel=1e-9)
+
+
+def test_ann_results_share_some_table_bucket_and_are_exact_cosines(emb):
+    df, vecs = emb
+    out = S.ann_lsh_topk(df, df.filter(F.col("vec_id") < 8), k=5, dim=DIM, bits=4, tables=4)
+    rows = out.collect()
+    assert len(rows) > 0
+    buckets = {
+        r["vec_id"]: [r[f"b{t}"] for t in range(4)]
+        for r in df.select(
+            "vec_id",
+            *[S.lsh_bucket(F.col("embedding"), DIM, 4, t).alias(f"b{t}") for t in range(4)],
+        ).collect()
+    }
+    v = vecs.astype(np.float64)
+    for r in rows:
+        # candidate collided with the query in at least one hash table
+        assert any(
+            bq == bn for bq, bn in zip(buckets[r["q_id"]], buckets[r["n_id"]])
+        )
+        expect = v[r["n_id"]] @ v[r["q_id"]] / (
+            np.linalg.norm(v[r["n_id"]]) * np.linalg.norm(v[r["q_id"]])
+        )
+        assert r["cosine"] == pytest.approx(expect, rel=1e-9)
+
+
+def test_ann_recall_on_driver_embeddings(spark, sf_dir):
+    """Recall@5 of multi-table LSH ANN vs brute force on the real
+    embeddings table; must clear a floor random bucketing could not."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = S.brute_force_topk(emb, q, k=5).collect()
+    approx = S.ann_lsh_topk(emb, q, k=5, dim=64, bits=4, tables=8).collect()
+    exact_set = {(r["q_id"], r["n_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["n_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"recall {recall}"

@@ -1,0 +1,74 @@
+"""Hand-computed goldens for text analysis (operators/textstats.py),
+including winnowing (q41, no DuckDB oracle)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from flink_s3_read_write_spark.operators import textstats as T
+from flink_s3_read_write_spark.operators.dedup import normalize_text  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The cat and the dog."),
+        (2, "Hello, world!"),
+        (3, ""),
+        (4, "der hund und die katze ist nicht hier"),
+        (5, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_text_stats_golden(docs):
+    r = {x["doc_id"]: x for x in T.text_stats(docs).collect()}
+    # doc 1: "The cat and the dog." -> words [the,cat,and,the,dog]
+    assert r[1]["n_chars"] == 20
+    assert r[1]["n_words"] == 5
+    assert r[1]["avg_word_len"] == pytest.approx(15 / 5)  # 15 alnum chars
+    assert r[1]["punct_ratio"] == pytest.approx(1 / 20)   # one '.'
+    assert r[1]["stopword_ratio"] == pytest.approx(3 / 5)  # the,and,the
+    assert r[1]["quality_score"] == pytest.approx(1.0)
+    # empty doc: all zeros, no NaNs
+    assert r[3]["n_words"] == 0 and r[3]["avg_word_len"] == 0.0
+    assert r[3]["punct_ratio"] == 0.0 and r[3]["quality_score"] == pytest.approx(0.3)
+
+
+def test_token_count_golden(docs):
+    r = {x["doc_id"]: x for x in T.token_count(docs).collect()}
+    assert r[2]["n_ws_tokens"] == 2                      # Hello, | world!
+    assert r[2]["n_bpe_tokens"] == 4                     # Hello , world !
+    assert r[1]["n_ws_tokens"] == 5
+    assert r[1]["n_bpe_tokens"] == 6                     # 5 words + '.'
+
+
+def test_lang_id(docs):
+    r = {x["doc_id"]: x["pred_lang"] for x in T.lang_id(docs).collect()}
+    assert r[1] == "en"
+    assert r[4] == "de"
+    assert r[3] == "und"
+    assert r[5] == "en"
+
+
+def test_fingerprint_matches_hashlib(docs):
+    r = {x["doc_id"]: x for x in T.fingerprint(docs).collect()}
+    assert r[2]["md5_raw"] == hashlib.md5(b"Hello, world!").hexdigest()
+    assert r[2]["md5_norm"] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_winnowing_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnop"), (2, "abcdefghijklmnop"), (3, "zyxwvutsrqponmlk"), (4, "ab")],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in T.winnowing_fingerprints(df).collect()}
+    assert r[1]["fingerprint_digest"] == r[2]["fingerprint_digest"]  # identical text
+    assert r[1]["fingerprint_digest"] != r[3]["fingerprint_digest"]
+    assert r[1]["n_fingerprints"] > 0
+    assert r[4]["n_fingerprints"] == 0                   # shorter than k=5
+    # determinism across runs
+    again = {x["doc_id"]: x for x in T.winnowing_fingerprints(df).collect()}
+    assert r[1]["fingerprint_digest"] == again[1]["fingerprint_digest"]
