@@ -1,0 +1,116 @@
+"""Structured Streaming twins of the reference's three jobs, plus
+event-time windowed aggregation with watermarking.
+
+Reference mapping (SURVEY.md §2.1, §2.3.1):
+
+- ``uppercase_stream``     — job 1 (`S3ReadWriteExample.java:22-40`):
+  unbounded text-file source → uppercase → rolling file sink.
+- ``filter_exclude_stream``— job 2 (`S3FlinkFilterJacksonville.java:31-51`):
+  raw CSV lines → split → positional filter (header leaks) → rejoin.
+- ``avg_by_key_update_stream`` — job 3
+  (`S3FlinkAverageSalaryByCity.java:28-48`): the Flink unwindowed
+  keyed rolling reduce emits an updated aggregate per input record;
+  the Spark-native equivalent is an unwindowed streaming groupBy in
+  ``update`` output mode — per micro-batch, every changed key is
+  re-emitted.  Final state equals the batch answer
+  (tests/test_streaming.py asserts this).
+- ``windowed_counts_stream`` — event-time tumbling windows with a
+  watermark: the watermark bounds state (windows older than
+  max_event_time - delay are finalized and dropped from the store) and
+  drops late data, which is what makes unbounded streams tractable at
+  100 TB/day ingest.  ABSENT from the reference (processing-time
+  only); mandated extension.
+
+All transformations are the *same functions* used by the batch
+queries — a DataFrame transform doesn't know whether its input is
+bounded.  That is the engine's batch/streaming unification story:
+write once, run either way.
+
+Checkpointing: every sink in this module requires a
+``checkpointLocation``; Spark's file sink commits files through the
+checkpoint manifest, giving exactly-once output — strictly stronger
+than the reference, which never calls ``enableCheckpointing`` and is
+at-most-once on restart (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_s3_read_write_spark.operators import raw_text
+from flink_s3_read_write_spark.functions.numeric import davg
+
+
+def uppercase_stream(spark: SparkSession, in_path: str) -> DataFrame:
+    """Job-1 twin: unbounded text source → uppercase."""
+    lines = spark.readStream.format("text").load(in_path)
+    return raw_text.uppercase_lines(lines)
+
+
+def filter_exclude_stream(
+    spark: SparkSession, in_path: str, city: str = "Jacksonville"
+) -> DataFrame:
+    """Job-2 twin: split(',') → filter city (header passes) → rejoin."""
+    lines = spark.readStream.format("text").load(in_path)
+    toks = raw_text.tokenize_csv(lines)
+    return raw_text.rejoin_csv(raw_text.filter_excluding_city(toks, city))
+
+
+def avg_by_key_update_stream(
+    spark: SparkSession, in_path: str, city: str = "Jacksonville"
+) -> DataFrame:
+    """Job-3 twin: full chain to an unwindowed keyed aggregate.
+
+    Run with ``outputMode("update")`` to reproduce the Flink rolling
+    reduce's emission pattern (changed keys re-emitted per batch).
+    """
+    lines = spark.readStream.format("text").load(in_path)
+    toks = raw_text.tokenize_csv(lines)
+    kept = raw_text.filter_excluding_city(toks, city, drop_header=True)
+    typed = raw_text.extract_city_salary(kept)
+    return raw_text.avg_salary_by_city(typed)
+
+
+def events_stream(spark: SparkSession, in_path: str) -> DataFrame:
+    """Unbounded parquet source with the events schema."""
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    return spark.readStream.schema(schema).parquet(in_path)
+
+
+def windowed_counts_stream(
+    events: DataFrame, width: str = "10 minutes", delay: str = "5 minutes"
+) -> DataFrame:
+    """Tumbling event-time windows with a watermark.
+
+    ``append`` mode emits a window only once the watermark passes its
+    end (finalized); events later than the watermark are dropped and
+    never perturb an emitted window.  State per key/window is purged on
+    finalization — bounded memory on unbounded input.
+    """
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), davg("value", "avg_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def start_memory_sink(df: DataFrame, name: str, mode: str):
+    """Test harness sink: results to an in-memory table ``name``."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )

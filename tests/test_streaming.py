@@ -1,0 +1,143 @@
+"""Structured Streaming tests (streaming/jobs.py): the reference jobs'
+streaming twins reach the same final state as batch, update-mode
+re-emission works, and the watermark drops late data (SURVEY.md
+§2.3.1, §7.2 steps 3+5)."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_s3_read_write_spark.operators import raw_text, windows as W
+from flink_s3_read_write_spark.streaming import jobs
+from tests.conftest import salary_lines
+
+
+def write_lines(spark, path: str, lines: list[str], name: str) -> None:
+    spark.createDataFrame([(l,) for l in lines], "value string").coalesce(1).write.mode(
+        "append"
+    ).text(path)
+
+
+def wait_for(predicate, timeout_s: float = 60.0) -> None:
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if predicate():
+            return
+        time.sleep(0.5)
+    raise AssertionError("condition not reached within timeout")
+
+
+def test_uppercase_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "in")
+    write_lines(spark, src, ["hello", "World", "123"], "u")
+    q = jobs.start_memory_sink(jobs.uppercase_stream(spark, src), "t_upper", "append")
+    try:
+        q.processAllAvailable()
+        got = sorted(r["value"] for r in spark.table("t_upper").collect())
+        assert got == ["123", "HELLO", "WORLD"]
+    finally:
+        q.stop()
+
+
+def test_filter_exclude_stream_header_leaks(spark, tmp_path):
+    src = str(tmp_path / "in")
+    write_lines(spark, src, salary_lines(), "f")
+    q = jobs.start_memory_sink(
+        jobs.filter_exclude_stream(spark, src), "t_filter", "append"
+    )
+    try:
+        q.processAllAvailable()
+        got = [r["value"] for r in spark.table("t_filter").collect()]
+        assert len(got) == 100  # header + 99 rows, Jacksonville dropped
+        assert "ID,Name,Age,City,Salary" in got
+    finally:
+        q.stop()
+
+
+def test_avg_update_stream_final_state_matches_batch(spark, tmp_path):
+    """Job-3 twin: update mode re-emits changed keys per micro-batch;
+    the latest row per key must equal the batch final answer."""
+    src = str(tmp_path / "in")
+    half = salary_lines()[:60]
+    write_lines(spark, src, half, "a1")
+    sdf = jobs.avg_by_key_update_stream(spark, src)
+    q = (
+        sdf.writeStream.format("memory").queryName("t_avg").outputMode("complete").start()
+    )
+    try:
+        q.processAllAvailable()
+        # second file arrives -> stream picks it up incrementally
+        write_lines(spark, src, salary_lines()[60:], "a2")
+        q.processAllAvailable()
+        stream_state = {
+            r["city"]: (r["avg_salary"], r["cnt"])
+            for r in spark.table("t_avg").collect()
+        }
+        batch_raw = spark.createDataFrame([(l,) for l in salary_lines()], "value string")
+        toks = raw_text.tokenize_csv(batch_raw)
+        kept = raw_text.filter_excluding_city(toks, "Jacksonville", drop_header=True)
+        batch_state = {
+            r["city"]: (r["avg_salary"], r["cnt"])
+            for r in raw_text.avg_salary_by_city(
+                raw_text.extract_city_salary(kept)
+            ).collect()
+        }
+        assert stream_state == batch_state
+        assert len(stream_state) == 99
+    finally:
+        q.stop()
+
+
+def test_windowed_stream_drops_late_data(spark, tmp_path):
+    """Append mode + watermark: a window is emitted once finalized and
+    an event later than the watermark never perturbs it."""
+    src = str(tmp_path / "ev")
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(minutes: float, etype: str = "click", val: float = 1.0):
+        return (int(minutes * 100), t0 + timedelta(minutes=minutes), 1, etype, val, "{}")
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    batch1 = [ev(1.0), ev(2.0), ev(12.0), ev(29.0)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = jobs.windowed_counts_stream(
+        jobs.events_stream(spark, src), width="10 minutes", delay="5 minutes"
+    )
+    q = stream.writeStream.format("memory").queryName("t_win").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        # batch1 max ts = 10:29 -> watermark 10:24 -> windows ending
+        # <= 10:24 finalize: [10:00,10:10) with 2 events, [10:10,10:20) with 1.
+        wait_for(lambda: spark.table("t_win").count() >= 2)
+        first = {
+            (r["w_start"].minute, r["n_events"]) for r in spark.table("t_win").collect()
+        }
+        assert (0, 2) in first and (10, 1) in first
+        # batch2: a LATE event at 10:03 (behind the 10:24 watermark ->
+        # dropped) plus fresh events advancing the watermark past 10:40.
+        batch2 = [ev(3.0, val=99.0), ev(55.0), ev(58.0)]
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        wait_for(lambda: spark.table("t_win").count() >= 3)
+        final = {r["w_start"].minute: r["n_events"] for r in spark.table("t_win").collect()}
+        assert final[0] == 2, "late event must not change the finalized window"
+        assert final[20] == 1  # the 10:29 event's window finalized by batch2
+    finally:
+        q.stop()
+
+
+def test_batch_streaming_unification_window_fn(spark, sf_dir):
+    """The same windows.tumbling_agg function used by the streaming
+    twin produces the oracle-checked batch result — one code path."""
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    out = W.tumbling_agg(load_table(spark, sf_dir, "events"), width="6 hours")
+    assert out.columns == ["w_start", "w_end", "event_type", "n_events", "sum_value"]
+    assert out.count() > 0
