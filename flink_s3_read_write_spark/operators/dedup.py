@@ -148,9 +148,17 @@ def minhash_lsh_pairs(
     """Candidate near-duplicate pairs via banded LSH on the signature.
 
     bands=16 × rows=4 over 64 perms ⇒ the classic S-curve with ~50%
-    capture at Jaccard ≈ (1/16)^(1/4) ≈ 0.5.  Pairing is a self-join
-    on (band, band_hash) after dropping degenerate buckets.
+    capture at Jaccard ≈ (1/16)^(1/4) ≈ 0.5.
     Output: (id_a, id_b) with id_a < id_b, distinct.
+
+    Pairing is ONE shuffle: group ids per (band, bucket) with
+    collect_list, drop degenerate buckets (a bucket of n docs yields
+    n² pairs; at scale one boilerplate bucket would dominate the job),
+    expand pairs with array ops inside the bucket row.  This replaces
+    the window-count + self-join formulation, which cost a sort plus
+    two more shuffles of the banded table; the in-array expansion is
+    safe precisely because the guard bounds the bucket (≤ max_bucket
+    ids ⇒ ≤ max_bucket² struct ops per row, memory-bounded).
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
@@ -171,22 +179,26 @@ def minhash_lsh_pairs(
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
-    # Guard: drop buckets whose size would explode the pair join.
-    sized = (
-        banded.withColumn(
-            "_bs", F.count(F.lit(1)).over(Window.partitionBy("band", "band_hash"))
-        )
-        .filter(F.col("_bs") <= max_bucket)
-        .drop("_bs")
+    bucketed = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    a = sized.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a"))
-    b = sized.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b"))
-    return (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    ids = F.col("ids")
+    pairs = bucketed.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ids,
+                    lambda x, i: F.transform(
+                        F.slice(ids, i + 2, F.size(ids)),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
     )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def jaccard_tokens(a: Column, b: Column) -> Column:
@@ -247,13 +259,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def simhash_near_pairs(
-    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id",
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
     Pigeonhole banding: split 64 bits into 4 × 16-bit keys; any pair
-    within Hamming 3 shares at least one key, so the candidate join is
-    an equi-join per key — never an O(n²) cross join.
+    within Hamming 3 shares at least one key, so candidates come from
+    equi-buckets — never an O(n²) cross join.  Pair expansion uses the
+    same one-shuffle collect-per-bucket scheme as ``minhash_lsh_pairs``
+    (struct of id+simhash so the Hamming check runs in-row), with a
+    generous bucket cap against degenerate 16-bit-key collisions.
     """
     sh = simhash(df, text_col, id_col)
     parts = [
@@ -264,15 +280,31 @@ def simhash_near_pairs(
         id_col, "simhash",
         F.explode(F.array(*[F.struct(F.lit(p).alias("p"), parts[p]) for p in range(4)])).alias("b"),
     ).select(id_col, "simhash", "b.p", "b.k")
-    a = banded.select("p", "k", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = banded.select("p", "k", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
-    pairs = (
-        a.join(b, ["p", "k"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
+    bucketed = (
+        banded.groupBy("p", "k")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))
+            ).alias("xs")
+        )
+        .filter((F.size("xs") >= 2) & (F.size("xs") <= max_bucket))
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
-    )
+    xs = F.col("xs")
+    pairs = bucketed.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    xs,
+                    lambda x, i: F.transform(
+                        F.slice(xs, i + 2, F.size(xs)),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.hamming")
+    return pairs.filter(F.col("hamming") <= max_hamming).distinct()

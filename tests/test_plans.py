@@ -1,0 +1,106 @@
+"""Plan-shape regression tests: the properties that make each operator
+viable at 100 TB, asserted from explain("formatted") output.  A value
+check at sf0.01 cannot catch a missing pushdown or an accidental
+cross join — these do."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_s3_read_write_spark.operators import relational as R, similarity as S
+from flink_s3_read_write_spark.operators.asof import asof_join
+from flink_s3_read_write_spark.plans import inspect as P
+from flink_s3_read_write_spark.sources.io import load_table
+
+
+@pytest.fixture(scope="module")
+def t(spark, sf_dir):
+    return {
+        name: load_table(spark, sf_dir, name)
+        for name in ("lineitem", "orders", "part", "customer", "nation", "events",
+                     "documents", "embeddings")
+    }
+
+
+def test_filter_pushdown_and_column_pruning(t):
+    plan = P.formatted_plan(R.pricing_summary(t["lineitem"]))
+    assert any("l_shipdate" in f for f in P.pushed_filters(plan)), plan
+    (cols,) = P.read_schemas(plan)
+    # 7 of lineitem's 11 columns — l_orderkey/partkey/suppkey/linenumber pruned
+    assert set(cols) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+
+
+def test_partial_aggregation_before_shuffle(t):
+    plan = P.formatted_plan(R.pricing_summary(t["lineitem"]))
+    assert P.has(plan, "partial_sum"), "map-side combine missing"
+    assert P.shuffle_exchanges(plan) == 1  # one exchange, agg keys only
+
+
+def test_dim_join_broadcasts_not_shuffles(t):
+    plan = P.formatted_plan(R.qty_by_brand(t["lineitem"], t["part"]))
+    assert P.has(plan, "BroadcastHashJoin"), plan
+    # the only shuffle is the final groupBy — the fact table never
+    # repartitions for the join
+    assert P.shuffle_exchanges(plan) == 1
+
+
+def test_projection_only_ops_have_zero_shuffles(t):
+    from flink_s3_read_write_spark.operators import textstats as T
+
+    plan = P.formatted_plan(T.text_stats(t["documents"]))
+    assert P.shuffle_exchanges(plan) == 0
+    (cols,) = P.read_schemas(plan)
+    assert set(cols) == {"doc_id", "text"}  # lang/source/n_chars pruned
+
+
+def test_topk_uses_window_group_limit(t):
+    df = R.topk_per_group(
+        t["orders"], ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")], 5,
+    )
+    plan = P.formatted_plan(df)
+    # Spark 3.5+/4 pushes a per-partition group limit below the
+    # shuffle — no full per-group sort materialization at scale.
+    assert P.has(plan, "WindowGroupLimit"), plan
+
+
+def test_brute_force_topk_broadcasts_queries(t):
+    emb = t["embeddings"]
+    plan = P.formatted_plan(S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 4), k=3))
+    assert P.has(plan, "BroadcastNestedLoopJoin"), plan
+    assert P.has(plan, "WindowGroupLimit"), plan
+    # corpus-side scan appears exactly twice (corpus + query subsets
+    # of the same file) — no O(n^2) shuffle materialization
+    assert P.shuffle_exchanges(plan) <= 2
+
+
+def test_asof_join_single_shuffle_per_side(t):
+    ev = t["events"]
+    left = ev.select("user_id", F.col("ts"), "event_id")
+    right = ev.select("user_id", F.col("ts").alias("rts"), F.col("value"))
+    out = asof_join(left, right, on=["user_id"], left_ts="ts", right_ts="rts",
+                    payload=["value"])
+    plan = P.formatted_plan(out)
+    # union-then-window: ONE shuffle total (the window partitioning),
+    # vs a join-based as-of which would shuffle both sides then sort
+    assert P.shuffle_exchanges(plan) == 1, plan
+
+
+def test_exact_dedup_ships_digest_not_text(t):
+    from flink_s3_read_write_spark.operators.dedup import exact_dedup
+
+    plan = P.formatted_plan(exact_dedup(t["documents"]))
+    assert P.has(plan, "partial_min"), "map-side combine missing"
+    assert P.shuffle_exchanges(plan) == 1
+    assert P.has(plan, "md5"), "digest-keyed grouping expected"
+
+
+def test_wholestage_codegen_covers_scan_pipeline(t):
+    plan = P.formatted_plan(
+        t["lineitem"].filter(F.col("l_quantity") > 10).select("l_orderkey")
+    )
+    assert P.has_wholestage_codegen(plan), plan
