@@ -47,6 +47,7 @@ def registry() -> dict[str, Query]:
         queries_relational,
         queries_llmdata,
         queries_streaming,
+        queries_sql,
     )
 
     return dict(_REGISTRY)

@@ -1,0 +1,244 @@
+"""Query-surface breadth: subqueries, percentiles, date/string scalar
+functions, conditional aggregation — several entered through the SQL
+interface (``sql.run_sql``) to exercise the Catalyst SQL front-end
+end-to-end (SURVEY.md §2.2 categories the reference lacks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_s3_read_write_spark.queries import register
+from flink_s3_read_write_spark.sources.io import load_table
+from flink_s3_read_write_spark.sql import run_sql
+
+
+@register(
+    "q26_exists_subquery",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    GROUP BY c_mktsegment
+    """,
+    doc=(
+        "Correlated EXISTS / NOT EXISTS through the SQL front-end; "
+        "Catalyst rewrites to left-semi + left-anti joins (same plan "
+        "family as q8/q9)."
+    ),
+)
+def q26_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sql(spark, sf_dir, """
+        SELECT c_mktsegment, COUNT(*) AS n
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        GROUP BY c_mktsegment
+    """)
+
+
+@register(
+    "q27_correlated_scalar_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+    """,
+    doc=(
+        "Correlated scalar subquery (orders more than 2x their "
+        "customer's average) — Catalyst decorrelates into an "
+        "aggregate + join."
+    ),
+)
+def q27_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sql(spark, sf_dir, """
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                                    WHERE o2.o_custkey = o.o_custkey)
+    """)
+
+
+@register(
+    "q28_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Exact interpolated percentiles per group (Spark `percentile` "
+        "== DuckDB quantile_cont). At 100 TB swap to approx_percentile "
+        "(t-digest, mergeable map-side) — same API shape; exact kept "
+        "here for the oracle."
+    ),
+)
+def q28_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
+    "q29_date_functions",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           MIN(CAST(date_trunc('week', o_orderdate) AS TIMESTAMP)) AS first_week_start,
+           CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')) AS INT) AS max_days_to_eoy
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="Date/time scalar surface: year/month extract, date_trunc, datediff.",
+)
+def q29_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.functions.numeric import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+            F.min(F.date_trunc("week", F.col("o_orderdate"))).alias("first_week_start"),
+            F.max(
+                F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date"))
+            ).alias("max_days_to_eoy"),
+        )
+    )
+
+
+@register(
+    "q45_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           substring(c_name, 1, 8) AS prefix8,
+           strpos(c_name, '0') AS zero_pos,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           reverse(c_name) AS rname,
+           replace(c_name, 'Customer', 'Cust') AS shortname,
+           length(c_name) AS name_len
+    FROM customer
+    """,
+    doc="String scalar surface: upper/substr/instr/lpad/reverse/replace/length.",
+)
+def q45_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.upper(n).alias("uname"),
+        F.substring(n, 1, 8).alias("prefix8"),
+        F.instr(n, "0").alias("zero_pos"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse(n).alias("rname"),
+        F.replace(n, F.lit("Customer"), F.lit("Cust")).alias("shortname"),
+        F.length(n).alias("name_len"),
+    )
+
+
+@register(
+    "q46_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_high_disc,
+           CAST(SUM(CASE WHEN l_quantity > 25
+                         THEN CAST(l_extendedprice AS DECIMAL(30,6)) END) AS DOUBLE)
+             AS big_qty_price,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Conditional aggregation (FILTER/CASE inside agg) + distinct count.",
+)
+def q46_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_high_disc"),
+        F.sum(
+            F.when(F.col("l_quantity") > 25, F.col("l_extendedprice").cast("decimal(30,6)"))
+        ).cast("double").alias("big_qty_price"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@register(
+    "q47_array_functions",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(MIN(len(embedding)) AS INT) AS min_dim,
+           CAST(MAX(len(embedding)) AS INT) AS max_dim,
+           CAST(SUM(CAST(list_sum(list_transform(embedding,
+                    x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS BIGINT)) AS BIGINT)
+             AS total_positive
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="Array/higher-order surface: size, element predicates, per-group sums.",
+)
+def q47_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_pos = F.aggregate(
+        F.col("embedding"),
+        F.lit(0),
+        lambda acc, x: acc + F.when(x > 0, 1).otherwise(0),
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min(F.size("embedding")).alias("min_dim"),
+        F.max(F.size("embedding")).alias("max_dim"),
+        F.sum(n_pos).cast("long").alias("total_positive"),
+    )
+
+
+@register(
+    "q48_null_handling",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           COUNT(nullif(o_orderpriority, '1-URGENT')) AS n_non_urgent,
+           CAST(SUM(CAST(coalesce(nullif(o_totalprice, 0.0), 0.0)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS total,
+           CAST(SUM(CASE WHEN nullif(o_orderpriority, '1-URGENT') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="NULL semantics: nullif/coalesce, COUNT skipping NULLs, IS NULL arithmetic.",
+)
+def q48_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.functions.numeric import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    non_urgent = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(non_urgent).alias("n_non_urgent"),
+        dsum(F.coalesce(F.nullif(F.col("o_totalprice"), F.lit(0.0)), F.lit(0.0)), "total"),
+        F.sum(F.when(non_urgent.isNull(), 1).otherwise(0)).cast("long").alias("n_urgent"),
+    )

@@ -126,6 +126,57 @@ def write_parquet(
     out.parquet(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    *,
+    header: bool = True,
+    streaming: bool = False,
+) -> DataFrame:
+    """Typed CSV source (quoting/escaping per RFC — the *schema-full*
+    path; the reference's split(',') path is ``read_raw_csv_lines``).
+    With an explicit schema the reader skips inference (mandatory for
+    streaming, and the scalable choice in batch: inference scans data).
+    """
+    reader = spark.readStream if streaming else spark.read
+    r = reader.format("csv").option("header", header)
+    if schema:
+        r = r.schema(schema)
+    elif not streaming:
+        r = r.option("inferSchema", True)
+    return r.load(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: str | None = None, *, streaming: bool = False
+) -> DataFrame:
+    """Newline-delimited JSON source; explicit schema avoids inference."""
+    reader = spark.readStream if streaming else spark.read
+    r = reader.format("json")
+    if schema:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def read_orc(spark: SparkSession, path: str, *, streaming: bool = False) -> DataFrame:
+    """ORC columnar source — pushdown/pruning like parquet."""
+    reader = spark.readStream if streaming else spark.read
+    return reader.format("orc").load(path)
+
+
+def write_csv(df: DataFrame, path: str, *, header: bool = True, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def start_text_stream_sink(
     df: DataFrame,
     path: str,

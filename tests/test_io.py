@@ -1,0 +1,97 @@
+"""Source/sink tests (sources/io.py): format roundtrips preserve
+values and schema, the rolling sink caps records per file (A12
+analogue), and the streaming text sink commits through a checkpoint."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_s3_read_write_spark.sources import io
+from flink_s3_read_write_spark.streaming import jobs
+
+
+@pytest.fixture(scope="module")
+def sample(spark, sf_dir):
+    return io.load_table(spark, sf_dir, "customer").limit(200).cache()
+
+
+def summarize(df):
+    rows = sorted(tuple(r) for r in df.collect())
+    return df.dtypes, rows
+
+
+def test_parquet_roundtrip(sample, tmp_path):
+    io.write_parquet(sample, str(tmp_path / "p"))
+    back = sample.sparkSession.read.parquet(str(tmp_path / "p"))
+    assert summarize(back) == summarize(sample)
+
+
+def test_csv_roundtrip_typed(sample, tmp_path):
+    io.write_csv(sample, str(tmp_path / "c"))
+    schema = ", ".join(f"{f} {t}" for f, t in sample.dtypes)
+    back = io.read_csv(sample.sparkSession, str(tmp_path / "c"), schema)
+    assert summarize(back) == summarize(sample)
+
+
+def test_json_roundtrip(sample, tmp_path):
+    io.write_json(sample, str(tmp_path / "j"))
+    schema = ", ".join(f"{f} {t}" for f, t in sample.dtypes)
+    back = io.read_json(sample.sparkSession, str(tmp_path / "j"), schema)
+    assert summarize(back) == summarize(sample)
+
+
+def test_orc_roundtrip(sample, tmp_path):
+    io.write_orc(sample, str(tmp_path / "o"))
+    back = io.read_orc(sample.sparkSession, str(tmp_path / "o"))
+    assert summarize(back) == summarize(sample)
+
+
+def test_partitioned_parquet_prunes(sample, tmp_path):
+    io.write_parquet(sample, str(tmp_path / "pp"), partition_by=["c_mktsegment"])
+    spark = sample.sparkSession
+    seg = sample.select("c_mktsegment").first()[0]
+    back = spark.read.parquet(str(tmp_path / "pp")).filter(F.col("c_mktsegment") == seg)
+    # partition pruning: only that segment's directory is read
+    from flink_s3_read_write_spark.plans import inspect as P
+
+    plan = P.formatted_plan(back)
+    assert back.count() == sample.filter(F.col("c_mktsegment") == seg).count()
+    assert "PartitionFilters" in plan and seg not in plan.split("PartitionFilters")[0]
+
+
+def test_rolling_sink_caps_records_per_file(sample, tmp_path):
+    """A12 withMaxPartSize analogue: record-count rolling."""
+    lines = sample.select(F.col("c_name").alias("value"))
+    io.write_text(lines, str(tmp_path / "t"), max_records_per_file=50)
+    parts = glob.glob(str(tmp_path / "t" / "part-*"))
+    counts = [sum(1 for _ in open(p)) for p in parts]
+    assert max(counts) <= 50
+    assert sum(counts) == sample.count()
+
+
+def test_single_file_mode(sample, tmp_path):
+    """setParallelism(1) output-shape analogue (A13)."""
+    lines = sample.select(F.col("c_name").alias("value"))
+    io.write_text(lines, str(tmp_path / "s"), single_file=True)
+    assert len(glob.glob(str(tmp_path / "s" / "part-*"))) == 1
+
+
+def test_streaming_text_sink_checkpointed(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spark.createDataFrame([("a",), ("b",)], "value string").coalesce(1).write.text(src)
+    stream = jobs.uppercase_stream(spark, src)
+    q = io.start_text_stream_sink(stream, out, ckpt, trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        line.strip()
+        for p in glob.glob(out + "/part-*")
+        for line in open(p)
+    )
+    assert got == ["A", "B"]
+    assert glob.glob(ckpt + "/*"), "checkpoint directory must be populated"
