@@ -232,6 +232,90 @@ def minhash_dedup_pairs_verified(
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Cluster ids for the near-duplicate pair graph: every vertex gets
+    the minimum id reachable from it (label propagation to fixpoint).
+
+    This is the standard last step of web-scale dedup — LSH emits
+    *pairs*, but keep/drop decisions need *clusters* (A~B, B~C ⇒ keep
+    one of {A,B,C}).  Implementation is iterative min-label exchange:
+    each round, every vertex adopts min(own label, neighbors' labels);
+    rounds needed = graph diameter, which for near-dup clusters is
+    tiny (chains of copies), so ``max_iter`` is a safety bound not a
+    practical limit.  Each round is one shuffle (groupBy vertex);
+    results are cached + localCheckpointed to keep the plan from
+    growing O(iterations) deep — the classic iterative-Spark trap.
+
+    Input: distinct undirected edges (id_a, id_b).  Output:
+    (id, cluster_id) for every vertex appearing in any edge, where
+    cluster_id = min vertex id of its component.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_list(
+    df: DataFrame, threshold: float = 0.6, text_col: str = "text", id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """End-to-end near-dedup: MinHash LSH pairs → verify → clusters →
+    one keeper (min id) per cluster.  Output: (doc_id, cluster_id,
+    keep) for every document; singletons keep themselves."""
+    pairs = minhash_dedup_pairs_verified(
+        df, threshold=threshold, text_col=text_col, id_col=id_col, **kwargs
+    )
+    clusters = connected_components(pairs)
+    all_ids = df.select(F.col(id_col))
+    labeled = (
+        all_ids.join(clusters, all_ids[id_col] == clusters.id, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return labeled.withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document, pure Catalyst.
 

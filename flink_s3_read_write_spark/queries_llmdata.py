@@ -279,6 +279,20 @@ def q42_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q54_dedup_keep_list",
+    oracle=None,  # iterative (connected components) + xxhash64 LSH — tests/test_dedup.py
+    doc=(
+        "End-to-end near-dedup decision: MinHash LSH pairs -> exact-Jaccard "
+        "verify -> connected components (iterative min-label propagation) -> "
+        "one keeper per duplicate cluster. Output (doc_id, cluster_id, keep) "
+        "for every document."
+    ),
+)
+def q54_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_keep_list(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
     "q43_media_features",
     oracle=None,  # mapInPandas decode stub; plumbing verified in tests/test_multimodal.py
     doc=(

@@ -1,0 +1,77 @@
+"""Custom stateful streaming operators (SURVEY.md §2.2 UDF row —
+beyond built-in streaming aggregates).
+
+``applyInPandasWithState`` is the Spark-native escape hatch when the
+built-in windowed/unwindowed aggregates can't express the per-key
+state machine — the structural equivalent of Flink's
+``KeyedProcessFunction`` + ``ValueState`` (the reference's own keyed
+state usage is just a running reduce, ``S3FlinkAverageSalaryByCity
+.java:75-80``, which Spark covers with groupBy().agg(); these
+operators exist for the semantics that genuinely need custom state).
+
+State is per key in the state store (RocksDB/HDFS-backed on a
+cluster), Arrow-batched in and out of Python — so the Python cost is
+per key-batch, not per record.  Keys are hash-partitioned; state
+never leaves its partition: scales horizontally with key cardinality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_STATS_SCHEMA = "key string, n_events bigint, total double, peak double"
+_STATE_SCHEMA = "n bigint, total double, peak double"
+
+
+def running_stats_fn(
+    key: tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key running (count, sum, max) that survives micro-batches —
+    emits the updated totals once per batch in which the key appears
+    (the Flink rolling-reduce emission pattern, batched)."""
+    n, total, peak = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            peak = max(peak, float(pdf["value"].max()))
+    state.update((n, total, peak))
+    yield pd.DataFrame(
+        {"key": [key[0]], "n_events": [n], "total": [total], "peak": [peak]}
+    )
+
+
+def running_stats_stream(events: DataFrame, key: str = "event_type") -> DataFrame:
+    """Custom per-key state machine over an unbounded stream.
+
+    Run with ``outputMode("update")``; each micro-batch emits one row
+    per active key with state accumulated since stream start.
+    """
+    return (
+        events.select(events[key].alias("key"), "value")
+        .groupBy("key")
+        .applyInPandasWithState(
+            running_stats_fn,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, keys: list[str], delay: str = "10 minutes") -> DataFrame:
+    """Exact dedup at ingest: first occurrence of each key survives,
+    re-deliveries are dropped.
+
+    ``dropDuplicatesWithinWatermark`` bounds the state: a key is
+    remembered only while it can still legally re-arrive (watermark
+    delay), so state size tracks the ingest window, not stream
+    history — the only formulation that survives unbounded streams.
+    """
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)

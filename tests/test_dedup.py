@@ -90,3 +90,24 @@ def test_jaccard_tokens_exact(spark):
     df = spark.createDataFrame([("a b c d", "c d e f")], "x string, y string")
     j = df.select(D.jaccard_tokens(F.col("x"), F.col("y")).alias("j")).collect()[0]["j"]
     assert j == pytest.approx(2 / 6)
+
+
+def test_connected_components_chains_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster_id"] for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_keep_list_planted(docs):
+    rows = {r["doc_id"]: r for r in D.dedup_keep_list(docs, threshold=0.5).collect()}
+    assert len(rows) == 6                        # every document labeled
+    # 1,2,4 form one near-dup cluster (exact + near pair) -> keeper 1
+    assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == rows[4]["cluster_id"] == 1
+    assert rows[1]["keep"] and not rows[2]["keep"] and not rows[4]["keep"]
+    # unrelated and empty docs are singletons that keep themselves
+    for i in (3, 5, 6):
+        if rows[i]["cluster_id"] == i:
+            assert rows[i]["keep"]

@@ -141,3 +141,65 @@ def test_batch_streaming_unification_window_fn(spark, sf_dir):
     out = W.tumbling_agg(load_table(spark, sf_dir, "events"), width="6 hours")
     assert out.columns == ["w_start", "w_end", "event_type", "n_events", "sum_value"]
     assert out.count() > 0
+
+
+def test_apply_in_pandas_with_state_accumulates(spark, tmp_path):
+    """Custom per-key state survives micro-batches: totals after two
+    batches equal the batch aggregate over all data."""
+    from flink_s3_read_write_spark.streaming import stateful
+
+    src = str(tmp_path / "st")
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 1, 1)
+
+    def rows(vals, etype):
+        return [(i, t0, 1, etype, float(v), "{}") for i, v in enumerate(vals)]
+
+    spark.createDataFrame(rows([1, 2, 3], "a") + rows([10], "b"), schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = stateful.running_stats_stream(jobs.events_stream(spark, src))
+    q = stream.writeStream.format("memory").queryName("t_state").outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows([4], "a"), schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # update mode appends one row per key per batch; last row per key wins
+        hist = spark.table("t_state").collect()
+        last = {}
+        for r in hist:
+            last[r["key"]] = (r["n_events"], r["total"], r["peak"])
+        assert last["a"] == (4, 10.0, 4.0)   # state crossed the batch boundary
+        assert last["b"] == (1, 10.0, 10.0)
+        assert any(r["key"] == "a" and r["n_events"] == 3 for r in hist)  # batch-1 emission
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_drops_redelivery(spark, tmp_path):
+    from flink_s3_read_write_spark.streaming import stateful
+
+    src = str(tmp_path / "dd")
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    b1 = [(1, t0, 1, "click", 1.0, "{}"), (1, t0, 1, "click", 1.0, "{}"),
+          (2, t0 + timedelta(minutes=1), 1, "view", 2.0, "{}")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = stateful.streaming_dedup(jobs.events_stream(spark, src), ["event_id"])
+    q = stream.writeStream.format("memory").queryName("t_dedup").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        # batch 2: event_id=1 re-delivered within the watermark -> dropped
+        b2 = [(1, t0 + timedelta(minutes=2), 1, "click", 1.0, "{}"),
+              (3, t0 + timedelta(minutes=3), 1, "buy", 3.0, "{}")]
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        ids = sorted(r["event_id"] for r in spark.table("t_dedup").collect())
+        assert ids == [1, 2, 3]              # the duplicate 1s collapsed
+    finally:
+        q.stop()
