@@ -217,6 +217,29 @@ def q47_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q55_approx_sketches",
+    oracle=None,  # approximate by design (HLL++ / KLL); error bounds
+    # vs exact asserted in tests/test_sketches.py
+    doc=(
+        "Sketch aggregates for 100 TB cardinality/quantile work: "
+        "approx_count_distinct (HLL++, fixed-size mergeable state vs "
+        "countDistinct's per-key value sets) and approx_percentile "
+        "(KLL-style, map-side mergeable vs exact percentile's full "
+        "sort). The exact twins q16/q28 are oracle-checked; these are "
+        "the scale path."
+    ),
+)
+def q55_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
+    )
+
+
+@register(
     "q48_null_handling",
     oracle="""
     SELECT o_orderstatus,

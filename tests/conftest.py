@@ -31,8 +31,12 @@ TEXT_LINES = ["1", "2", "3", "4", "5", "6"]
 
 
 @pytest.fixture(scope="session")
-def spark() -> SparkSession:
-    s = build_session("tests", cpus=4, shuffle_partitions=4)
+def spark(tmp_path_factory) -> SparkSession:
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    s = build_session(
+        "tests", cpus=4, shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
 
 
