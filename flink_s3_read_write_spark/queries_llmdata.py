@@ -279,6 +279,48 @@ def q42_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q56_corpus_curation",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, text, lang,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS ws,
+             {_NORM_SQL.format(c='text')} AS norm
+      FROM documents),
+    scored AS (
+      SELECT doc_id, text, lang, norm,
+             (CASE WHEN (CASE WHEN len(ws) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) / len(ws) ELSE 0.0 END) >= 3 THEN 0.4 ELSE 0.0 END
+              + CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) <= 0.1 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN (CASE WHEN len(ws) > 0 THEN CAST(len(list_filter(ws, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS DOUBLE) / len(ws) ELSE 0.0 END) >= 0.05 THEN 0.3 ELSE 0.0 END)
+               AS quality_score
+      FROM w),
+    kept AS (SELECT * FROM scored WHERE quality_score >= 0.7),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, norm, COUNT(*) AS n_dups
+      FROM kept GROUP BY norm)
+    SELECT d.doc_id, k.lang, d.n_dups, k.quality_score
+    FROM deduped d JOIN kept k ON k.doc_id = d.doc_id
+    """,
+    doc=(
+        "End-to-end curation pipeline: quality-score filter -> "
+        "normalized dedup (keep min doc_id) -> per-keeper metadata. "
+        "The composition stays one Catalyst plan: scan once, filter, "
+        "one dedup shuffle, one keeper join."
+    ),
+)
+def q56_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = T.text_stats(docs).select("doc_id", "quality_score")
+    scored = docs.join(stats, "doc_id").filter(F.col("quality_score") >= 0.7)
+    scored = scored.withColumn("norm", D.normalize_text(F.col("text")))
+    deduped = scored.groupBy("norm").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+    return deduped.join(
+        scored.select("doc_id", "lang", "quality_score"), "doc_id"
+    ).select("doc_id", "lang", "n_dups", "quality_score")
+
+
+@register(
     "q54_dedup_keep_list",
     oracle=None,  # iterative (connected components) + xxhash64 LSH — tests/test_dedup.py
     doc=(
