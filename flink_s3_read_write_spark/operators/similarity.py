@@ -56,6 +56,64 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine via Arrow-batched NumPy matmul.
+
+    Same semantics as ``brute_force_topk`` (ranking key (cosine DESC,
+    n_id), self-matches excluded); different physical strategy: the
+    query matrix is shipped in the task closure (queries are small by
+    definition) and every corpus Arrow batch does ONE BLAS matmul
+    against it, emitting only the per-batch top-k — so the rows
+    entering the final shuffle are O(batches·queries·k), never the
+    full pair cross product.  This is the CPU-optimal variant when
+    dim is large: a matmul touches each float once with SIMD, where
+    the higher-order-function form pays interpreted per-element cost.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def batches(it):
+        for pdf in it:
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(c_mat) == 0:
+                continue
+            sims = (c_mat @ q_mat.T) / (
+                np.linalg.norm(c_mat, axis=1)[:, None] * q_norm[None, :]
+            )
+            out = {"q_id": [], "n_id": [], "cosine": []}
+            for qi in range(len(q_ids)):
+                col = sims[:, qi]
+                mask = c_ids != q_ids[qi]
+                order = np.lexsort((c_ids[mask], -col[mask]))[:k]
+                sel = np.flatnonzero(mask)[order]
+                out["q_id"].extend([q_ids[qi]] * len(sel))
+                out["n_id"].extend(c_ids[sel])
+                out["cosine"].extend(col[sel])
+            yield pd.DataFrame(out)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        batches, "q_id long, n_id long, cosine double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "cosine", "rn")
+    )
+
+
 def lsh_bucket(vec: Column, dim: int, bits: int = 8, table: int = 0) -> Column:
     """Random-hyperplane signature: ``bits`` sign bits packed into a long.
 

@@ -151,6 +151,22 @@ def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q57_topk_cosine_pandas",
+    oracle=None,  # matmul accumulation order differs from the oracle's
+    # element-ordered sum in the last ulp; exact-id equivalence with the
+    # oracle-checked q35 is asserted in tests/test_similarity.py
+    doc=(
+        "Exact top-5 cosine via Arrow-batched NumPy matmul (mapInPandas): "
+        "same semantics as q35, BLAS-speed per batch, per-batch top-k so "
+        "the shuffle carries O(batches*k) rows. The large-dim scale path."
+    ),
+)
+def q57_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk_pandas(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register(
     "q37_text_stats",
     oracle="""
     WITH w AS (

@@ -105,6 +105,41 @@ def windowed_counts_stream(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    bound: str = "10 minutes",
+    delay: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream equi-join with a time-interval condition:
+    right.ts ∈ [left.ts − bound, left.ts + bound] per key.
+
+    Both sides carry watermarks; the interval condition is what lets
+    Spark purge join state (a buffered left row can stop waiting once
+    the right watermark passes left.ts + bound) — without it a
+    stream-stream inner join would buffer forever.  ABSENT from the
+    reference (no join of any kind); this is the streaming member of
+    the engine's join family (batch range join: q24; as-of: q25).
+    """
+    l = left.withWatermark("ts", delay).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    )
+    r = right.withWatermark("ts", delay).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {bound}"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {bound}")),
+    )
+
+
 def start_memory_sink(df: DataFrame, name: str, mode: str):
     """Test harness sink: results to an in-memory table ``name``."""
     return (

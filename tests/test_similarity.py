@@ -80,3 +80,18 @@ def test_ann_recall_on_driver_embeddings(spark, sf_dir):
     approx_set = {(r["q_id"], r["n_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5, f"recall {recall}"
+
+
+def test_pandas_topk_matches_hof_topk(emb):
+    """The matmul-based variant must return the same neighbors as the
+    higher-order-function baseline (cosines equal to float tolerance)."""
+    df, _ = emb
+    q = df.filter(F.col("vec_id") < 4)
+    hof = {(r["q_id"], r["rn"]): (r["n_id"], r["cosine"])
+           for r in S.brute_force_topk(df, q, k=5).collect()}
+    pdk = {(r["q_id"], r["rn"]): (r["n_id"], r["cosine"])
+           for r in S.brute_force_topk_pandas(df, q, k=5).collect()}
+    assert set(hof) == set(pdk)
+    for key, (nid, cos) in hof.items():
+        assert pdk[key][0] == nid
+        assert pdk[key][1] == pytest.approx(cos, rel=1e-9)

@@ -203,3 +203,31 @@ def test_streaming_dedup_drops_redelivery(spark, tmp_path):
         assert ids == [1, 2, 3]              # the duplicate 1s collapsed
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    srcl, srcr = str(tmp_path / "l"), str(tmp_path / "r")
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(eid, minutes, uid):
+        return (eid, t0 + timedelta(minutes=minutes), uid, "x", 1.0, "{}")
+
+    spark.createDataFrame([ev(1, 0, 7), ev(2, 30, 7)], schema).coalesce(1).write.parquet(srcl)
+    spark.createDataFrame([ev(101, 5, 7), ev(102, 25, 7), ev(103, 5, 8)], schema) \
+        .coalesce(1).write.parquet(srcr)
+    joined = jobs.interval_join_streams(
+        jobs.events_stream(spark, srcl), jobs.events_stream(spark, srcr), bound="10 minutes"
+    )
+    q = jobs.start_memory_sink(joined, "t_ssj", "append")
+    try:
+        q.processAllAvailable()
+        got = {(r["l_id"], r["r_id"]) for r in spark.table("t_ssj").collect()}
+        # l1(10:00) matches r101(10:05) only; l2(10:30) matches r102(10:25);
+        # r103 is another user; r102 is 25min from l1 -> outside bound
+        assert got == {(1, 101), (2, 102)}
+    finally:
+        q.stop()
