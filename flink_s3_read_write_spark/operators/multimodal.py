@@ -111,6 +111,40 @@ def image_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     return df.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id bigint, width int, height int, target_w int, target_h int, "
+    "resized_digest string"
+)
+
+
+def resize_images(df: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFrame:
+    """Resize plumbing: decode dims → scale to ``target`` → emit a
+    deterministic digest standing in for the resized pixel buffer.
+    Real resize would swap ``_fake_decode``/digest for PIL ops; the
+    Spark-side contract (binary in, fixed-dim record out, Arrow
+    batching, image-type filter) is the tested part."""
+    tw, th = target
+    imgs = df.filter(F.col("meta.media_type") == "image/png")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "target_w", "target_h", "resized_digest")}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                w, h, _c = _fake_decode(content)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["target_w"].append(tw)
+                rows["target_h"].append(th)
+                rows["resized_digest"].append(
+                    hashlib.md5(content + f"{tw}x{th}".encode()).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    return imgs.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 4) -> DataFrame:
     """Frame-sampling plumbing for video rows: N frame records per
     media row (explode), each with a deterministic digest standing in

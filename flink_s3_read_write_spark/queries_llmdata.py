@@ -365,6 +365,16 @@ def q43_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q58_image_resize",
+    oracle=None,  # mapInPandas resize stub; tests/test_multimodal.py
+    doc="Image resize plumbing: image rows -> fixed target dims + stable digest.",
+)
+def q58_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.attach_media(load_table(spark, sf_dir, "documents"))
+    return M.resize_images(media)
+
+
+@register(
     "q44_frame_samples",
     oracle=None,  # mapInPandas explode stub; tests/test_multimodal.py
     doc="Video frame-sampling plumbing: per-media-row frame explosion with stable digests.",

@@ -57,3 +57,18 @@ def test_sample_frames(media):
         expect = hashlib.md5(content[doc_id] + (0).to_bytes(4, "little")).hexdigest()
         assert r0["frame_digest"] == expect
         assert r0["frame_ts_ms"] == 0
+
+
+def test_resize_images_plumbing(media):
+    from pyspark.sql import functions as F2
+
+    imgs = media.filter(F2.col("meta.media_type") == "image/png")
+    out = {r["doc_id"]: r for r in M.resize_images(media, target=(224, 224)).collect()}
+    assert set(out) == {r["doc_id"] for r in imgs.collect()}
+    for r in out.values():
+        assert (r["target_w"], r["target_h"]) == (224, 224)
+        assert 16 <= r["width"] <= 255 and 16 <= r["height"] <= 255
+        assert len(r["resized_digest"]) == 32
+    again = {r["doc_id"]: r["resized_digest"]
+             for r in M.resize_images(media, target=(224, 224)).collect()}
+    assert again == {k: v["resized_digest"] for k, v in out.items()}

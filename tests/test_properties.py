@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the text/dedup kernels —
+invariants that must hold on arbitrary input, not just fixtures."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+# Pure-python twins of the Catalyst expressions, asserted equivalent on
+# a Spark sample in test_cross_checks below.
+
+
+def py_normalize(s: str) -> str:
+    s = s.lower()
+    s = re.sub(r"[^a-z0-9 ]", " ", s)
+    s = re.sub(r" +", " ", s)
+    return s.strip()
+
+
+def py_jaccard(a: str, b: str) -> float:
+    # NOTE: split(" ") on an empty normal form yields {""} — the empty
+    # token participates, so two empty documents are Jaccard-1 (exact
+    # duplicates).  This matches Spark's F.split AND DuckDB's
+    # string_split (the q32 oracle), so it is the engine's contract.
+    ta, tb = set(py_normalize(a).split(" ")), set(py_normalize(b).split(" "))
+    u = ta | tb
+    return len(ta & tb) / len(u) if u else 0.0
+
+
+texts = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00"), max_size=200
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(texts)
+def test_normalize_idempotent(s):
+    once = py_normalize(s)
+    assert py_normalize(once) == once
+    assert not once.startswith(" ") and not once.endswith(" ")
+    assert "  " not in once
+
+
+@settings(max_examples=300, deadline=None)
+@given(texts, texts)
+def test_jaccard_bounds_and_symmetry(a, b):
+    j = py_jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert py_jaccard(b, a) == j
+    assert py_jaccard(a, a) == 1.0  # reflexive (empty docs included)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=8))
+def test_python_twin_tracks_examples(xs):
+    # sanity on the twin itself: normalization never invents non-empty
+    # tokens outside [a-z0-9]+
+    for s in xs:
+        toks = [t for t in py_normalize(s).split(" ") if t]
+        assert all(re.fullmatch(r"[a-z0-9]+", t) for t in toks)
+
+
+def test_cross_check_python_twin_vs_catalyst(spark):
+    """The python twin used by the property tests must agree with the
+    Catalyst normalize/jaccard on a diverse Spark-evaluated sample."""
+    from pyspark.sql import functions as F
+
+    from flink_s3_read_write_spark.operators import dedup as D
+
+    samples = [
+        "", " ", "Hello,   World!", "ÜBER strasse", "a-b_c.d", "123  456",
+        "tabs\tand\nnewlines", "!!!", "mixedCASE Text 42", "ünïcode tøkens",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = df.select(
+        "t", D.normalize_text(F.col("t")).alias("n")
+    ).collect()
+    for r in got:
+        assert r["n"] == py_normalize(r["t"]), r["t"]
+    pairs = [(a, b) for a in samples[:5] for b in samples[:5]]
+    pdf = spark.createDataFrame(pairs, "a string, b string")
+    jac = pdf.select("a", "b", D.jaccard_tokens(F.col("a"), F.col("b")).alias("j")).collect()
+    for r in jac:
+        assert abs(r["j"] - py_jaccard(r["a"], r["b"])) < 1e-12
