@@ -111,3 +111,12 @@ def test_dedup_keep_list_planted(docs):
     for i in (3, 5, 6):
         if rows[i]["cluster_id"] == i:
             assert rows[i]["keep"]
+
+
+def test_numpy_signatures_bit_identical_to_catalyst(spark, sf_dir):
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["minhash"] for r in D.minhash_signatures(docs).collect()}
+    b = {r["doc_id"]: r["minhash"] for r in D.minhash_signatures_numpy(docs).collect()}
+    assert a == b
