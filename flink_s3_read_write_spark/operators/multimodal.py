@@ -111,6 +111,55 @@ def image_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     return df.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, n_samples int, n_frames int, rms double, "
+    "peak double, zero_crossing_rate double, frame_rms array<float>"
+)
+
+
+def audio_features(df: DataFrame, frame_len: int = 256) -> DataFrame:
+    """Audio feature extraction over raw PCM bytes — fully real (no
+    codec library needed): the binary column is interpreted as
+    little-endian int16 PCM, framed, and reduced with NumPy.
+
+    Per clip: overall RMS/peak/zero-crossing-rate plus per-frame RMS
+    (the input shape for VAD/segmentation downstream).  Arrow-batched
+    ``mapInPandas``; at 100 TB the audio bytes stream through the scan
+    and the DSP is C-speed per batch.
+    """
+    auds = df.filter(F.col("meta.media_type") == "audio/wav")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "n_samples", "n_frames", "rms",
+                                    "peak", "zero_crossing_rate", "frame_rms")}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                buf = bytes(content)
+                buf = buf[: len(buf) - (len(buf) % 2)]
+                pcm = np.frombuffer(buf, dtype="<i2").astype(np.float64) / 32768.0
+                n = len(pcm)
+                if n == 0:
+                    pcm = np.zeros(1)
+                    n = 0
+                n_frames = max(1, len(pcm) // frame_len)
+                frames = pcm[: n_frames * frame_len].reshape(n_frames, -1) \
+                    if len(pcm) >= frame_len else pcm[None, :]
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(n)
+                rows["n_frames"].append(frames.shape[0])
+                rows["rms"].append(float(np.sqrt(np.mean(pcm**2))))
+                rows["peak"].append(float(np.max(np.abs(pcm))))
+                rows["zero_crossing_rate"].append(
+                    float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))) if n > 1 else 0.0
+                )
+                rows["frame_rms"].append(
+                    np.sqrt((frames**2).mean(axis=1)).astype(np.float32)
+                )
+            yield pd.DataFrame(rows)
+
+    return auds.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
 RESIZED_SCHEMA = (
     "doc_id bigint, width int, height int, target_w int, target_h int, "
     "resized_digest string"

@@ -365,6 +365,20 @@ def q43_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q60_audio_features",
+    oracle=None,  # DSP over binary PCM; NumPy-oracle test in tests/test_multimodal.py
+    doc=(
+        "Audio feature extraction over raw int16 PCM binary columns - "
+        "RMS/peak/zero-crossings + per-frame RMS, Arrow-batched NumPy "
+        "(fully real, no codec lib required)."
+    ),
+)
+def q60_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.attach_media(load_table(spark, sf_dir, "documents"))
+    return M.audio_features(media)
+
+
+@register(
     "q58_image_resize",
     oracle=None,  # mapInPandas resize stub; tests/test_multimodal.py
     doc="Image resize plumbing: image rows -> fixed target dims + stable digest.",

@@ -72,3 +72,29 @@ def test_resize_images_plumbing(media):
     again = {r["doc_id"]: r["resized_digest"]
              for r in M.resize_images(media, target=(224, 224)).collect()}
     assert again == {k: v["resized_digest"] for k, v in out.items()}
+
+
+def test_audio_features_numpy_oracle(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    pcm = (rng.randn(1000) * 3000).astype("<i2")
+    silent = np.zeros(512, dtype="<i2")
+    df = spark.createDataFrame(
+        [(1, bytearray(pcm.tobytes()), ("audio/wav", 2000)),
+         (2, bytearray(silent.tobytes()), ("audio/wav", 1024)),
+         (3, bytearray(b"xx"), ("video/mp4", 2))],
+        "doc_id long, content binary, meta struct<media_type string, n_bytes int>",
+    )
+    out = {r["doc_id"]: r for r in M.audio_features(df, frame_len=256).collect()}
+    assert set(out) == {1, 2}                      # video row filtered out
+    x = pcm.astype(np.float64) / 32768.0
+    assert out[1]["n_samples"] == 1000
+    assert out[1]["rms"] == pytest.approx(float(np.sqrt(np.mean(x**2))), rel=1e-9)
+    assert out[1]["peak"] == pytest.approx(float(np.max(np.abs(x))), rel=1e-9)
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    assert out[1]["zero_crossing_rate"] == pytest.approx(zcr, rel=1e-9)
+    assert out[1]["n_frames"] == 3 and len(out[1]["frame_rms"]) == 3
+    f0 = float(np.sqrt(np.mean(x[:256] ** 2)))
+    assert out[1]["frame_rms"][0] == pytest.approx(f0, rel=1e-6)
+    assert out[2]["rms"] == 0.0 and out[2]["peak"] == 0.0
