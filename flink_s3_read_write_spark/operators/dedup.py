@@ -38,8 +38,17 @@ def normalize_text(col: Column) -> Column:
     return F.trim(c)
 
 
-def tokens(col: Column) -> Column:
-    return F.split(normalize_text(col), " ")
+# Cap on tokens fed into shingling/minhash.  A pathological document
+# (a 1 GB log file in a web crawl) would otherwise materialize an
+# unbounded token array in executor memory; 10k words ≈ 60 KB of text
+# is far past the point where a signature is stable, so truncation
+# does not change near-dup decisions in practice.
+MAX_TOKENS = 10_000
+
+
+def tokens(col: Column, max_tokens: int = MAX_TOKENS) -> Column:
+    t = F.split(normalize_text(col), " ")
+    return F.slice(t, 1, max_tokens)
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:

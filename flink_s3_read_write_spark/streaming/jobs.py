@@ -149,3 +149,27 @@ def start_memory_sink(df: DataFrame, name: str, mode: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_materialized_view(agg: DataFrame, path: str, checkpoint: str):
+    """foreachBatch sink: maintain a queryable "materialized view" of a
+    streaming aggregate as parquet, atomically replaced per micro-batch.
+
+    This is the standard pattern when the target needs full-state
+    semantics (dashboards, serving tables) but the sink format has no
+    native upsert: ``complete`` output mode hands every batch the whole
+    aggregate state; foreachBatch writes it transactionally.  At scale
+    the same hook is where MERGE INTO a lakehouse table would go —
+    foreachBatch is the engine's generic "any destination" sink.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(path)
+
+    return (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

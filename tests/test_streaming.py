@@ -231,3 +231,57 @@ def test_stream_stream_interval_join(spark, tmp_path):
         assert got == {(1, 101), (2, 102)}
     finally:
         q.stop()
+
+
+def test_foreach_batch_materialized_view(spark, tmp_path):
+    """foreachBatch maintains a parquet 'materialized view' equal to
+    the streaming aggregate's full state after each batch."""
+    src = str(tmp_path / "mv_in")
+    out = str(tmp_path / "mv_out")
+    ckpt = str(tmp_path / "mv_ckpt")
+    write_lines(spark, src, salary_lines(), "m1")
+    agg = jobs.avg_by_key_update_stream(spark, src)
+    q = jobs.start_materialized_view(agg, out, ckpt)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    view = spark.read.parquet(out)
+    assert view.count() == 99
+    assert set(view.columns) == {"city", "avg_salary", "cnt"}
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """session_window works on an unbounded stream with watermark:
+    bursts separated by > gap become separate finalized sessions."""
+    from flink_s3_read_write_spark.operators import windows as W
+
+    src = str(tmp_path / "sess")
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 1, 1, 9, 0, 0)
+
+    def ev(eid, minutes):
+        return (eid, t0 + timedelta(minutes=minutes), 7, "x", 1.0, "{}")
+
+    # burst A (9:00-9:02), burst B (9:30), then a far-future event to
+    # push the watermark past both sessions
+    rows = [ev(1, 0), ev(2, 1), ev(3, 2), ev(4, 30), ev(5, 300)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = W.session_agg(
+        jobs.events_stream(spark, src).withWatermark("ts", "1 minute"),
+        gap="10 minutes", key="user_id",
+    )
+    q = stream.writeStream.format("memory").queryName("t_sess").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        wait_for(lambda: spark.table("t_sess").count() >= 2)
+        sessions = {
+            (r["s_start"].minute, r["n_events"]) for r in spark.table("t_sess").collect()
+        }
+        assert (0, 3) in sessions   # burst A merged into one session
+        assert (30, 1) in sessions  # burst B separate (gap > 10 min)
+    finally:
+        q.stop()
