@@ -18,7 +18,7 @@ dedup pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^61-1: the classic universal-hash modulus.  The base
