@@ -72,13 +72,24 @@ def avg_by_key_update_stream(
     return raw_text.avg_salary_by_city(typed)
 
 
-def events_stream(spark: SparkSession, in_path: str) -> DataFrame:
-    """Unbounded parquet source with the events schema."""
+def events_stream(
+    spark: SparkSession, in_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Unbounded parquet source with the events schema.
+
+    ``max_files_per_trigger`` is the file source's backpressure knob:
+    it bounds how much a micro-batch ingests, which at scale is what
+    keeps state updates, shuffle sizes and checkpoint latency flat
+    when a backlog (or a bulk backfill) lands in the source directory.
+    """
     schema = (
         "event_id bigint, ts timestamp, user_id bigint, "
         "event_type string, value double, props string"
     )
-    return spark.readStream.schema(schema).parquet(in_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(in_path)
 
 
 def windowed_counts_stream(
