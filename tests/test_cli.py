@@ -1,0 +1,47 @@
+"""CLI tests: the three reference-job entry points run end-to-end
+from paths to output files with the reference's semantics."""
+
+from __future__ import annotations
+
+import glob
+
+from flink_s3_read_write_spark.cli import main
+from tests.conftest import salary_lines
+
+
+def write_input(spark, path: str, lines: list[str]) -> None:
+    spark.createDataFrame([(l,) for l in lines], "value string").coalesce(1).write.text(path)
+
+
+def read_output(path: str) -> list[str]:
+    return [
+        line.rstrip("\n")
+        for p in sorted(glob.glob(path + "/part-*"))
+        for line in open(p)
+    ]
+
+
+def test_cli_uppercase(spark, tmp_path):
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    write_input(spark, src, ["hello", "world"])
+    assert main(["uppercase", "--in", src, "--out", out, "--single-file"]) == 0
+    assert sorted(read_output(out)) == ["HELLO", "WORLD"]
+    assert len(glob.glob(out + "/part-*")) == 1
+
+
+def test_cli_filter_city(spark, tmp_path):
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    write_input(spark, src, salary_lines())
+    assert main(["filter-city", "--in", src, "--out", out]) == 0
+    got = read_output(out)
+    assert len(got) == 100 and "ID,Name,Age,City,Salary" in got
+    assert not any(",Jacksonville," in l for l in got)
+
+
+def test_cli_avg_salary(spark, tmp_path):
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    write_input(spark, src, salary_lines())
+    assert main(["avg-salary", "--in", src, "--out", out, "--single-file"]) == 0
+    got = read_output(out)
+    assert len(got) == 99
+    assert all(l.count(",") == 2 and l.endswith(",1") for l in got)
