@@ -26,10 +26,13 @@ from flink_s3_read_write_spark.queries import register
 from flink_s3_read_write_spark.sources.io import load_table
 
 # Exact decimal revenue: cast the 2-dec inputs to decimal FIRST.
-_REV_SPARK = (
-    F.col("l_extendedprice").cast("decimal(12,2)")
-    * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
-)
+# (A function, not a module-level Column: constructing a Column needs a
+# live SparkContext, and the registry must be importable without one.)
+def _rev_spark():
+    return (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    )
 _REV_SQL = (
     "CAST(l_extendedprice AS DECIMAL(12,2))"
     " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
@@ -61,8 +64,8 @@ def q4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity", "sum_qty"),
         dsum("l_extendedprice", "sum_base_price"),
-        F.sum(_REV_SPARK).cast("double").alias("sum_disc_price"),
-        F.sum(_REV_SPARK * (F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(3,2)")))
+        F.sum(_rev_spark()).cast("double").alias("sum_disc_price"),
+        F.sum(_rev_spark() * (F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(3,2)")))
         .cast("double").alias("sum_charge"),
         davg("l_quantity", "avg_qty"),
         davg("l_extendedprice", "avg_price"),
@@ -84,7 +87,7 @@ def q4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", _REV_SPARK.alias("rev"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", _rev_spark().alias("rev"))
     return (
         orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderpriority")
@@ -124,7 +127,7 @@ def q6_qty_by_brand_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="3-hop star join: one fact-fact sort-merge + two broadcast dim hops.",
 )
 def q7_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", _REV_SPARK.alias("rev"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", _rev_spark().alias("rev"))
     return (
         li.join(load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
                 F.col("l_orderkey") == F.col("o_orderkey"))

@@ -165,6 +165,56 @@ def read_orc(spark: SparkSession, path: str, *, streaming: bool = False) -> Data
     return reader.format("orc").load(path)
 
 
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, *,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC source with parallel partitioned reads.
+
+    Without ``partition_column`` a JDBC read is a SINGLE connection —
+    never acceptable at scale; with it, Spark issues
+    ``num_partitions`` range-bounded queries in parallel.  Requires the
+    driver jar on the classpath (not bundled in this environment —
+    fails with a clear error otherwise)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower_bound and upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_kafka(
+    spark: SparkSession, bootstrap_servers: str, topic: str, *,
+    streaming: bool = True, starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka source (key/value binary + topic/partition/offset/ts).
+
+    Requires the spark-sql-kafka package on the classpath (not bundled
+    in this environment — fails with a clear error otherwise).  The
+    returned frame is the raw Kafka schema; parse ``value`` with
+    ``from_json``/``from_csv`` downstream."""
+    reader = spark.readStream if streaming else spark.read
+    return (
+        reader.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
 def write_csv(df: DataFrame, path: str, *, header: bool = True, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", header).csv(path)
 

@@ -285,3 +285,31 @@ def test_streaming_session_window(spark, tmp_path):
         assert (30, 1) in sessions  # burst B separate (gap > 10 min)
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, tmp_path):
+    """Stream-static join: an unbounded stream enriched against a
+    static dimension — the dim is re-readable per batch, no watermark
+    needed on the static side; plan uses a broadcast per micro-batch."""
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    src = str(tmp_path / "enr")
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, t0, 0, "click", 1.0, "{}"), (2, t0, 1, "view", 2.0, "{}")], schema
+    ).coalesce(1).write.parquet(src)
+    dim = load_table(spark, sf_dir, "nation").selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS user_id", "n_name"
+    )
+    joined = jobs.events_stream(spark, src).join(F.broadcast(dim), "user_id", "left")
+    q = jobs.start_memory_sink(joined.select("event_id", "n_name"), "t_enrich", "append")
+    try:
+        q.processAllAvailable()
+        got = {r["event_id"]: r["n_name"] for r in spark.table("t_enrich").collect()}
+        assert len(got) == 2 and all(v is not None for v in got.values())
+    finally:
+        q.stop()
