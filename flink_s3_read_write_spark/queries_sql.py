@@ -311,3 +311,69 @@ def q59_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "q61_window_analytics",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist,
+           first_value(o_totalprice) OVER w AS smallest,
+           last_value(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS largest,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_by_value
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc=(
+        "Analytic window-function surface: ntile/percent_rank/cume_dist, "
+        "first/last value with explicit frames, RANGE running sum."
+    ),
+)
+def q61_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_range = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("o_totalprice").over(w).alias("smallest"),
+        F.last("o_totalprice").over(w_full).alias("largest"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).over(w_range)
+        .cast("double").alias("running_by_value"),
+    )
+
+
+@register(
+    "q62_explode_lateral",
+    oracle="""
+    SELECT doc_id, tok.w AS word, tok.i - 1 AS pos
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                   (x, i) -> struct_pack(w := x, i := i))) AS tok
+      FROM documents) t
+    WHERE tok.w IS NOT NULL
+    """,
+    doc=(
+        "Lateral explode (posexplode) of extracted tokens with ordinal "
+        "positions - the row-multiplying operator family (UDTF shape)."
+    ),
+)
+def q62_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    return (
+        docs.select("doc_id", F.posexplode(words).alias("pos", "word"))
+        .select("doc_id", "word", "pos")
+    )
