@@ -1,0 +1,87 @@
+"""Grouped-map and scalar Pandas-UDF operators.
+
+Completes the engine's Python-extension surface (SURVEY.md §2.2 UDF
+row): ``mapInPandas`` (multimodal.py), ``applyInPandasWithState``
+(streaming/stateful.py), and here the batch grouped-map
+(``applyInPandas``) and vectorized scalar (``@pandas_udf``) shapes.
+
+Rule of thumb encoded in this module: if Catalyst can express it,
+Catalyst wins — ``zscore_catalyst`` is the production path (JVM,
+oracle-checkable, exact); ``zscore_pandas`` exists for semantics that
+genuinely need per-group ndarray work (sklearn transforms, per-group
+model scoring) and is tested equivalent within float tolerance.
+
+Grouped-map caveat at scale: ``applyInPandas`` materializes EACH GROUP
+in one worker's memory — safe for bounded groups (entities, buckets),
+wrong for unbounded hot keys (use window functions or
+applyInPandasWithState instead).  That constraint is why the z-score
+default is the window-function formulation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def zscore_catalyst(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Per-group z-score via window functions — no Python, exact,
+    hot-key safe (a windowed agg never materializes the group).
+
+    Moments are decimal-routed (sum and sum-of-squares as
+    DECIMAL(30,6)) so the result is identical under any partitioning
+    and engine — a plain ``stddev_samp`` is a float accumulation whose
+    last ulp depends on aggregation order (functions/numeric.py).
+    """
+    w = Window.partitionBy(key)
+    v = F.col(value)
+    s1 = F.sum(v.cast("decimal(30,6)")).over(w).cast("double")
+    s2 = F.sum((v * v).cast("decimal(30,6)")).over(w).cast("double")
+    n = F.count(v).over(w).cast("double")
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    std = F.sqrt(var)
+    mean = s1 / n
+    return df.withColumn(
+        "zscore",
+        F.when((n > 1) & (std > 0), (v - mean) / std).otherwise(F.lit(0.0)),
+    )
+
+
+def zscore_pandas(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Grouped-map twin: each group arrives as one pandas DataFrame.
+    Stand-in for genuinely-pandas per-group logic; asserted equivalent
+    to the Catalyst path in tests/test_grouped.py.
+
+    (Output schema is built as a NEW StructType — ``df.schema.add``
+    mutates the DataFrame's cached schema in place, desyncing it from
+    the analyzed plan.)"""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField("zscore", DoubleType())])
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf[value].std(ddof=1)
+        if pd.isna(std) or std == 0:
+            pdf["zscore"] = 0.0
+        else:
+            pdf["zscore"] = (pdf[value] - pdf[value].mean()) / std
+        return pdf
+
+    return df.groupBy(key).applyInPandas(norm, schema)
+
+
+def sigmoid_udf():
+    """Vectorized scalar Pandas UDF (Arrow batches, ~10-100× faster
+    than a row-at-a-time Python UDF).  Built lazily — the decorator
+    resolves its return type through the active session, and the
+    registry must be importable without one."""
+
+    @pandas_udf("double")
+    def sigmoid(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return 1.0 / (1.0 + np.exp(-v))
+
+    return sigmoid

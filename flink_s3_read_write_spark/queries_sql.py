@@ -377,3 +377,32 @@ def q62_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.posexplode(words).alias("pos", "word"))
         .select("doc_id", "word", "pos")
     )
+
+
+@register(
+    "q63_zscore_per_group",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, event_type, value,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s2,
+             CAST(COUNT(value) OVER w AS DOUBLE) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type))
+    SELECT event_id, event_type, value,
+           CASE WHEN n > 1 AND sqrt((s2 - s1 * s1 / n) / (n - 1.0)) > 0
+                THEN (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+                ELSE 0.0 END AS zscore
+    FROM m
+    """,
+    doc=(
+        "Per-group z-score via window functions (hot-key safe, no group "
+        "materialization); the applyInPandas grouped-map twin is tested "
+        "float-equivalent in tests/test_grouped.py."
+    ),
+)
+def q63_zscore_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.operators.grouped import zscore_catalyst
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return zscore_catalyst(ev, "event_type", "value")
