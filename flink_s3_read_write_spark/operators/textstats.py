@@ -164,3 +164,24 @@ def winnowing_fingerprints(
         F.size(F.col("_fp")).alias("n_fingerprints"),
         F.md5(F.to_json(F.col("_fp"))).alias("fingerprint_digest"),
     )
+
+
+def hash_split(
+    df: DataFrame, key: str, test_frac: float = 0.1, salt: str = "split-v1"
+) -> DataFrame:
+    """Deterministic train/test assignment by content hash — the
+    scale-correct alternative to random splits: reproducible across
+    runs/engines/cluster sizes, no RNG state, stable when the dataset
+    grows (an id keeps its split forever), and join-free.
+
+    Mechanics: first 8 hex chars of md5(salt || key) compared against
+    the fraction threshold — fixed-width lowercase hex compares in
+    numeric order, so the predicate is a plain string comparison any
+    engine evaluates identically.
+    """
+    threshold = format(int(test_frac * (1 << 32)), "08x")
+    digest8 = F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8)
+    return df.withColumn(
+        "split",
+        F.when(digest8 < F.lit(threshold), F.lit("test")).otherwise(F.lit("train")),
+    )

@@ -396,3 +396,23 @@ def q58_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q44_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.attach_media(load_table(spark, sf_dir, "documents"))
     return M.sample_frames(media)
+
+
+@register(
+    "q64_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substring(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '19999999'
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+    doc=(
+        "Deterministic train/test split by md5 prefix (10% test): "
+        "reproducible across engines/cluster sizes, growth-stable, "
+        "join-free - the scale-correct alternative to random splits."
+    ),
+)
+def q64_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return T.hash_split(docs, "doc_id", test_frac=0.1)

@@ -165,6 +165,29 @@ def read_orc(spark: SparkSession, path: str, *, streaming: bool = False) -> Data
     return reader.format("orc").load(path)
 
 
+def compact_parquet(
+    spark: SparkSession, src: str, dst: str, *, target_file_mb: int = 256
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_mb``.
+
+    The S3 small-file problem is the classic silent killer of 100 TB
+    pipelines — streaming sinks and over-parallel writes leave
+    thousands of KB-scale objects, and every downstream scan pays a
+    per-file open/list cost.  Partition count is sized from the actual
+    on-disk bytes (Hadoop FS API, so it works for s3a:// too).
+    Returns the number of output partitions.
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src)
+    fs = path.getFileSystem(hconf)
+    total_bytes = fs.getContentSummary(path).getLength()
+    n = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)) + 1)
+    spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
+    return n
+
+
 def read_jdbc(
     spark: SparkSession, url: str, table: str, *,
     partition_column: str | None = None,

@@ -95,3 +95,29 @@ def test_streaming_text_sink_checkpointed(spark, tmp_path):
     )
     assert got == ["A", "B"]
     assert glob.glob(ckpt + "/*"), "checkpoint directory must be populated"
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = io.load_table(spark, sf_dir, "lineitem")
+    df.repartition(32).write.parquet(src)          # fragment: 32 small files
+    assert len(glob.glob(src + "/part-*.parquet")) == 32
+    n = io.compact_parquet(spark, src, dst, target_file_mb=256)
+    assert n == 1                                  # tiny data -> one file
+    assert len(glob.glob(dst + "/part-*.parquet")) == 1
+    assert spark.read.parquet(dst).count() == df.count()
+
+
+def test_hash_split_deterministic_and_balanced(spark, sf_dir):
+    from flink_s3_read_write_spark.operators.textstats import hash_split
+
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", 0.2).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", 0.2).collect()}
+    assert a == b                                   # deterministic
+    frac = sum(1 for v in a.values() if v == "test") / len(a)
+    assert 0.1 < frac < 0.3                         # ~20% with 500 docs
+    # growth-stable: splitting a subset assigns identical labels
+    sub = {r["doc_id"]: r["split"]
+           for r in hash_split(docs.limit(100), "doc_id", 0.2).collect()}
+    assert all(a[k] == v for k, v in sub.items())
