@@ -406,3 +406,54 @@ def q63_zscore_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return zscore_catalyst(ev, "event_type", "value")
+
+
+@register(
+    "q65_outer_joins",
+    oracle="""
+    SELECT n.n_name,
+           r.r_name,
+           COALESCE(c.n_customers, 0) AS n_customers
+    FROM nation n
+    FULL OUTER JOIN region r ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n_customers
+               FROM customer GROUP BY c_nationkey) c
+      ON c.c_nationkey = n.n_nationkey
+    """,
+    doc="Full-outer + left-outer join family over the dim tables.",
+)
+def q65_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey, "full_outer")
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .select(
+            "n_name", "r_name",
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "q66_cross_join_small",
+    oracle="""
+    SELECT r1.r_name AS from_region, r2.r_name AS to_region
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey <> r2.r_regionkey
+    """,
+    doc=(
+        "Explicit cross join of two SMALL dims (the only place a cross "
+        "join is legitimate; big-side cross products are what the LSH/"
+        "broadcast strategies elsewhere exist to avoid)."
+    ),
+)
+def q66_cross_join_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r1 = load_table(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k1"), F.col("r_name").alias("from_region"))
+    r2 = load_table(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k2"), F.col("r_name").alias("to_region"))
+    return r1.crossJoin(r2).filter(F.col("k1") != F.col("k2")).select("from_region", "to_region")
