@@ -114,6 +114,77 @@ def brute_force_topk_pandas(
     )
 
 
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted file): k-means cells +
+    multi-probe + exact cosine re-rank.
+
+    The classic ANN alternative to LSH: partition the corpus into
+    ``n_centroids`` Voronoi cells (Spark ML KMeans, seeded →
+    deterministic), store each vector under its cell id, and have a
+    query search only its ``n_probe`` nearest cells —
+    candidates ≈ n_probe/n_centroids of the corpus.  At 100 TB the
+    cell id is a partition column: training runs on a sample, cell
+    assignment is one scan, and a query is a partition-pruned read.
+
+    Plan shape: corpus assigned JVM-side by the fitted model;
+    query→cell probe list is computed on the driver (queries and
+    centroids are both small by definition) and broadcast; candidates
+    equi-join on cell id, then the same re-rank as every other
+    similarity path.
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_centroids, seed=42, maxIter=20).fit(feats.select("features"))
+    assigned = model.transform(feats).select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.col("prediction").alias("cell"),
+    )
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    q_rows = queries.select(id_col, vec_col).collect()
+    probes = []
+    for r in q_rows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        d = ((centroids - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:n_probe]:
+            probes.append((int(r[0]), int(cell)))
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(probes, "q_id long, cell int")
+    q_vecs = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    cand = (
+        assigned.join(F.broadcast(probe_df), "cell")
+        .join(F.broadcast(q_vecs), "q_id")
+        .filter(F.col("n_id") != F.col("q_id"))
+    )
+    scored = cand.select(
+        "q_id", "n_id", cosine_similarity(F.col("q_vec"), F.col("n_vec")).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "cosine", "rn")
+    )
+
+
 def lsh_bucket(vec: Column, dim: int, bits: int = 8, table: int = 0) -> Column:
     """Random-hyperplane signature: ``bits`` sign bits packed into a long.
 

@@ -416,3 +416,19 @@ def q44_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q64_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return T.hash_split(docs, "doc_id", test_frac=0.1)
+
+
+@register(
+    "q67_ann_ivf_topk",
+    oracle=None,  # KMeans-based, approximate by design; recall floor +
+    # exact-cosine assertions in tests/test_similarity.py
+    doc=(
+        "ANN via IVF: 16 k-means cells (Spark ML, seeded), 4-cell "
+        "multi-probe, exact cosine re-rank - the partition-pruned ANN "
+        "alternative to q36's LSH; at scale the cell id becomes a "
+        "partition column."
+    ),
+)
+def q67_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, n_centroids=16, n_probe=4)

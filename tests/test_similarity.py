@@ -95,3 +95,20 @@ def test_pandas_topk_matches_hof_topk(emb):
     for key, (nid, cos) in hof.items():
         assert pdk[key][0] == nid
         assert pdk[key][1] == pytest.approx(cos, rel=1e-9)
+
+
+def test_ivf_recall_and_exactness(spark, sf_dir):
+    """IVF candidates come from probed cells only; cosines are exact;
+    recall@5 with 4/16 cells probed must clear a floor."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = S.brute_force_topk(emb, q, k=5).collect()
+    ivf = S.ann_ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4).collect()
+    exact_map = {(r["q_id"], r["n_id"]): r["cosine"] for r in exact}
+    hits = 0
+    for r in ivf:
+        if (r["q_id"], r["n_id"]) in exact_map:
+            hits += 1
+            assert r["cosine"] == pytest.approx(exact_map[(r["q_id"], r["n_id"])], rel=1e-9)
+    recall = hits / len(exact_map)
+    assert recall >= 0.4, f"recall {recall}"
