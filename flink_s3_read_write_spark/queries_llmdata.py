@@ -432,3 +432,44 @@ def q64_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q67_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, n_centroids=16, n_probe=4)
+
+
+@register(
+    "q68_boilerplate_ngrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 5
+                         THEN list_transform(range(len(t) - 4),
+                              i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))
+                         ELSE [] END) AS gram
+      FROM toks)
+    SELECT gram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM grams
+    GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 3
+    """,
+    doc=(
+        "Boilerplate detection: 5-gram shingles repeated across >= 3 "
+        "distinct documents (headers/footers/licenses) - the standard "
+        "pre-dedup cleanup pass; explode -> count, one shuffle."
+    ),
+)
+def q68_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", D.tokens(F.col("text")).alias("_tok"))
+    grams = toked.select(
+        "doc_id",
+        F.explode(D.shingles_from_tokens(F.col("_tok"), 5)).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 3)
+    )
