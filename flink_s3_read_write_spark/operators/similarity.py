@@ -150,7 +150,11 @@ def ann_ivf_topk(
         F.col(vec_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=n_centroids, seed=42, maxIter=20).fit(feats.select("features"))
+    # Standard IVF practice: centroids train on a bounded sample — at
+    # 100 TB you never k-means the full corpus; assignment (one pass,
+    # JVM-side) is the only full-data step.
+    train = feats.select("features").limit(max(2000, 50 * n_centroids))
+    model = KMeans(k=n_centroids, seed=42, maxIter=10).fit(train)
     assigned = model.transform(feats).select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),

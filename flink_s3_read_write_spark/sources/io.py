@@ -118,8 +118,16 @@ def write_parquet(
     path: str,
     *,
     partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
+    """Parquet sink.  ``sort_by`` sorts within each output partition
+    before writing: parquet row groups then carry tight min/max stats
+    on those columns, so later range/point filters skip whole row
+    groups at the scan — the poor man's clustered index, and at 100 TB
+    often the difference between reading 1% and 100% of a table."""
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     out = df.write.mode(mode)
     if partition_by:
         out = out.partitionBy(*partition_by)

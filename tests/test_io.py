@@ -121,3 +121,14 @@ def test_hash_split_deterministic_and_balanced(spark, sf_dir):
     sub = {r["doc_id"]: r["split"]
            for r in hash_split(docs.limit(100), "doc_id", 0.2).collect()}
     assert all(a[k] == v for k, v in sub.items())
+
+
+def test_sorted_write_orders_rows_within_files(spark, sf_dir, tmp_path):
+    dst = str(tmp_path / "sorted")
+    li = io.load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    io.write_parquet(li.repartition(4), dst, sort_by=["l_orderkey"])
+    import pyarrow.parquet as pq
+
+    for p in glob.glob(dst + "/part-*.parquet"):
+        keys = pq.read_table(p, columns=["l_orderkey"])["l_orderkey"].to_pylist()
+        assert keys == sorted(keys)          # row groups carry tight min/max
