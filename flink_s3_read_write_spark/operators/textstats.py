@@ -185,3 +185,17 @@ def hash_split(
         "split",
         F.when(digest8 < F.lit(threshold), F.lit("test")).otherwise(F.lit("train")),
     )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict[str, float], seed: int = 42
+) -> DataFrame:
+    """Stratified sampling (``sampleBy``): per-stratum fractions for
+    dataset balancing — downsampling over-represented languages/sources
+    is a standard corpus-curation step.  Seeded → reproducible for a
+    fixed partitioning; for split assignments that must survive
+    arbitrary repartitioning use ``hash_split`` instead (documented
+    trade-off: sampleBy is one pass with no hashing cost, hash_split
+    is partitioning-independent).
+    """
+    return df.sampleBy(strata_col, fractions, seed)

@@ -457,3 +457,48 @@ def q66_cross_join_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = load_table(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k1"), F.col("r_name").alias("from_region"))
     r2 = load_table(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k2"), F.col("r_name").alias("to_region"))
     return r1.crossJoin(r2).filter(F.col("k1") != F.col("k2")).select("from_region", "to_region")
+
+
+@register(
+    "q69_profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS col, COUNT(*) AS n, COUNT(o_orderkey) AS n_nonnull,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_v, CAST(MAX(o_orderkey) AS DOUBLE) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           MIN(o_totalprice), MAX(o_totalprice)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    """,
+    doc=(
+        "Data profiling: per-column count/non-null/distinct/min/max in "
+        "ONE scan (single multi-agg projection, unpivoted) - the "
+        "profile-before-you-process step of any 100 TB ingest."
+    ),
+)
+def q69_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_totalprice", "o_custkey"]
+    agg = o.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.count(c).alias(f"_nn_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"_nd_{c}") for c in cols],
+        *[F.min(F.col(c).cast("double")).alias(f"_min_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"_max_{c}") for c in cols],
+    )
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"), F.col("_n").alias("n"),
+            F.col(f"_nn_{c}").alias("n_nonnull"), F.col(f"_nd_{c}").alias("n_distinct"),
+            F.col(f"_min_{c}").alias("min_v"), F.col(f"_max_{c}").alias("max_v"),
+        )
+        for c in cols
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

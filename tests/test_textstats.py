@@ -72,3 +72,23 @@ def test_winnowing_properties(spark):
     # determinism across runs
     again = {x["doc_id"]: x for x in T.winnowing_fingerprints(df).collect()}
     assert r[1]["fingerprint_digest"] == again[1]["fingerprint_digest"]
+
+
+def test_stratified_sample_balances(spark, sf_dir):
+    from flink_s3_read_write_spark.sources.io import load_table
+    from flink_s3_read_write_spark.operators.textstats import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    before = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    top = max(before, key=before.get)
+    fracs = {lang: (0.2 if lang == top else 1.0) for lang in before}
+    sampled = stratified_sample(docs, "lang", fracs)
+    after = {r["lang"]: r["count"] for r in sampled.groupBy("lang").count().collect()}
+    assert 0.05 * before[top] <= after.get(top, 0) <= 0.4 * before[top]
+    for lang in before:
+        if lang != top:
+            assert after.get(lang) == before[lang]      # fraction 1.0 keeps all
+    # reproducible with the same seed
+    again = {r["lang"]: r["count"]
+             for r in stratified_sample(docs, "lang", fracs).groupBy("lang").count().collect()}
+    assert again == after
