@@ -275,13 +275,24 @@ def minhash_dedup_pairs_verified(
     id_col = kwargs.get("id_col", "doc_id")
     text_col = kwargs.get("text_col", "text")
     cand = minhash_lsh_pairs(df, **kwargs)
-    docs = df.select(F.col(id_col), F.col(text_col))
-    joined = (
-        cand.join(docs.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "text_a"), "id_a")
-        .join(docs.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "text_b"), "id_b")
+    # Tokenize each document ONCE (n docs), not once per candidate side
+    # (2·n_pairs) — the regex normalization is the expensive part and a
+    # doc can appear in many candidate pairs.
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
     )
+    joined = (
+        cand.join(
+            toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a")), "id_a"
+        ).join(
+            toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b")), "id_b"
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("double")
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b"))).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        joined.withColumn("jaccard", jaccard_tokens(F.col("text_a"), F.col("text_b")))
+        joined.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
