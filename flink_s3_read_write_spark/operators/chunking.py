@@ -1,0 +1,102 @@
+"""Document chunking — fixed-size token windows with overlap, the
+standard step that turns documents into training/context-window-sized
+records.
+
+Two implementations with identical semantics:
+
+- ``chunk_documents`` — pure Catalyst (sequence → slice → array_join):
+  JVM-side, zero-shuffle projection, DuckDB-oracle-checkable; the
+  production path at 100 TB.
+- ``ChunkTextUDTF`` — the same logic as a Spark 4 Python UDTF
+  (lateral-join table function).  Exists to cover the UDTF extension
+  surface; asserted row-identical to the Catalyst path in
+  tests/test_chunking.py.
+
+Chunk i starts at token i·(chunk − overlap); trailing windows may be
+shorter than ``chunk`` (standard sliding-window semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode each document into overlapping token windows.
+
+    Output: (id, chunk_id, chunk_text, n_chunk_tokens).  Tokens are
+    whitespace-split from the trimmed raw text (chunking must not
+    normalize — the chunks ARE the payload).
+    """
+    if overlap >= chunk:
+        raise ValueError("overlap must be < chunk")
+    step = chunk - overlap
+    toked = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_tok")
+    )
+    n = F.size(F.col("_tok"))
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), n - F.lit(overlap)), F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_id"),
+            F.array_join(F.slice(F.col("_tok"), s, chunk), " ").alias("chunk_text"),
+            F.size(F.slice(F.col("_tok"), s, chunk)).alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        toked.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(id_col, "c.chunk_id", "c.chunk_text", "c.n_chunk_tokens")
+    )
+
+
+def chunk_oracle_sql(chunk: int = 64, overlap: int = 8) -> str:
+    """The DuckDB twin of ``chunk_documents`` over ``documents``."""
+    step = chunk - overlap
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(1, len(t) - {overlap}) + 1, {step}),
+               s -> struct_pack(
+                 cid := (s - 1) // {step},
+                 ctext := array_to_string(list_slice(t, s, s + {chunk} - 1), ' '),
+                 ntok := len(list_slice(t, s, s + {chunk} - 1))))) AS c
+      FROM toks)
+    SELECT doc_id,
+           CAST(c.cid AS INT) AS chunk_id,
+           c.ctext AS chunk_text,
+           CAST(c.ntok AS INT) AS n_chunk_tokens
+    FROM chunks
+    """
+
+
+def make_chunk_udtf(chunk: int = 64, overlap: int = 8):
+    """Spark 4 Python UDTF twin (lateral table function)."""
+    from pyspark.sql.functions import udtf
+
+    step = chunk - overlap
+
+    @udtf(returnType="chunk_id int, chunk_text string, n_chunk_tokens int")
+    class ChunkText:
+        def eval(self, text: str):
+            toks = (text or "").strip().split()
+            if not toks:
+                toks = [""]
+            n = len(toks)
+            cid = 0
+            for start in range(0, max(1, n - overlap), step):
+                window = toks[start: start + chunk]
+                yield cid, " ".join(window), len(window)
+                cid += 1
+
+    return ChunkText

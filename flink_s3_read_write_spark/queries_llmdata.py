@@ -473,3 +473,30 @@ def q68_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 3)
     )
+
+
+@register(
+    "q70_chunk_documents",
+    oracle=None,  # oracle injected below from chunk_oracle_sql()
+    doc=(
+        "Document chunking: 64-token windows with 8-token overlap "
+        "(sequence -> slice -> array_join, zero-shuffle projection) - "
+        "the step that turns documents into training-window records. "
+        "UDTF twin asserted row-identical in tests/test_chunking.py."
+    ),
+)
+def q70_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"), chunk=64, overlap=8)
+
+
+def _inject_chunk_oracle() -> None:
+    from flink_s3_read_write_spark.operators.chunking import chunk_oracle_sql
+    from flink_s3_read_write_spark.queries import _REGISTRY, Query
+
+    q = _REGISTRY["q70_chunk_documents"]
+    _REGISTRY["q70_chunk_documents"] = Query(q.name, q.fn, chunk_oracle_sql(64, 8), q.doc)
+
+
+_inject_chunk_oracle()

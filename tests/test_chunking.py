@@ -1,0 +1,53 @@
+"""Chunking operator (operators/chunking.py): Catalyst path vs UDTF
+twin, hand-computed goldens, edge cases."""
+
+from __future__ import annotations
+
+from flink_s3_read_write_spark.operators.chunking import chunk_documents, make_chunk_udtf
+from flink_s3_read_write_spark.sources.io import load_table
+
+
+def test_chunk_golden(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, ""), (3, "single")], "doc_id long, text string")
+    rows = chunk_documents(df, chunk=4, overlap=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = (r["chunk_text"], r["n_chunk_tokens"])
+    # doc 1: starts at tokens 0,3,6 (step 3) within first 9, then 9
+    assert by_doc[1][0] == ("w0 w1 w2 w3", 4)
+    assert by_doc[1][1] == ("w3 w4 w5 w6", 4)
+    assert by_doc[1][2] == ("w6 w7 w8 w9", 4)
+    assert len(by_doc[1]) == 3
+    assert by_doc[2][0] == ("", 1)        # empty doc -> one empty chunk
+    assert by_doc[3][0] == ("single", 1)
+
+
+def test_udtf_twin_row_identical(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    a = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_chunk_tokens"])
+         for r in chunk_documents(docs, chunk=16, overlap=4).collect()}
+    spark.udtf.register("chunk_text_udtf", make_chunk_udtf(16, 4))
+    docs.createOrReplaceTempView("_chunk_in")
+    b = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_chunk_tokens"])
+         for r in spark.sql(
+             "SELECT d.doc_id, c.* FROM _chunk_in d, LATERAL chunk_text_udtf(d.text) c"
+         ).collect()}
+    assert a == b
+
+
+def test_chunks_cover_document(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    chunks = chunk_documents(docs, chunk=32, overlap=8)
+    got = {}
+    for r in chunks.collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+    for r in docs.collect():
+        toks = r["text"].strip().split()
+        if not toks:
+            continue
+        reassembled = []
+        for cid, ctext in sorted(got[r["doc_id"]]):
+            ws = ctext.split(" ") if ctext else [""]
+            reassembled.extend(ws if cid == 0 else ws[8:])  # drop overlap
+        assert reassembled[: len(toks)] == toks  # full coverage, in order
