@@ -100,3 +100,33 @@ def make_chunk_udtf(chunk: int = 64, overlap: int = 8):
                 cid += 1
 
     return ChunkText
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int = 256,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing: assign chunks to fixed-token-budget packs.
+
+    Distributed-friendly *offset packing*: chunks are laid out in the
+    deterministic global order (doc_id, chunk_id); a chunk belongs to
+    the pack containing its start offset (floor(start_offset/budget)).
+    Equivalent to concatenating the corpus and cutting it every
+    ``budget`` tokens — packs are contiguous and balanced, and the
+    assignment is a window cumsum, not a sequential loop (greedy
+    close-on-overflow packing is inherently serial and cannot scale).
+    A pack can exceed ``budget`` by at most one chunk's tail, which
+    the downstream tokenizer truncates — the standard trade-off.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col, "chunk_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("n_chunk_tokens").over(w)
+    start = cum - F.col("n_chunk_tokens")
+    return chunks.select(
+        id_col, "chunk_id", "chunk_text", "n_chunk_tokens",
+        F.floor(start / budget).cast("long").alias("pack_id"),
+    )

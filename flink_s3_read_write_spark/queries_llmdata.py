@@ -500,3 +500,41 @@ def _inject_chunk_oracle() -> None:
 
 
 _inject_chunk_oracle()
+
+
+@register(
+    "q71_pack_chunks",
+    oracle=None,  # injected below
+    doc=(
+        "Sequence packing: chunks -> fixed 256-token-budget packs via "
+        "offset packing (window cumsum; greedy close-on-overflow is "
+        "inherently serial). The chunk->pack step between chunking and "
+        "training-batch assembly."
+    ),
+)
+def q71_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.operators.chunking import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(load_table(spark, sf_dir, "documents"), chunk=64, overlap=8)
+    return pack_chunks(chunks, budget=256)
+
+
+def _inject_pack_oracle() -> None:
+    from flink_s3_read_write_spark.operators.chunking import chunk_oracle_sql
+    from flink_s3_read_write_spark.queries import _REGISTRY, Query
+
+    oracle = f"""
+    WITH chunks AS ({chunk_oracle_sql(64, 8)}),
+    laid AS (
+      SELECT *, SUM(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chunk_tokens AS s
+      FROM chunks)
+    SELECT doc_id, chunk_id, chunk_text, n_chunk_tokens,
+           CAST(s // 256 AS BIGINT) AS pack_id
+    FROM laid
+    """
+    q = _REGISTRY["q71_pack_chunks"]
+    _REGISTRY["q71_pack_chunks"] = Query(q.name, q.fn, oracle, q.doc)
+
+
+_inject_pack_oracle()

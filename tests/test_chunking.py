@@ -51,3 +51,25 @@ def test_chunks_cover_document(spark, sf_dir):
             ws = ctext.split(" ") if ctext else [""]
             reassembled.extend(ws if cid == 0 else ws[8:])  # drop overlap
         assert reassembled[: len(toks)] == toks  # full coverage, in order
+
+
+def test_pack_chunks_budget_and_contiguity(spark, sf_dir):
+    from flink_s3_read_write_spark.operators.chunking import pack_chunks
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    chunks = chunk_documents(docs, chunk=16, overlap=4)
+    packed = pack_chunks(chunks, budget=64).collect()
+    rows = sorted(packed, key=lambda r: (r["doc_id"], r["chunk_id"]))
+    # pack ids are non-decreasing in layout order and start at 0
+    pids = [r["pack_id"] for r in rows]
+    assert pids[0] == 0 and all(a <= b for a, b in zip(pids, pids[1:]))
+    # each pack's START offsets stay within its budget window, and
+    # total tokens per pack <= budget + one chunk tail
+    offset = 0
+    per_pack = {}
+    for r in rows:
+        assert r["pack_id"] == offset // 64
+        offset += r["n_chunk_tokens"]
+        per_pack[r["pack_id"]] = per_pack.get(r["pack_id"], 0) + r["n_chunk_tokens"]
+    max_chunk = max(r["n_chunk_tokens"] for r in rows)
+    assert all(v <= 64 + max_chunk for v in per_pack.values())
