@@ -106,27 +106,39 @@ def pack_chunks(
     chunks: DataFrame,
     budget: int = 256,
     id_col: str = "doc_id",
+    shards: int = 16,
 ) -> DataFrame:
     """Sequence packing: assign chunks to fixed-token-budget packs.
 
-    Distributed-friendly *offset packing*: chunks are laid out in the
-    deterministic global order (doc_id, chunk_id); a chunk belongs to
-    the pack containing its start offset (floor(start_offset/budget)).
-    Equivalent to concatenating the corpus and cutting it every
-    ``budget`` tokens — packs are contiguous and balanced, and the
-    assignment is a window cumsum, not a sequential loop (greedy
-    close-on-overflow packing is inherently serial and cannot scale).
-    A pack can exceed ``budget`` by at most one chunk's tail, which
-    the downstream tokenizer truncates — the standard trade-off.
+    Distributed-friendly *offset packing*: documents are sharded by
+    ``doc_id % shards`` (plain modulo — deterministic in any engine);
+    within a shard, chunks are laid out in (doc_id, chunk_id) order
+    and a chunk belongs to the pack containing its start offset.
+    Equivalent to concatenating each shard and cutting it every
+    ``budget`` tokens.
+
+    The shard is what makes this scale: a single global ordering would
+    be a one-partition window (a serial bottleneck over the whole
+    corpus); per-shard windows run in parallel, and ``shards`` should
+    be sized ~ cluster parallelism.  Greedy close-on-overflow packing
+    is inherently serial even per shard and buys little — a pack here
+    exceeds ``budget`` by at most one chunk tail, which the downstream
+    tokenizer truncates.
+
+    Output pack key is (shard, pack_id).
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy(id_col, "chunk_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    sh = (F.col(id_col) % shards).cast("int")
+    laid = chunks.withColumn("shard", sh)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col, "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_chunk_tokens").over(w)
     start = cum - F.col("n_chunk_tokens")
-    return chunks.select(
-        id_col, "chunk_id", "chunk_text", "n_chunk_tokens",
+    return laid.select(
+        id_col, "chunk_id", "chunk_text", "n_chunk_tokens", "shard",
         F.floor(start / budget).cast("long").alias("pack_id"),
     )

@@ -526,10 +526,11 @@ def _inject_pack_oracle() -> None:
     oracle = f"""
     WITH chunks AS ({chunk_oracle_sql(64, 8)}),
     laid AS (
-      SELECT *, SUM(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id
+      SELECT *, CAST(doc_id % 16 AS INT) AS shard,
+             SUM(n_chunk_tokens) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id, chunk_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chunk_tokens AS s
       FROM chunks)
-    SELECT doc_id, chunk_id, chunk_text, n_chunk_tokens,
+    SELECT doc_id, chunk_id, chunk_text, n_chunk_tokens, shard,
            CAST(s // 256 AS BIGINT) AS pack_id
     FROM laid
     """

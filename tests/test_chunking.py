@@ -58,18 +58,23 @@ def test_pack_chunks_budget_and_contiguity(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").limit(100)
     chunks = chunk_documents(docs, chunk=16, overlap=4)
-    packed = pack_chunks(chunks, budget=64).collect()
-    rows = sorted(packed, key=lambda r: (r["doc_id"], r["chunk_id"]))
-    # pack ids are non-decreasing in layout order and start at 0
-    pids = [r["pack_id"] for r in rows]
-    assert pids[0] == 0 and all(a <= b for a, b in zip(pids, pids[1:]))
-    # each pack's START offsets stay within its budget window, and
-    # total tokens per pack <= budget + one chunk tail
-    offset = 0
+    packed = pack_chunks(chunks, budget=64, shards=4).collect()
+    max_chunk = max(r["n_chunk_tokens"] for r in packed)
+    by_shard = {}
+    for r in packed:
+        assert r["shard"] == r["doc_id"] % 4
+        by_shard.setdefault(r["shard"], []).append(r)
     per_pack = {}
-    for r in rows:
-        assert r["pack_id"] == offset // 64
-        offset += r["n_chunk_tokens"]
-        per_pack[r["pack_id"]] = per_pack.get(r["pack_id"], 0) + r["n_chunk_tokens"]
-    max_chunk = max(r["n_chunk_tokens"] for r in rows)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: (r["doc_id"], r["chunk_id"]))
+        pids = [r["pack_id"] for r in rows]
+        # per shard: pack ids start at 0 and are non-decreasing
+        assert pids[0] == 0 and all(a <= b for a, b in zip(pids, pids[1:]))
+        offset = 0
+        for r in rows:
+            assert r["pack_id"] == offset // 64     # offset packing exactly
+            offset += r["n_chunk_tokens"]
+            key = (shard, r["pack_id"])
+            per_pack[key] = per_pack.get(key, 0) + r["n_chunk_tokens"]
+    # every pack's tokens <= budget + one chunk tail
     assert all(v <= 64 + max_chunk for v in per_pack.values())
