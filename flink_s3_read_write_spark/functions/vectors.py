@@ -34,5 +34,13 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """dot / (|a| |b|); NULL-safe only in that 0-norm yields NULL."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """dot / (|a| |b|); a zero-norm side yields 0.0, NOT NaN.
+
+    Double 0.0/0.0 is IEEE NaN (ANSI's divide-by-zero error covers
+    int/decimal only), and Spark sorts NaN ABOVE every real number —
+    an unguarded zero vector would rank as the #1 neighbor of every
+    query in a cosine-DESC top-k.  Defining zero-norm similarity as
+    0.0 keeps degenerate vectors at the bottom where they belong.
+    """
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))

@@ -12,8 +12,16 @@ for each left row, attach the payload of the latest right row with
 
 Mechanics: stamp right rows 0 / left rows 1, union, then over a
 window partitioned by key and ordered by (ts, side) take
-``last(payload, ignorenulls)`` — right rows at the same timestamp
-sort before left rows, giving inclusive <= semantics.
+``last(payload_struct, ignorenulls)`` — right rows at the same
+timestamp sort before left rows, giving inclusive <= semantics.
+
+The payloads ride in ONE struct per right row (left rows carry a NULL
+struct): ``ignorenulls`` then skips exactly the left rows.  Carrying
+each payload column independently would be wrong twice over — a right
+row whose payload value is genuinely NULL would be skipped in favor of
+an older row's value, and different payload columns could be taken
+from different right rows, producing a combination no single right row
+ever contained.
 """
 
 from __future__ import annotations
@@ -37,14 +45,15 @@ def asof_join(
         *on,
         F.lit(0).alias("_side"),
         F.col(right_ts).alias("_ats"),
-        *[F.col(p).alias(f"_p_{p}") for p in payload],
+        F.struct(*[F.col(p).alias(p) for p in payload]).alias("_p"),
     )
     lhs_full = lhs.select(
-        *l_cols, "_side", "_ats", *[F.lit(None).cast(rhs.schema[f"_p_{p}"].dataType).alias(f"_p_{p}") for p in payload]
+        *l_cols, "_side", "_ats",
+        F.lit(None).cast(rhs.schema["_p"].dataType).alias("_p"),
     )
     rhs_full = rhs.select(
         *[F.lit(None).cast(lhs_full.schema[c].dataType).alias(c) for c in l_cols if c not in on],
-        *on, "_side", "_ats", *[F.col(f"_p_{p}") for p in payload],
+        *on, "_side", "_ats", "_p",
     ).select(*lhs_full.columns)
 
     unioned = lhs_full.unionByName(rhs_full)
@@ -55,6 +64,8 @@ def asof_join(
     )
     carried = unioned.select(
         *l_cols, "_side",
-        *[F.last(f"_p_{p}", ignorenulls=True).over(w).alias(f"asof_{p}") for p in payload],
+        F.last("_p", ignorenulls=True).over(w).alias("_asof"),
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    return carried.filter(F.col("_side") == 1).select(
+        *l_cols, *[F.col(f"_asof.{p}").alias(f"asof_{p}") for p in payload]
+    )

@@ -21,13 +21,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Mersenne prime 2^61-1: the classic universal-hash modulus.  The base
-# shingle hash is masked to 32 bits (standard for MinHash) so the affine
-# products a*h + b stay far below 2^63 — ANSI mode (Spark 4 default)
-# rejects silent 64-bit wraparound.  Fixed seeds → fully deterministic
-# across runs/clusters.
-_P = (1 << 61) - 1
-_MASK32 = (1 << 32) - 1
+# Per-permutation 64-bit keys for the xorshift minhash mixer.  An
+# affine family (a·h+b) mod p is NOT usable here: ANSI mode (Spark 4
+# default) rejects 64-bit multiply wraparound, and shrinking a/h far
+# enough to avoid overflow makes every product smaller than p — the mod
+# becomes an identity, each "permutation" is monotonic in h, and all 64
+# signature slots collapse to functions of the single min shingle hash
+# (LSH banding then degenerates to exact min-hash matching).  The
+# XOR-key + xorshift construction below is a 64-bit bijection built
+# only from xor/shift — no overflow, a genuinely different ordering per
+# key, and bit-for-bit reproducible in NumPy uint64.  Fixed seed →
+# deterministic across runs/clusters.
+import random as _random
+
+_rng = _random.Random(0x5EED)
+_PERM_KEYS = [_rng.getrandbits(64) for _ in range(256)]
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def normalize_text(col: Column) -> Column:
@@ -100,10 +112,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def normalized_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-exact dedup on normalized text; returns keeper id, the
-    normal form, and how many raw docs collapsed into it."""
+    """Near-exact dedup on normalized text; returns the group key, the
+    keeper id, and how many raw docs collapsed into it.
+
+    The normalization is [a-z0-9]-centric; a document with no such
+    characters at all (CJK/Cyrillic/emoji-only) normalizes to the
+    empty string, and grouping on that would silently collapse every
+    non-Latin document into one "duplicate" group — catastrophic data
+    loss in a multilingual corpus.  Empty normal forms therefore fall
+    back to a per-document key (``#<id>``), making such docs singleton
+    groups; a multilingual deployment would swap ``normalize_text``
+    for a Unicode-class variant instead.
+    """
+    norm = normalize_text(F.col(text_col))
+    group_key = F.coalesce(
+        F.nullif(norm, F.lit("")),
+        F.concat(F.lit("#"), F.col(id_col).cast("string")),
+    )
     return (
-        df.groupBy(normalize_text(F.col(text_col)).alias("norm_text"))
+        df.groupBy(group_key.alias("norm_text"))
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
     )
 
@@ -114,9 +141,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document, fully in Catalyst.
 
-    One xxhash64 per shingle, then ``num_perm`` affine permutations
-    ``(a_j·h + b_j) mod p`` reduced with array_min — no UDF, no
-    per-row Python.  Deterministic: seeds are fixed literals.
+    One xxhash64 per shingle, then ``num_perm`` keyed xorshift
+    permutations (see ``_PERM_KEYS``) reduced with array_min — no UDF,
+    no per-row Python.  Deterministic: keys are fixed literals.
 
     Each stage (tokens → shingles → base hashes → signature) is its
     own projection: higher-order lambdas run interpreted with no
@@ -127,22 +154,24 @@ def minhash_signatures(
     aliases are kept separate by Catalyst (CollapseProject's cheap/
     used-once rule), so each stage computes once per row.
     """
+
+    def mix(h, j: int):
+        x = h.bitwiseXOR(F.lit(_signed64(_PERM_KEYS[j])))
+        x = x.bitwiseXOR(F.shiftrightunsigned(x, 33))
+        x = x.bitwiseXOR(F.shiftleft(x, 21))
+        return x.bitwiseXOR(F.shiftrightunsigned(x, 17))
+
     toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
     shingled = toked.select(
         F.col(id_col), shingles_from_tokens(F.col("_tok"), shingle_k).alias("_sh")
     )
     hashed = shingled.select(
         F.col(id_col),
-        F.transform(F.col("_sh"), lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK32))).alias("_h"),
+        F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_h"),
     )
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("_h"),
-                    lambda h: F.pmod(h * F.lit(2 * j + 1) + F.lit(j * j + 7), F.lit(_P)),
-                )
-            )
+            F.array_min(F.transform(F.col("_h"), lambda h: mix(h, j)))
             for j in range(num_perm)
         ]
     )
@@ -157,19 +186,17 @@ def minhash_signatures_numpy(
 
     Bit-identical to ``minhash_signatures`` (asserted in
     tests/test_dedup.py): shingling + xxhash64 stay in Catalyst, but
-    the ``num_perm`` affine permutations run as ONE NumPy broadcast
-    per document — (A·h + B) mod p with h < 2^32 and A ≤ 2·num_perm
-    cannot overflow uint64, so the modular math is exact.  ~2.6×
-    faster than the interpreted higher-order-function path at sf0.1;
+    the ``num_perm`` keyed xorshift permutations run as ONE NumPy
+    uint64 broadcast per document (xor/shift wrap identically to the
+    JVM's long ops; the min is taken as signed to match array_min).
+    Faster than the interpreted higher-order-function path at sf0.1;
     use this at scale, keep the Catalyst twin as the no-Python
     fallback and cross-check.
     """
     import numpy as np
     import pandas as pd
 
-    a = np.array([2 * j + 1 for j in range(num_perm)], dtype=np.uint64)[:, None]
-    b = np.array([j * j + 7 for j in range(num_perm)], dtype=np.uint64)[:, None]
-    p = np.uint64(_P)
+    keys = np.array(_PERM_KEYS[:num_perm], dtype=np.uint64)[:, None]
 
     def batches(it):
         for pdf in it:
@@ -179,8 +206,12 @@ def minhash_signatures_numpy(
                 if len(hs) == 0:
                     sigs.append([None] * num_perm)
                     continue
-                h = np.asarray(hs, dtype=np.uint64)[None, :]
-                sigs.append(((a * h + b) % p).min(axis=1).astype(np.int64).tolist())
+                h = np.asarray(hs, dtype=np.int64).view(np.uint64)[None, :]
+                x = h ^ keys
+                x = x ^ (x >> np.uint64(33))
+                x = x ^ (x << np.uint64(21))
+                x = x ^ (x >> np.uint64(17))
+                sigs.append(x.view(np.int64).min(axis=1).tolist())
             yield pd.DataFrame({id_col: ids, "minhash": sigs})
 
     toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
@@ -189,7 +220,7 @@ def minhash_signatures_numpy(
     )
     hashed = shingled.select(
         F.col(id_col),
-        F.transform(F.col("_sh"), lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK32))).alias("_h"),
+        F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_h"),
     )
     return hashed.mapInPandas(batches, f"{id_col} long, minhash array<bigint>")
 
@@ -217,6 +248,11 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     sig_fn = minhash_signatures_numpy if engine == "numpy" else minhash_signatures
     sigs = sig_fn(df, text_col, id_col, num_perm, shingle_k)
+    # Docs too short to shingle (< k words) have all-null signatures;
+    # without this filter they would ALL share the hash-of-nulls band
+    # bucket and pair with each other.  Sub-shingle docs are handled by
+    # exact/normalized dedup, not minhash.
+    sigs = sigs.filter(F.element_at("minhash", 1).isNotNull())
     banded = sigs.select(
         F.col(id_col),
         F.explode(

@@ -40,7 +40,11 @@ def zscore_catalyst(df: DataFrame, key: str, value: str) -> DataFrame:
     s1 = F.sum(v.cast("decimal(30,6)")).over(w).cast("double")
     s2 = F.sum((v * v).cast("decimal(30,6)")).over(w).cast("double")
     n = F.count(v).over(w).cast("double")
-    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    # greatest(0, ·): decimal quantization of the moments can push the
+    # computed variance epsilon-negative, and sqrt(<0) is NaN — which
+    # Spark orders ABOVE every number, so a bare `std > 0` guard would
+    # pass and emit NaN zscores.  Clamping makes the guard sound.
+    var = F.greatest((s2 - s1 * s1 / n) / (n - F.lit(1.0)), F.lit(0.0))
     std = F.sqrt(var)
     mean = s1 / n
     return df.withColumn(

@@ -79,6 +79,9 @@ def brute_force_topk_pandas(
     import pandas as pd
 
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        schema = "q_id long, n_id long, cosine double, rn int"
+        return corpus.sparkSession.createDataFrame([], schema)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -89,9 +92,11 @@ def brute_force_topk_pandas(
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             if len(c_mat) == 0:
                 continue
-            sims = (c_mat @ q_mat.T) / (
-                np.linalg.norm(c_mat, axis=1)[:, None] * q_norm[None, :]
-            )
+            # zero-norm guard: define cosine as 0.0 (matches the
+            # Catalyst path; unguarded 0/0 NaNs would sort unstably)
+            denom = np.linalg.norm(c_mat, axis=1)[:, None] * q_norm[None, :]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = np.where(denom > 0, (c_mat @ q_mat.T) / denom, 0.0)
             out = {"q_id": [], "n_id": [], "cosine": []}
             for qi in range(len(q_ids)):
                 col = sims[:, qi]
@@ -152,8 +157,14 @@ def ann_ivf_topk(
     )
     # Standard IVF practice: centroids train on a bounded sample — at
     # 100 TB you never k-means the full corpus; assignment (one pass,
-    # JVM-side) is the only full-data step.
-    train = feats.select("features").limit(max(2000, 50 * n_centroids))
+    # JVM-side) is the only full-data step.  A seeded sample, NOT
+    # limit(): limit() takes whichever rows the first partitions yield,
+    # which on sorted data is a biased prefix that would tile only one
+    # region of the embedding space.
+    target = max(2000, 50 * n_centroids)
+    n_corpus = corpus.count()
+    frac = min(1.0, (2.0 * target) / max(1, n_corpus))
+    train = feats.select("features").sample(frac, seed=42).limit(target)
     model = KMeans(k=n_centroids, seed=42, maxIter=10).fit(train)
     assigned = model.transform(feats).select(
         F.col(id_col).alias("n_id"),

@@ -68,7 +68,18 @@ def salted_join(
     """Skew-safe equi-join: dim replicated ``buckets``×, fact salted
     deterministically; join on (key, salt) spreads each hot key over
     ``buckets`` reducers.  Use only when the dim side is too large to
-    broadcast — broadcast is strictly better when it fits."""
+    broadcast — broadcast is strictly better when it fits.
+
+    Only inner/left joins are allowed: an outer join that preserves
+    the replicated dim side would emit ``buckets`` null-padded copies
+    of every unmatched dim row.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: outer "
+            "joins preserving the replicated dim side would duplicate "
+            "unmatched dim rows buckets x"
+        )
     salted_fact = with_salt(fact, fact_salt_src, buckets)
     replicated_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

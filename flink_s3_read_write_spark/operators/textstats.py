@@ -68,11 +68,20 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
 
 
 def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Whitespace-word and BPE-ish token counts per document."""
+    """Whitespace-word and BPE-ish token counts per document.
+
+    Empty / whitespace-only documents count 0 whitespace tokens —
+    split('') returns [''] (size 1) in every engine, which would make
+    empty-doc filters keyed on the count silently miss them.
+    """
     t = F.col(text_col)
+    trimmed = F.trim(t)
+    n_ws = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
     return df.select(
         F.col(id_col),
-        F.size(F.split(F.trim(t), r"\s+")).alias("n_ws_tokens"),
+        n_ws.alias("n_ws_tokens"),
         F.size(F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0)).alias("n_bpe_tokens"),
     )
 
@@ -179,11 +188,14 @@ def hash_split(
     numeric order, so the predicate is a plain string comparison any
     engine evaluates identically.
     """
-    threshold = format(int(test_frac * (1 << 32)), "08x")
+    # Clamp to the 8-hex-digit domain: an unclamped frac=1.0 would
+    # format to the 9-char '100000000', which every 8-char digest
+    # compares GREATER than lexicographically — inverting the split.
+    threshold = format(min(max(int(test_frac * (1 << 32)), 0), (1 << 32) - 1), "08x")
     digest8 = F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8)
+    pred = digest8 < F.lit(threshold) if test_frac < 1.0 else F.lit(True)
     return df.withColumn(
-        "split",
-        F.when(digest8 < F.lit(threshold), F.lit("test")).otherwise(F.lit("train")),
+        "split", F.when(pred, F.lit("test")).otherwise(F.lit("train"))
     )
 
 

@@ -46,13 +46,18 @@ def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q31_dedup_normalized",
     oracle=f"""
-    SELECT {_NORM_SQL.format(c='text')} AS norm_text,
+    SELECT coalesce(nullif({_NORM_SQL.format(c='text')}, ''),
+                    '#' || CAST(doc_id AS VARCHAR)) AS norm_text,
            min(doc_id) AS doc_id,
            COUNT(*) AS n_dups
     FROM documents
     GROUP BY 1
     """,
-    doc="Near-exact dedup on normalized text (lower/strip-punct/collapse-ws).",
+    doc=(
+        "Near-exact dedup on normalized text (lower/strip-punct/"
+        "collapse-ws); empty normal forms (non-Latin docs) stay "
+        "singleton groups instead of collapsing together."
+    ),
 )
 def q31_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.normalized_dedup(load_table(spark, sf_dir, "documents"))
@@ -201,7 +206,8 @@ def q37_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q38_token_count",
     oracle=r"""
     SELECT doc_id,
-           len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
            len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
     FROM documents
     """,

@@ -390,8 +390,8 @@ def q62_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY event_type))
     SELECT event_id, event_type, value,
-           CASE WHEN n > 1 AND sqrt((s2 - s1 * s1 / n) / (n - 1.0)) > 0
-                THEN (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+           CASE WHEN n > 1 AND sqrt(greatest((s2 - s1 * s1 / n) / (n - 1.0), 0.0)) > 0
+                THEN (value - s1 / n) / sqrt(greatest((s2 - s1 * s1 / n) / (n - 1.0), 0.0))
                 ELSE 0.0 END AS zscore
     FROM m
     """,

@@ -120,3 +120,40 @@ def test_numpy_signatures_bit_identical_to_catalyst(spark, sf_dir):
     a = {r["doc_id"]: r["minhash"] for r in D.minhash_signatures(docs).collect()}
     b = {r["doc_id"]: r["minhash"] for r in D.minhash_signatures_numpy(docs).collect()}
     assert a == b
+
+
+def test_minhash_permutations_are_independent(spark):
+    """Regression for the degenerate affine family: with a real
+    permutation family, a pair with partial shingle overlap matches
+    SOME but not all/none of the signature slots (~64*J on average).
+    The broken scheme made every slot a monotonic function of the one
+    min shingle hash, so slots matched all-or-nothing."""
+    words = [f"tok{i}" for i in range(30)]
+    a = " ".join(words[:20])
+    b = " ".join(words[10:30])
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    sig = {r["doc_id"]: r["minhash"] for r in D.minhash_signatures(df).collect()}
+    matches = sum(1 for x, y in zip(sig[1], sig[2]) if x == y)
+    assert 5 < matches < 59, f"slots matching: {matches}/64 (degenerate if 0 or 64)"
+
+
+def test_short_docs_excluded_from_lsh_banding(spark):
+    """Docs with < k words have no shingles; they must NOT all collide
+    in a hash-of-nulls bucket and pair with each other."""
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "alpha beta"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    assert D.minhash_lsh_pairs(df).count() == 0
+
+
+def test_normalized_dedup_non_latin_not_collapsed(spark):
+    df = spark.createDataFrame(
+        [(1, "你好世界"), (2, "Привет мир"), (3, "hello"), (4, "hello")],
+        "doc_id long, text string",
+    )
+    rows = D.normalized_dedup(df).collect()
+    by_key = {r["norm_text"]: r for r in rows}
+    assert by_key["hello"]["n_dups"] == 2
+    assert by_key["#1"]["n_dups"] == 1      # non-Latin docs stay singletons
+    assert by_key["#2"]["n_dups"] == 1

@@ -132,3 +132,13 @@ def test_sorted_write_orders_rows_within_files(spark, sf_dir, tmp_path):
     for p in glob.glob(dst + "/part-*.parquet"):
         keys = pq.read_table(p, columns=["l_orderkey"])["l_orderkey"].to_pylist()
         assert keys == sorted(keys)          # row groups carry tight min/max
+
+
+def test_hash_split_full_fraction_edges(spark, sf_dir):
+    from flink_s3_read_write_spark.operators.textstats import hash_split
+
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id")
+    all_test = {r["split"] for r in hash_split(docs, "doc_id", 1.0).collect()}
+    assert all_test == {"test"}
+    all_train = {r["split"] for r in hash_split(docs, "doc_id", 0.0).collect()}
+    assert all_train == {"train"}

@@ -104,3 +104,25 @@ def test_wholestage_codegen_covers_scan_pipeline(t):
         t["lineitem"].filter(F.col("l_quantity") > 10).select("l_orderkey")
     )
     assert P.has_wholestage_codegen(plan), plan
+
+
+def test_asof_join_null_payload_not_skipped(spark):
+    """A matched right row whose payload is NULL must win over an older
+    non-null row (DuckDB ASOF semantics), and multi-payload outputs
+    must come from ONE right row, never mixed."""
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1)
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame([(1, ts(3), 100)], "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(
+        [(1, ts(1), 5.0, "old"), (1, ts(2), None, "new")],
+        "k long, rts timestamp, v double, tag string",
+    )
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                    payload=["v", "tag"]).collect()[0]
+    assert out["asof_tag"] == "new"
+    assert out["asof_v"] is None            # not the older row's 5.0

@@ -112,3 +112,19 @@ def test_ivf_recall_and_exactness(spark, sf_dir):
             assert r["cosine"] == pytest.approx(exact_map[(r["q_id"], r["n_id"])], rel=1e-9)
     recall = hits / len(exact_map)
     assert recall >= 0.4, f"recall {recall}"
+
+
+def test_zero_norm_vector_never_ranks_first(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    for fn in (S.brute_force_topk, S.brute_force_topk_pandas):
+        out = sorted(fn(df, q, k=3).collect(), key=lambda r: r["rn"])
+        assert [r["n_id"] for r in out][0] == 1          # real neighbor first
+        assert out[-1]["n_id"] == 2 and out[-1]["cosine"] == 0.0  # zero vec last
+
+
+def test_pandas_topk_empty_queries(spark):
+    df = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    out = S.brute_force_topk_pandas(df, df.filter(F.col("vec_id") < 0), k=3)
+    assert out.count() == 0

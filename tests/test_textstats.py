@@ -43,6 +43,8 @@ def test_token_count_golden(docs):
     assert r[2]["n_bpe_tokens"] == 4                     # Hello , world !
     assert r[1]["n_ws_tokens"] == 5
     assert r[1]["n_bpe_tokens"] == 6                     # 5 words + '.'
+    assert r[3]["n_ws_tokens"] == 0                      # empty doc -> 0, not 1
+    assert r[3]["n_bpe_tokens"] == 0
 
 
 def test_lang_id(docs):
