@@ -67,9 +67,14 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--checkpoint is required with --streaming")
         df = _stream_transform(args.job, spark, args.in_path, args.city)
         # avg-salary is an aggregate: streaming file sinks are
-        # append-only, so materialize full state per batch instead.
+        # append-only, so materialize full state per batch instead —
+        # as TEXT (same '%s,%.2f,%d' lines as the batch path) and on
+        # the same continuous trigger as the other jobs.
         if args.job == "avg-salary":
-            q = jobs.start_materialized_view(df, args.out_path, args.checkpoint)
+            q = jobs.start_materialized_view(
+                df, args.out_path, args.checkpoint,
+                fmt="text", trigger_seconds=args.trigger_seconds,
+            )
         else:
             q = io.start_text_stream_sink(
                 df, args.out_path, args.checkpoint,

@@ -59,6 +59,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos (legacy flag, set at runtime so it works in any session) and
     convert to ``timestamp`` at microsecond precision with integer
     ``div`` (double division would lose precision above 2^53 ns).
+
+    SIDE EFFECT: the nanosAsLong flag stays set on the session (it
+    must remain active when the lazy plan later re-reads footers at
+    action time), so any later read of third-party nanos parquet in
+    the same session also decodes as bigint rather than erroring.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -108,7 +113,7 @@ def write_text(
     """
     out = df.coalesce(1) if single_file else df
     writer = out.write.mode(mode)
-    if max_records_per_file:
+    if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.text(path)
 
@@ -191,7 +196,8 @@ def compact_parquet(
     path = jvm.org.apache.hadoop.fs.Path(src)
     fs = path.getFileSystem(hconf)
     total_bytes = fs.getContentSummary(path).getLength()
-    n = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)) + 1)
+    chunk = target_file_mb * 1024 * 1024
+    n = max(1, -(-total_bytes // chunk))  # ceiling division
     spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
     return n
 
@@ -280,6 +286,6 @@ def start_text_stream_sink(
         .option("checkpointLocation", checkpoint)
         .trigger(processingTime=f"{trigger_seconds} seconds")
     )
-    if max_records_per_file:
+    if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     return writer.start()

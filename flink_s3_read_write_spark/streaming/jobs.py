@@ -40,19 +40,19 @@ from pyspark.sql import functions as F
 
 from flink_s3_read_write_spark.operators import raw_text
 from flink_s3_read_write_spark.functions.numeric import davg
+from flink_s3_read_write_spark.sources.io import read_text_lines
 
 
 def uppercase_stream(spark: SparkSession, in_path: str) -> DataFrame:
     """Job-1 twin: unbounded text source → uppercase."""
-    lines = spark.readStream.format("text").load(in_path)
-    return raw_text.uppercase_lines(lines)
+    return raw_text.uppercase_lines(read_text_lines(spark, in_path, streaming=True))
 
 
 def filter_exclude_stream(
     spark: SparkSession, in_path: str, city: str = "Jacksonville"
 ) -> DataFrame:
     """Job-2 twin: split(',') → filter city (header passes) → rejoin."""
-    lines = spark.readStream.format("text").load(in_path)
+    lines = read_text_lines(spark, in_path, streaming=True)
     toks = raw_text.tokenize_csv(lines)
     return raw_text.rejoin_csv(raw_text.filter_excluding_city(toks, city))
 
@@ -65,7 +65,7 @@ def avg_by_key_update_stream(
     Run with ``outputMode("update")`` to reproduce the Flink rolling
     reduce's emission pattern (changed keys re-emitted per batch).
     """
-    lines = spark.readStream.format("text").load(in_path)
+    lines = read_text_lines(spark, in_path, streaming=True)
     toks = raw_text.tokenize_csv(lines)
     kept = raw_text.filter_excluding_city(toks, city, drop_header=True)
     typed = raw_text.extract_city_salary(kept)
@@ -73,7 +73,10 @@ def avg_by_key_update_stream(
 
 
 def events_stream(
-    spark: SparkSession, in_path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    in_path: str,
+    max_files_per_trigger: int | None = None,
+    nanos_ts: bool = False,
 ) -> DataFrame:
     """Unbounded parquet source with the events schema.
 
@@ -81,15 +84,30 @@ def events_stream(
     it bounds how much a micro-batch ingests, which at scale is what
     keeps state updates, shuffle sizes and checkpoint latency flat
     when a backlog (or a bulk backfill) lands in the source directory.
+
+    ``nanos_ts=True`` reads the driver's nanosecond-timestamp events
+    parquet (same int64-nanos handling as ``sources.io.load_table``);
+    the default expects standard micros timestamps (e.g. files written
+    by this engine's own sinks).
     """
-    schema = (
-        "event_id bigint, ts timestamp, user_id bigint, "
-        "event_type string, value double, props string"
-    )
+    if nanos_ts:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = (
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+    else:
+        schema = (
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
     reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(in_path)
+    df = reader.parquet(in_path)
+    if nanos_ts:
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def windowed_counts_stream(
@@ -162,25 +180,52 @@ def start_memory_sink(df: DataFrame, name: str, mode: str):
     )
 
 
-def start_materialized_view(agg: DataFrame, path: str, checkpoint: str):
+def start_materialized_view(
+    agg: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    fmt: str = "parquet",
+    trigger_seconds: int | None = None,
+):
     """foreachBatch sink: maintain a queryable "materialized view" of a
-    streaming aggregate as parquet, atomically replaced per micro-batch.
+    streaming aggregate, replaced per micro-batch.
 
     This is the standard pattern when the target needs full-state
     semantics (dashboards, serving tables) but the sink format has no
     native upsert: ``complete`` output mode hands every batch the whole
-    aggregate state; foreachBatch writes it transactionally.  At scale
-    the same hook is where MERGE INTO a lakehouse table would go —
-    foreachBatch is the engine's generic "any destination" sink.
+    aggregate state; foreachBatch rewrites the view.  Each batch writes
+    to a side directory first and is swapped in with a filesystem
+    rename, so the reader-visible window of inconsistency is the
+    rename, not the whole write — but plain parquet directories have
+    no snapshot isolation; a serving deployment would MERGE INTO a
+    lakehouse table (Delta/Iceberg) from this same foreachBatch hook.
+
+    ``trigger_seconds=None`` runs availableNow (drain the backlog and
+    stop — batch-refresh semantics); a value runs continuously on that
+    processing-time cadence.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(path)
+        spark = batch_df.sparkSession
+        tmp = f"{path}__tmp_{batch_id}"
+        batch_df.write.mode("overwrite").format(fmt).save(tmp)
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        dst = jvm.org.apache.hadoop.fs.Path(path)
+        src = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = dst.getFileSystem(hconf)
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        fs.rename(src, dst)
 
-    return (
+    writer = (
         agg.writeStream.foreachBatch(write_batch)
         .outputMode("complete")
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
     )
+    if trigger_seconds is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

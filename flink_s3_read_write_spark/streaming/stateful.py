@@ -24,7 +24,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-RUNNING_STATS_SCHEMA = "key string, n_events bigint, total double, peak double"
 _STATE_SCHEMA = "n bigint, total double, peak double"
 
 
@@ -50,14 +49,18 @@ def running_stats_stream(events: DataFrame, key: str = "event_type") -> DataFram
     """Custom per-key state machine over an unbounded stream.
 
     Run with ``outputMode("update")``; each micro-batch emits one row
-    per active key with state accumulated since stream start.
+    per active key with state accumulated since stream start.  The
+    output schema's key field takes its type from the grouped column
+    (a hardcoded string type would break on bigint keys like user_id).
     """
+    key_type = events.schema[key].dataType.simpleString()
+    out_schema = f"key {key_type}, n_events bigint, total double, peak double"
     return (
         events.select(events[key].alias("key"), "value")
         .groupBy("key")
         .applyInPandasWithState(
             running_stats_fn,
-            outputStructType=RUNNING_STATS_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
