@@ -545,3 +545,207 @@ def _inject_pack_oracle() -> None:
 
 
 _inject_pack_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination, repetition quality, embedding quantization.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q72_decontaminate",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS sh
+      FROM words, unnest(range(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 4
+    ),
+    bench AS (
+      SELECT sh, doc_id AS bench_id FROM shingles WHERE doc_id % 31 = 0
+    )
+    SELECT s.doc_id,
+           COUNT(DISTINCT s.sh) AS n_shared_shingles,
+           COUNT(DISTINCT b.bench_id) AS n_bench_docs
+    FROM shingles s JOIN bench b ON s.sh = b.sh AND s.doc_id <> b.bench_id
+    GROUP BY s.doc_id
+    """,
+    doc=(
+        "Benchmark decontamination: flag corpus documents sharing any "
+        "4-gram with a benchmark set (here: doc_id % 31 == 0 plays the "
+        "held-out eval set). Shingle-explode -> broadcast join on the "
+        "tiny benchmark side -> per-doc hit counts; the standard "
+        "pre-training leak check run before any eval is trusted."
+    ),
+)
+def q72_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Stage each array op as a bound column (HOF lambdas are interpreted
+    # with no CSE -- see PLANS.md): words first, then shingles.
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    n = F.size("w")
+    grams = F.transform(
+        F.sequence(F.lit(0), n - F.lit(4)),
+        lambda i: F.array_join(F.slice("w", i + 1, F.lit(4)), " "),
+    )
+    shingles = (
+        words.select(
+            "doc_id",
+            F.explode(
+                F.when(n >= 4, F.array_distinct(grams)).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("sh"),
+        )
+    )
+    bench = (
+        shingles.filter(F.col("doc_id") % 31 == 0)
+        .select(F.col("sh"), F.col("doc_id").alias("bench_id"))
+    )
+    hits = shingles.join(F.broadcast(bench), "sh").filter(
+        F.col("doc_id") != F.col("bench_id")
+    )
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("sh").alias("n_shared_shingles"),
+        F.countDistinct("bench_id").alias("n_bench_docs"),
+    )
+
+
+@register(
+    "q75_repetition_quality",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+      FROM words, unnest(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    counts AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+    )
+    SELECT doc_id,
+           SUM(c) AS n_bigrams,
+           MAX(c) AS top_bigram_n,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.18 AS repetitive
+    FROM counts
+    GROUP BY doc_id
+    """,
+    doc=(
+        "Gopher-style repetition quality filter: fraction of all bigrams "
+        "taken by the single most frequent bigram; docs above 0.18 are "
+        "flagged repetitive. Two partial-agg shuffles ((doc,bigram) then "
+        "doc), no UDFs; the repetition family of C4/Gopher quality rules."
+    ),
+)
+def q75_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    n = F.size("w")
+    bgs = F.transform(
+        F.sequence(F.lit(0), n - F.lit(2)),
+        lambda i: F.concat_ws(
+            " ", F.element_at("w", i + 1), F.element_at("w", i + 2)
+        ),
+    )
+    bigrams = words.select(
+        "doc_id",
+        F.explode(
+            F.when(n >= 2, bgs).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    frac = F.col("top_bigram_n").cast("double") / F.col("n_bigrams")
+    return (
+        counts.groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "top_bigram_n",
+            frac.alias("top_bigram_frac"),
+            (frac > 0.18).alias("repetitive"),
+        )
+    )
+
+
+@register(
+    "q76_quantize_embeddings",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS l2_norm
+      FROM v
+    ),
+    u AS (
+      SELECT vec_id, l2_norm,
+             list_transform(e, x -> x / l2_norm) AS un
+      FROM n WHERE l2_norm > 0
+    ),
+    q AS (
+      SELECT vec_id, l2_norm, un,
+             list_transform(un, x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS qv
+      FROM u
+    )
+    SELECT vec_id, l2_norm,
+           list_sum(qv) AS q_sum,
+           list_max(list_transform(list_zip(qv, un),
+                    p -> abs(CAST(p[1] AS DOUBLE) / 127.0 - p[2]))) AS max_abs_err
+    FROM q
+    """,
+    doc=(
+        "Embedding compression: L2-normalize then symmetric int8 "
+        "quantization (scale 127, explicit floor(x*127+0.5) so both "
+        "engines round identically) + max reconstruction error. "
+        "Zero-shuffle projection; the storage-side half of an ANN "
+        "index build (4x smaller vectors before q36/q67 bucketing)."
+    ),
+)
+def q76_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # One HOF stage per projection (no CSE inside lambdas).
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    n = v.select(
+        "vec_id",
+        "e",
+        F.sqrt(
+            F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("l2_norm"),
+    )
+    u = n.filter(F.col("l2_norm") > 0).select(
+        "vec_id",
+        "l2_norm",
+        F.transform("e", lambda x: x / F.col("l2_norm")).alias("un"),
+    )
+    q = u.select(
+        "vec_id",
+        "l2_norm",
+        "un",
+        F.transform(
+            "un", lambda x: F.floor(x * 127.0 + 0.5).cast("bigint")
+        ).alias("qv"),
+    )
+    err = F.array_max(
+        F.zip_with(
+            "qv", "un", lambda a, b: F.abs(a.cast("double") / 127.0 - b)
+        )
+    )
+    return q.select(
+        "vec_id",
+        "l2_norm",
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        err.alias("max_abs_err"),
+    )

@@ -502,3 +502,133 @@ def q69_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in cols
     ]
     return agg.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# CDC compaction, map-typed columns, HAVING over big aggregates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q73_latest_by_key",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           value AS last_value, epoch_us(ts) AS ts_us
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc=(
+        "CDC / changelog compaction: latest record per key "
+        "(row_number over ts DESC with event_id tiebreak). The "
+        "upsert-materialization step of any incremental ingest; one "
+        "hash shuffle on the key, per-partition sort, WindowGroupLimit "
+        "keeps only rank-1 rows below the window."
+    ),
+)
+def q73_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+
+
+@register(
+    "q74_map_functions",
+    oracle="""
+    SELECT 'k' AS key, COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_v,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_v,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_v
+    FROM events
+    UNION ALL
+    SELECT 'type_len', COUNT(*),
+           SUM(len(event_type)), MIN(len(event_type)), MAX(len(event_type))
+    FROM events
+    """,
+    doc=(
+        "Map-typed column surface: from_json into map<string,bigint>, "
+        "map_concat with a computed entry, explode of map entries, "
+        "aggregate per key. The semi-structured path when JSON keys "
+        "are dynamic (vs q53's fixed-path get_json_object)."
+    ),
+)
+def q74_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.map_concat(
+            F.from_json("props", "map<string,bigint>"),
+            F.create_map(
+                F.lit("type_len"), F.length("event_type").cast("bigint")
+            ),
+        ).alias("m"),
+    )
+    entries = parsed.select(F.explode("m").alias("key", "v"))
+    return entries.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+@register(
+    "q77_big_spenders_having",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    HAVING SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) > 4000000
+    ORDER BY total_spend DESC, c_custkey
+    LIMIT 100
+    """,
+    doc=(
+        "TPC-H Q18 shape (large-volume customers): fact-dim join, "
+        "per-customer aggregate, HAVING on the decimal-exact sum, "
+        "deterministic top-100. The customer side broadcasts; the "
+        "HAVING filter runs post-agg so only qualifying groups reach "
+        "the TakeOrderedAndProject."
+    ),
+)
+def q77_big_spenders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.functions.numeric import _DEC
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    agg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(_DEC)).alias("_spend_dec"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("_spend_dec") > 4000000)
+    )
+    return (
+        agg.select(
+            "c_custkey",
+            "c_name",
+            F.col("_spend_dec").cast("double").alias("total_spend"),
+            "n_orders",
+        )
+        .orderBy(F.col("total_spend").desc(), "c_custkey")
+        .limit(100)
+    )
