@@ -749,3 +749,121 @@ def q76_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         err.alias("max_abs_err"),
     )
+
+
+@register(
+    "q78_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5('strat-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE lang WHEN 'en' THEN '40000000'
+                      WHEN 'zh' THEN '80000000'
+                      WHEN 'es' THEN 'c0000000'
+                      WHEN 'de' THEN 'e6666666'
+                      WHEN 'fr' THEN '19999999'
+                      ELSE '00000000' END
+    """,
+    doc=(
+        "Deterministic stratified sampling: per-language keep rates "
+        "(en .25 / zh .5 / es .75 / de .9 / fr .1) applied via the q64 "
+        "md5-prefix trick, so the sample is reproducible across "
+        "engines and cluster sizes and needs no RNG state or "
+        "count-first pass (vs sampleBy, kept as the one-pass "
+        "non-deterministic alternative in operators/textstats.py). "
+        "The rebalance step when one language dominates a corpus."
+    ),
+)
+def q78_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": "40000000", "zh": "80000000", "es": "c0000000",
+             "de": "e6666666", "fr": "19999999"}
+    thr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in rates.items() for x in kv]),
+        F.col("lang"),
+    )
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("strat-v1"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    return docs.filter(bucket < F.coalesce(thr, F.lit("00000000"))).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "q79_edit_distance_pairs",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substring(a.text, 1, 32), substring(b.text, 1, 32))
+             AS edit_dist,
+           levenshtein(substring(a.text, 1, 32), substring(b.text, 1, 32)) <= 8
+             AS similar
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+    doc=(
+        "Edit-distance (Levenshtein) near-dup scoring over adjacent doc "
+        "pairs, on a 32-char prefix so the O(len^2) DP stays bounded -- "
+        "the character-level complement to token-level Jaccard (q32). "
+        "At 100 TB the same scorer runs as the verify stage behind an "
+        "LSH candidate generator (q33), never all-pairs."
+    ),
+)
+def q79_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.substring("text", 1, 32).alias("ta")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), F.substring("text", 1, 32).alias("tb")
+    )
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    d = F.levenshtein("ta", "tb")
+    return pairs.select(
+        "id_a", "id_b", d.alias("edit_dist"), (d <= 8).alias("similar")
+    )
+
+
+@register(
+    "q80_inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    pairs AS (SELECT DISTINCT doc_id, token FROM toks)
+    SELECT p.token,
+           COUNT(*) AS df,
+           (SELECT COUNT(*) FROM toks t WHERE t.token = p.token) AS tf,
+           string_agg(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.doc_id)
+             AS postings
+    FROM pairs p
+    GROUP BY p.token
+    """,
+    doc=(
+        "Inverted-index build: token -> document frequency, total term "
+        "frequency, and the ordered posting list (sort_array over "
+        "collect_set, serialized). One explode + one shuffle on token; "
+        "posting lists are bounded by df, so at 100 TB hot tokens "
+        "(stopwords) are dropped by a df ceiling or sharded by "
+        "(token, doc_id % k) before the collect -- same salting "
+        "pattern as operators/skew.py."
+    ),
+)
+def q80_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    agg = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_set("doc_id")).alias("_ids"),
+    )
+    return agg.select(
+        "token",
+        "df",
+        "tf",
+        F.array_join(
+            F.transform("_ids", lambda x: x.cast("string")), ","
+        ).alias("postings"),
+    )

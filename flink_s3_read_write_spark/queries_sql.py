@@ -632,3 +632,41 @@ def q77_big_spenders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_spend").desc(), "c_custkey")
         .limit(100)
     )
+
+
+@register(
+    "q81_winsorize",
+    oracle="""
+    WITH pct AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+           least(greatest(o.o_totalprice, p.p05), p.p95) AS w_price
+    FROM orders o JOIN pct p USING (o_orderpriority)
+    """,
+    doc=(
+        "Winsorization (outlier clamping): per-group p05/p95 computed "
+        "once in a tiny aggregate, broadcast back onto the fact table, "
+        "values clamped with least/greatest. The pre-normalization "
+        "step before z-scoring (q63); the percentile table is "
+        "group-count sized, so the join never shuffles the fact side."
+    ),
+)
+def q81_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pct = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("p05"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    )
+    joined = o.join(F.broadcast(pct), "o_orderpriority")
+    return joined.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.least(
+            F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95")
+        ).alias("w_price"),
+    )
