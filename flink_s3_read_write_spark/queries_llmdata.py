@@ -854,14 +854,15 @@ def q80_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
+    # df comes free as size(collect_set): no countDistinct, so no
+    # distinct-expand — the groupBy stays a single exchange.
     agg = toks.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df"),
         F.count(F.lit(1)).alias("tf"),
         F.sort_array(F.collect_set("doc_id")).alias("_ids"),
     )
     return agg.select(
         "token",
-        "df",
+        F.size("_ids").cast("bigint").alias("df"),
         "tf",
         F.array_join(
             F.transform("_ids", lambda x: x.cast("string")), ","

@@ -1,0 +1,136 @@
+"""Semantics tests for the q72-q81 additions beyond what the DuckDB
+hash-compare proves: invariants (clamp bounds, error ceilings, df/tf
+consistency) and determinism, at sf0.001 for speed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_s3_read_write_spark.queries import registry
+
+
+def _q(name):
+    return registry()[name].fn
+
+
+def test_quantize_error_ceiling(spark, sf_dir):
+    # floor(x*127+0.5) rounds to the nearest level: reconstruction
+    # error of a unit-norm component is at most half a level width.
+    rows = _q("q76_quantize_embeddings")(spark, sf_dir).collect()
+    assert rows, "no embeddings"
+    half_level = 0.5 / 127.0 + 1e-12
+    for r in rows:
+        assert 0.0 <= r.max_abs_err <= half_level
+        assert r.l2_norm > 0
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    rates = {"en": 0.25, "zh": 0.5, "es": 0.75, "de": 0.9, "fr": 0.1}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got1 = _q("q78_stratified_sample")(spark, sf_dir)
+    kept = {r.lang: r.n for r in got1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, rate in rates.items():
+        n = totals.get(lang, 0)
+        if n < 20:  # too small to bound the rate
+            continue
+        frac = kept.get(lang, 0) / n
+        assert abs(frac - rate) < 0.25, (lang, frac, rate)
+    # Deterministic: same rows on re-run.
+    a = sorted(r.doc_id for r in got1.collect())
+    b = sorted(r.doc_id for r in _q("q78_stratified_sample")(spark, sf_dir).collect())
+    assert a == b
+
+
+def test_inverted_index_consistency(spark, sf_dir):
+    rows = _q("q80_inverted_index")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        ids = r.postings.split(",")
+        assert len(ids) == r.df
+        assert r.tf >= r.df
+        assert ids == sorted(ids, key=int)
+        assert len(set(ids)) == len(ids)
+
+
+def test_winsorize_clamps_within_group_range(spark, sf_dir):
+    out = _q("q81_winsorize")(spark, sf_dir)
+    # Clamped value never leaves the group's observed [min, max], row
+    # count is unchanged, and interior values pass through untouched.
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert out.count() == n_orders
+    chk = out.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"),
+        F.min("w_price").alias("wlo"), F.max("w_price").alias("whi"),
+        F.count(F.when(F.col("w_price") == F.col("o_totalprice"), 1)).alias("same"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    for r in chk.collect():
+        assert r.lo <= r.wlo and r.whi <= r.hi
+        assert r.same >= int(0.85 * r.n)  # ~90% of rows are interior
+
+
+def test_repetition_fraction_bounds(spark, sf_dir):
+    rows = _q("q75_repetition_quality")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.top_bigram_n <= r.n_bigrams
+        assert abs(r.top_bigram_frac - r.top_bigram_n / r.n_bigrams) < 1e-12
+        assert r.repetitive == (r.top_bigram_frac > 0.18)
+
+
+def test_decontaminate_hits_share_a_shingle(spark, sf_dir):
+    out = _q("q72_decontaminate")(spark, sf_dir)
+    rows = out.collect()
+    for r in rows:
+        assert r.n_shared_shingles >= 1 and r.n_bench_docs >= 1
+    # Re-derive one hit by brute force to confirm the overlap is real.
+    if rows:
+        docs = {x.doc_id: x.text.split(" ")
+                for x in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+        def grams(ws):
+            return {" ".join(ws[i:i + 4]) for i in range(len(ws) - 3)}
+        hit = rows[0].doc_id
+        bench_ids = [d for d in docs if d % 31 == 0 and d != hit]
+        assert any(grams(docs[hit]) & grams(docs[b]) for b in bench_ids)
+
+
+def test_edit_distance_identity_and_bound(spark, sf_dir):
+    rows = _q("q79_edit_distance_pairs")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.edit_dist <= 32
+        assert r.similar == (r.edit_dist <= 8)
+
+
+def test_latest_by_key_is_maximal(spark, sf_dir):
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    out = {r.user_id: r for r in _q("q73_latest_by_key")(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.max(F.struct(F.col("ts"), F.col("event_id"))).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    for r in agg.collect():
+        assert out[r.user_id].last_event_id == r.mx.event_id
+    assert len(out) == agg.count()
+
+
+def test_map_functions_matches_json_path(spark, sf_dir):
+    rows = {r.key: r for r in _q("q74_map_functions")(spark, sf_dir).collect()}
+    assert set(rows) == {"k", "type_len"}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    assert rows["k"].n == n and rows["type_len"].n == n
+    k_sum = ev.select(F.sum(F.get_json_object("props", "$.k").cast("bigint"))).collect()[0][0]
+    assert rows["k"].sum_v == k_sum
+
+
+def test_big_spenders_all_pass_threshold(spark, sf_dir):
+    rows = _q("q77_big_spenders_having")(spark, sf_dir).collect()
+    assert len(rows) <= 100
+    for r in rows:  # may be empty at sf0.001; every returned row qualifies
+        assert r.total_spend > 4_000_000
+    spends = [r.total_spend for r in rows]
+    assert spends == sorted(spends, reverse=True)
