@@ -868,3 +868,108 @@ def q80_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("_ids", lambda x: x.cast("string")), ","
         ).alias("postings"),
     )
+
+
+@register(
+    "q82_tfidf_keywords",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, rank, token, tf, df
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc=(
+        "TF-IDF keyword extraction: per-(doc,token) term frequency, "
+        "per-token document frequency (tiny, broadcast back), smoothed "
+        "idf, top-3 terms per doc via WindowGroupLimit. Output carries "
+        "only integer-exact columns (rank proves the scoring) because "
+        "JVM and DuckDB ln() differ in the last ulp; score values are "
+        "asserted Spark-side in tests/test_query_extras.py."
+    ),
+)
+def q82_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one count job; at 100 TB read from stats
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        (
+            F.col("tf")
+            * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tf", "df")
+    )
+
+
+@register(
+    "q83_token_budget_mix",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+             md5('mix-v1' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    laid AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM sized
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM laid WHERE cum_tokens <= 4000
+    """,
+    doc=(
+        "Corpus mixing under a token budget: per-source quota fill "
+        "(4000 tokens) in md5 order — a deterministic uniform shuffle, "
+        "so the selection is an unbiased sample that lands exactly on "
+        "the budget, reproducible across engines and cluster sizes. "
+        "One window shuffle on source; at 100 TB the per-source cumsum "
+        "shards like q71's packing window."
+    ),
+)
+def q83_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat(F.lit("mix-v1"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 4000)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )

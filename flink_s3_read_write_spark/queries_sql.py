@@ -670,3 +670,31 @@ def q81_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95")
         ).alias("w_price"),
     )
+
+
+@register(
+    "q84_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, val
+    FROM (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS price,
+             CAST(o_custkey AS DOUBLE) AS custkey
+      FROM orders
+    ) UNPIVOT (val FOR metric IN (price, custkey))
+    """,
+    doc=(
+        "UNPIVOT (wide -> long): numeric order columns melted into "
+        "(metric, val) rows via DataFrame.unpivot — the inverse of "
+        "q23's pivot; a zero-shuffle row-expanding projection "
+        "(Catalyst Expand node), used to feed generic per-metric "
+        "aggregations like q69's profiler."
+    ),
+)
+def q84_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return o.unpivot("o_orderkey", ["price", "custkey"], "metric", "val")
