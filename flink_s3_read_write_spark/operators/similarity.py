@@ -19,6 +19,7 @@ the expression itself at negligible cost for small dim).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -132,46 +133,71 @@ def ann_ivf_topk(
     multi-probe + exact cosine re-rank.
 
     The classic ANN alternative to LSH: partition the corpus into
-    ``n_centroids`` Voronoi cells (Spark ML KMeans, seeded →
-    deterministic), store each vector under its cell id, and have a
-    query search only its ``n_probe`` nearest cells —
-    candidates ≈ n_probe/n_centroids of the corpus.  At 100 TB the
-    cell id is a partition column: training runs on a sample, cell
-    assignment is one scan, and a query is a partition-pruned read.
+    ``n_centroids`` Voronoi cells (seeded Lloyd's → deterministic),
+    store each vector under its cell id, and have a query search only
+    its ``n_probe`` nearest cells — candidates ≈ n_probe/n_centroids
+    of the corpus.  At 100 TB the cell id is a partition column:
+    training runs on a sample, cell assignment is one scan, and a
+    query is a partition-pruned read.
 
-    Plan shape: corpus assigned JVM-side by the fitted model;
-    query→cell probe list is computed on the driver (queries and
-    centroids are both small by definition) and broadcast; candidates
-    equi-join on cell id, then the same re-rank as every other
-    similarity path.
+    Plan shape: training is DRIVER-SIDE NumPy on a bounded seeded
+    sample (standard IVF practice — you never k-means the full
+    corpus, so a distributed KMeans buys ~10 barrier jobs of overhead
+    for nothing); the only full-data pass is cell assignment, an
+    Arrow-batched pandas_udf argmin against the broadcast centroid
+    matrix.  Query→cell probe list is computed on the driver (queries
+    and centroids are both small by definition) and broadcast;
+    candidates equi-join on cell id, then the same re-rank as every
+    other similarity path.
     """
     import numpy as np
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
 
-    feats = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
-    # Standard IVF practice: centroids train on a bounded sample — at
-    # 100 TB you never k-means the full corpus; assignment (one pass,
-    # JVM-side) is the only full-data step.  A seeded sample, NOT
-    # limit(): limit() takes whichever rows the first partitions yield,
-    # which on sorted data is a biased prefix that would tile only one
-    # region of the embedding space.
+    # Bounded seeded sample for training.  A seeded sample, NOT
+    # limit(): limit() takes whichever rows the first partitions
+    # yield, which on sorted data is a biased prefix that would tile
+    # only one region of the embedding space.
     target = max(2000, 50 * n_centroids)
     n_corpus = corpus.count()
     frac = min(1.0, (2.0 * target) / max(1, n_corpus))
-    train = feats.select("features").sample(frac, seed=42).limit(target)
-    model = KMeans(k=n_centroids, seed=42, maxIter=10).fit(train)
-    assigned = model.transform(feats).select(
+    train_rows = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .sample(frac, seed=42)
+        .limit(target)
+        .collect()
+    )
+    x = np.asarray([r.v for r in train_rows], dtype=np.float64)
+    rng = np.random.RandomState(42)
+    # k-means++ seeding, then Lloyd's.
+    cents = [x[rng.randint(len(x))]]
+    for _ in range(1, n_centroids):
+        d2 = np.min(
+            ((x[:, None, :] - np.asarray(cents)[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(x[rng.choice(len(x), p=p)])
+    centroids = np.asarray(cents)
+    for _ in range(10):
+        lab = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(-1).argmin(1)
+        for c in range(n_centroids):
+            m = lab == c
+            if m.any():
+                centroids[c] = x[m].mean(0)
+
+    @pandas_udf("int")
+    def assign_cell(vs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        if len(m) == 0:
+            return pd.Series([], dtype="int32")
+        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d.argmin(1).astype("int32"))
+
+    assigned = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
-        F.col("prediction").alias("cell"),
+        assign_cell(F.col(vec_col)).alias("cell"),
     )
-    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
     q_rows = queries.select(id_col, vec_col).collect()
     probes = []
     for r in q_rows:
