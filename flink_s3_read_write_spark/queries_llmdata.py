@@ -973,3 +973,72 @@ def q83_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= 4000)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+@register(
+    "q85_vocab_encode",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, i AS pos, w[i] AS token
+      FROM words, unnest(range(1, len(w) + 1)) AS t(i)
+    ),
+    vocab AS (
+      SELECT token, id FROM (
+        SELECT token,
+               row_number() OVER (ORDER BY COUNT(*) DESC, token) - 1 AS id
+        FROM toks GROUP BY token
+      ) WHERE id < 16
+    ),
+    enc AS (
+      SELECT t.doc_id, t.pos, coalesce(v.id, -1) AS id
+      FROM toks t LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(CASE WHEN id = -1 THEN 1 END) AS n_unk,
+           string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
+    FROM enc GROUP BY doc_id
+    """,
+    doc=(
+        "Vocabulary build + token-id encoding: top-16 tokens by corpus "
+        "frequency (rank ties broken by token) become ids 0-15, "
+        "everything else maps to -1 (UNK); each document re-emerges as "
+        "its ordered id sequence with token/UNK counts. The global "
+        "rank window runs on the token-frequency table, which is "
+        "vocabulary-sized (tiny) by construction; the encode join "
+        "broadcasts the vocab, so the corpus is never shuffled — the "
+        "tokenizer-dictionary step between q38's counting and q70's "
+        "chunking."
+    ),
+)
+def q85_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "token"),
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # Top-16 via TakeOrderedAndProject then driver-side id assignment:
+    # a vocabulary is driver-sized by definition, and this avoids the
+    # single-partition global rank window a row_number() would need.
+    top = counts.orderBy(F.col("n").desc(), "token").limit(16).collect()
+    vocab = spark.createDataFrame(
+        [(r.token, i) for i, r in enumerate(top)], "token string, id int"
+    )
+    enc = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(-1)).alias("id")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("id") == -1, 1)).alias("n_unk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda s: s.id.cast("string"),
+            ),
+            ",",
+        ).alias("ids"),
+    )

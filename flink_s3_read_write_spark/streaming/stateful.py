@@ -78,3 +78,60 @@ def streaming_dedup(events: DataFrame, keys: list[str], delay: str = "10 minutes
     history — the only formulation that survives unbounded streams.
     """
     return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
+
+
+class RunningStatsProcessor:
+    """``transformWithStateInPandas`` twin of ``running_stats_fn`` —
+    the Spark 4 successor API (SPARK-49564): explicit typed state
+    handles (ValueState here; ListState/MapState/timers available)
+    instead of a single state tuple, same per-key state-store
+    semantics and Arrow batching."""
+
+    def init(self, handle) -> None:
+        self._stats = handle.getValueState("stats", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+        prev = self._stats.get() if self._stats.exists() else None
+        n, total, peak = prev if prev is not None else (0, 0.0, float("-inf"))
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                peak = max(peak, float(pdf["value"].max()))
+        self._stats.update((n, total, peak))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_events": [n], "total": [total], "peak": [peak]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_stats_stream_tws(events: DataFrame, key: str = "event_type") -> DataFrame:
+    """`running_stats_stream` on the transformWithStateInPandas API.
+
+    Same emission pattern (one row per active key per micro-batch,
+    ``update`` mode); state lives in a named ValueState handle the
+    processor declares in ``init``, which is what makes multi-state
+    operators (e.g. dedup set + aggregate + timer) expressible where
+    applyInPandasWithState's single tuple gets awkward.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # Subclass dynamically so module import works even if a future
+    # pyspark relocates the ABC (the methods are duck-typed anyway).
+    proc = type(
+        "RunningStatsProcessorTWS", (StatefulProcessor,), dict(RunningStatsProcessor.__dict__)
+    )()
+    key_type = events.schema[key].dataType.simpleString()
+    out_schema = f"key {key_type}, n_events bigint, total double, peak double"
+    return (
+        events.select(events[key].alias("key"), "value")
+        .groupBy("key")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -313,3 +313,39 @@ def test_stream_static_enrichment_join(spark, sf_dir, tmp_path):
         assert len(got) == 2 and all(v is not None for v in got.values())
     finally:
         q.stop()
+
+
+def test_transform_with_state_running_stats(spark, tmp_path):
+    # transformWithStateInPandas speaks a protobuf protocol to its
+    # state server; gate on the lib like the imaging stubs (the
+    # operator itself is plain DataFrame API and imports fine).
+    pytest.importorskip("google.protobuf")
+    from flink_s3_read_write_spark.streaming import stateful
+
+    src = str(tmp_path / "tws")
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+    def rows(vals, etype):
+        t0 = datetime(2024, 1, 1)
+        return [(i, t0, 1, etype, float(v), "{}") for i, v in enumerate(vals)]
+
+    spark.createDataFrame(rows([1, 2, 3], "a") + rows([10], "b"), schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = stateful.running_stats_stream_tws(jobs.events_stream(spark, src))
+    q = stream.writeStream.format("memory").queryName("t_tws").outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows([4], "a"), schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        hist = spark.table("t_tws").collect()
+        last = {}
+        for r in hist:
+            last[r["key"]] = (r["n_events"], r["total"], r["peak"])
+        assert last["a"] == (4, 10.0, 4.0)  # ValueState crossed the batch boundary
+        assert last["b"] == (1, 10.0, 10.0)
+    finally:
+        q.stop()
