@@ -1042,3 +1042,103 @@ def q85_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("ids"),
     )
+
+
+def _pretrain_oracle() -> str:
+    """Oracle for q87: the q31-dedup, q72-decontamination, q70-chunk
+    and q71-pack fragments composed over a ``keepers`` CTE."""
+    from flink_s3_read_write_spark.operators.chunking import chunk_oracle_sql
+
+    chunk_part = chunk_oracle_sql(64, 8).strip()
+    assert chunk_part.startswith("WITH ")
+    chunk_part = chunk_part.replace("FROM documents", "FROM keepers")
+    # splice: WITH <our CTEs>, <toks/chunks CTEs> <final chunk select>
+    chunk_ctes, chunk_select = chunk_part.rsplit("SELECT doc_id,", 1)
+    norm = _NORM_SQL.format(c="text")
+    return f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS sh
+      FROM words, unnest(range(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 4
+    ),
+    bench AS (
+      SELECT sh, doc_id AS bench_id FROM shingles WHERE doc_id % 31 = 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM shingles s JOIN bench b ON s.sh = b.sh AND s.doc_id <> b.bench_id
+    ),
+    keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   coalesce(nullif({norm}, ''),
+                            '#' || CAST(doc_id AS VARCHAR)) AS nk
+            FROM documents)
+      GROUP BY nk
+    ),
+    keepers AS (
+      SELECT d.doc_id, d.text
+      FROM documents d
+      JOIN keep USING (doc_id)
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    {chunk_ctes.removeprefix("WITH ").rstrip()},
+    chunked AS (SELECT doc_id, {chunk_select}),
+    laid AS (
+      SELECT *, CAST(doc_id % 16 AS INT) AS shard,
+             SUM(n_chunk_tokens) OVER (PARTITION BY doc_id % 16
+                 ORDER BY doc_id, chunk_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_chunk_tokens AS s
+      FROM chunked)
+    SELECT doc_id, chunk_id, chunk_text, n_chunk_tokens, shard,
+           CAST(s // 256 AS BIGINT) AS pack_id
+    FROM laid
+    """
+
+
+@register(
+    "q87_pretrain_pipeline",
+    oracle=None,  # injected below (needs the chunk fragment at import time)
+    doc=(
+        "FLAGSHIP COMPOSITE, end-to-end pretraining data prep in ONE "
+        "Catalyst plan: normalized dedup keepers (q31) minus "
+        "decontaminated docs (q72), chunked into 64/8 token windows "
+        "(q70) and packed to 256-token budgets (q71). Each stage is "
+        "the already-oracle-checked operator. The branches re-scan the "
+        "pruned parquet (cheaper than materializing at 100 TB); the "
+        "only wide ops are the dedup shuffle, the broadcast "
+        "decontamination join, and the sharded packing window "
+        "(4 exchanges / 4 broadcasts total, PLANS.md)."
+    ),
+)
+def q87_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.operators.chunking import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keeper_ids = D.normalized_dedup(docs).select("doc_id")
+    contaminated = q72_decontaminate(spark, sf_dir).select("doc_id")
+    clean = (
+        docs.select("doc_id", "text")
+        .join(keeper_ids, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    return pack_chunks(chunk_documents(clean), budget=256)
+
+
+def _inject_pretrain_oracle() -> None:
+    from flink_s3_read_write_spark.queries import _REGISTRY, Query
+
+    q = _REGISTRY["q87_pretrain_pipeline"]
+    _REGISTRY["q87_pretrain_pipeline"] = Query(
+        q.name, q.fn, _pretrain_oracle(), q.doc
+    )
+
+
+_inject_pretrain_oracle()

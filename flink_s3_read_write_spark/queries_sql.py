@@ -698,3 +698,42 @@ def q84_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").cast("double").alias("custkey"),
     )
     return o.unpivot("o_orderkey", ["price", "custkey"], "metric", "val")
+
+
+@register(
+    "q86_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS roll_sum,
+           COUNT(*) OVER w AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    doc=(
+        "Time-based RANGE frame: per-user rolling 6-hour sum/count — "
+        "the moving-aggregate shape row-count frames (q11/q61) can't "
+        "express when events are irregularly spaced. One shuffle on "
+        "user_id; the frame sum routes through DECIMAL so the sliding "
+        "accumulation is order-independent and exact on both engines."
+    ),
+)
+def q86_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-6 * 3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+        .alias("roll_sum"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    )
