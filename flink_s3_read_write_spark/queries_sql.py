@@ -737,3 +737,75 @@ def q86_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("roll_sum"),
         F.count(F.lit(1)).over(w).alias("roll_n"),
     )
+
+
+@register(
+    "q88_stats_aggregates",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(20,6))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(20,6))
+                 * CAST(l_quantity AS DECIMAL(20,6))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(20,6))
+                 * CAST(l_extendedprice AS DECIMAL(20,6))) AS syy,
+             SUM(CAST(l_quantity AS DECIMAL(20,6))
+                 * CAST(l_extendedprice AS DECIMAL(20,6))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(CAST(sx AS DOUBLE) / n, 9) AS mean_qty,
+           round(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                / (CAST(n AS DOUBLE) * (n - 1))), 9) AS stddev_qty,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+             AS corr_qty_price
+    FROM m
+    """,
+    doc=(
+        "Statistical aggregates (mean/stddev/correlation) computed "
+        "from decimal-exact moment sums, finished in double on the "
+        "group row: order-independent (the running-variance forms "
+        "built-in stddev/corr use are partition-order sensitive in "
+        "the last ulp; outputs round to 9 dp because the final "
+        "decimal->double cast is itself engine-rounded), single-pass, "
+        "mergeable — the way to get "
+        "bit-stable statistics at 100 TB. Built-in F.corr/F.stddev "
+        "agree to ~1e-9 (tests/test_query_extras.py)."
+    ),
+)
+def q88_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = "decimal(20,6)"
+    x = F.col("l_quantity").cast(d)
+    y = F.col("l_extendedprice").cast(d)
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_num_x = n * sxx - sx * sx
+    var_num_y = n * syy - sy * sy
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 9).alias("mean_qty"),
+        F.round(F.sqrt(var_num_x / (n.cast("double") * (n - 1))), 9).alias(
+            "stddev_qty"
+        ),
+        F.round(
+            (n * sxy - sx * sy) / (F.sqrt(var_num_x) * F.sqrt(var_num_y)), 9
+        ).alias("corr_qty_price"),
+    )

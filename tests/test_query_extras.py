@@ -177,3 +177,25 @@ def test_unpivot_roundtrip(spark, sf_dir):
     assert set(r.metric for r in out.select("metric").distinct().collect()) == {
         "price", "custkey"
     }
+
+
+def test_stats_aggregates_match_builtins(spark, sf_dir):
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    got = {r.l_returnflag: r for r in _q("q88_stats_aggregates")(spark, sf_dir).collect()}
+    ref = {
+        r.l_returnflag: r
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.mean("l_quantity").alias("m"),
+            F.stddev_samp("l_quantity").alias("s"),
+            F.corr("l_quantity", "l_extendedprice").alias("c"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for k, r in ref.items():
+        assert abs(got[k].mean_qty - r.m) < 1e-6
+        assert abs(got[k].stddev_qty - r.s) < 1e-6
+        assert abs(got[k].corr_qty_price - r.c) < 1e-6
