@@ -524,3 +524,62 @@ def q25_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_value"),
         F.unix_micros("asof_ts").alias("purchase_us"),
     )
+
+
+@register(
+    "q89_revenue_share",
+    oracle="""
+    WITH nat AS (
+      SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+             SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS rev_dec
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT r.r_name AS region, nation, revenue,
+           CAST(rev_dec AS DOUBLE)
+             / CAST(SUM(rev_dec) OVER (PARTITION BY regionkey) AS DOUBLE)
+             AS share
+    FROM nat JOIN region r ON nat.regionkey = r.r_regionkey
+    """,
+    doc=(
+        "Percent-of-total window (ratio_to_report shape): per-nation "
+        "revenue as a share of its region. The share divides DECIMAL "
+        "by DECIMAL before the double cast, so the window sum is "
+        "order-independent (both sides cast to double only for the "
+        "final division); the window runs over the nation-level "
+        "aggregate (25 rows), never the fact table."
+    ),
+)
+def q89_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("regionkey"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev_dec"))
+    )
+    w = Window.partitionBy("regionkey")
+    return (
+        nat.join(F.broadcast(r), nat.regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            "nation",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            (
+                F.col("rev_dec").cast("double")
+                / F.sum("rev_dec").over(w).cast("double")
+            ).alias("share"),
+        )
+    )
