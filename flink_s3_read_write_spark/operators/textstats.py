@@ -211,3 +211,40 @@ def stratified_sample(
     is partitioning-independent).
     """
     return df.sampleBy(strata_col, fractions, seed)
+
+
+# --- PII redaction -------------------------------------------------------
+
+# Order matters: longer/more-specific patterns first so e.g. an email
+# is not half-eaten by the phone pattern. All JVM-side regexp_replace
+# (codegen'd, no UDF) — at 100 TB this is a zero-shuffle projection.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"(\+?\d{1,2}[\s.-]?)?(\(\d{3}\)|\d{3})[\s.-]?\d{3}[\s.-]?\d{4}\b"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Mask common PII shapes (emails, SSNs, phone numbers, IPv4) with
+    ``[<KIND>]`` tokens and count the redactions per row.
+
+    The standard pre-training scrub pass.  Counting uses the pre/post
+    length delta of each stage divided by match length — avoided here
+    in favor of ``regexp_count`` (exact, same scan).  Patterns are
+    deliberately conservative (high precision); recall-heavy PII
+    (names, addresses) needs NER models out of scope for an engine.
+    """
+    out = out_col or text_col
+    cur = F.col(text_col)
+    n_total = F.lit(0).cast("bigint")
+    for kind, pat in PII_PATTERNS:
+        n_total = n_total + F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, f"[{kind.upper()}]")
+    # One withColumns call: both expressions must resolve against the
+    # ORIGINAL frame — chained withColumn would bind n_total's column
+    # references to the already-redacted text and count zero.
+    return df.withColumns({out: cur, "n_redactions": n_total})

@@ -94,3 +94,26 @@ def test_stratified_sample_balances(spark, sf_dir):
     again = {r["lang"]: r["count"]
              for r in stratified_sample(docs, "lang", fracs).groupBy("lang").count().collect()}
     assert again == after
+
+
+def test_redact_pii_masks_planted_fixtures(spark):
+    from flink_s3_read_write_spark.operators.textstats import redact_pii
+
+    rows = [
+        (0, "contact john.doe+spam@example.co.uk for info"),
+        (1, "ssn 123-45-6789 leaked"),
+        (2, "call (415) 555-1234 or +1 415.555.2671 now"),
+        (3, "server at 192.168.0.1 responded"),
+        (4, "nothing sensitive here"),
+        (5, "mixed: a@b.io and 10.0.0.7"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert got[0].text == "contact [EMAIL] for info"
+    assert got[1].text == "ssn [SSN] leaked"
+    assert got[2].text == "call [PHONE] or [PHONE] now"
+    assert got[3].text == "server at [IPV4] responded"
+    assert got[4].text == "nothing sensitive here" and got[4].n_redactions == 0
+    assert got[5].text == "mixed: [EMAIL] and [IPV4]"
+    assert got[5].n_redactions == 2
+    assert got[2].n_redactions == 2
