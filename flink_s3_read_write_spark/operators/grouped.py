@@ -89,3 +89,28 @@ def sigmoid_udf():
         return 1.0 / (1.0 + np.exp(-v))
 
     return sigmoid
+
+
+def geometric_mean_udf():
+    """Grouped-AGG pandas UDF (the third vectorized shape next to
+    scalar and grouped-map): usable inside ``groupBy().agg()`` and as
+    a window function. Geometric mean is a real example of an
+    aggregate Spark lacks natively; Arrow ships each group's column
+    once, NumPy reduces it.
+
+    Scale note: grouped-agg UDFs receive the WHOLE group like
+    applyInPandas does — fine for bounded groups; unbounded hot keys
+    want a log-sum rewrite on native exp(avg(ln(x))) instead (exact
+    same math, partial-aggregatable).
+    """
+    import numpy as np
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:  # scalar return = GROUPED_AGG
+        x = v.to_numpy(dtype="float64")
+        x = x[x > 0]
+        if len(x) == 0:
+            return float("nan")
+        return float(np.exp(np.log(x).mean()))
+
+    return geo_mean

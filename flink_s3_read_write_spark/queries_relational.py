@@ -583,3 +583,45 @@ def q89_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+@register(
+    "q90_set_ops_all",
+    oracle="""
+    SELECT 'intersect' AS op, qty, COUNT(*) AS n FROM (
+      SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'R'
+      INTERSECT ALL
+      SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'
+    ) GROUP BY qty
+    UNION ALL
+    SELECT 'except', qty, COUNT(*) FROM (
+      SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'R'
+      EXCEPT ALL
+      SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'
+    ) GROUP BY qty
+    """,
+    doc=(
+        "Multiset set ops (INTERSECT ALL / EXCEPT ALL): "
+        "duplicate-preserving semantics the DISTINCT variants "
+        "(q17/q18) can't express — count-based, one shuffle each, no "
+        "row explosion. Results re-aggregated per value so the check "
+        "stays compact."
+    ),
+)
+def q90_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_quantity").alias("qty"))
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_quantity").alias("qty"))
+    inter = (
+        r.intersectAll(a)
+        .groupBy("qty")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect").alias("op"), "qty", "n")
+    )
+    exc = (
+        r.exceptAll(a)
+        .groupBy("qty")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except").alias("op"), "qty", "n")
+    )
+    return inter.unionByName(exc)

@@ -33,3 +33,28 @@ def test_sigmoid_pandas_udf(spark):
     got = {r["x"]: r["s"] for r in df.select("x", G.sigmoid_udf()(F.col("x")).alias("s")).collect()}
     for x, s in got.items():
         assert s == pytest.approx(1.0 / (1.0 + math.exp(-x)), rel=1e-12)
+
+
+def test_geometric_mean_grouped_agg(spark, sf_dir):
+    import math
+
+    from flink_s3_read_write_spark.operators.grouped import geometric_mean_udf
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    geo = geometric_mean_udf()
+    o = load_table(spark, sf_dir, "orders")
+    got = {
+        r.o_orderpriority: r.g
+        for r in o.groupBy("o_orderpriority").agg(geo("o_totalprice").alias("g")).collect()
+    }
+    # native log-sum twin (the partial-aggregatable rewrite for hot keys)
+    ref = {
+        r.o_orderpriority: r.g
+        for r in o.filter(F.col("o_totalprice") > 0)
+        .groupBy("o_orderpriority")
+        .agg(F.exp(F.avg(F.log("o_totalprice"))).alias("g"))
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert math.isfinite(got[k]) and abs(got[k] - ref[k]) / ref[k] < 1e-9
