@@ -316,3 +316,61 @@ def ann_lsh_topk(
         .filter(F.col("rn") <= k)
         .select("q_id", "n_id", "cosine", "rn")
     )
+
+
+def semdedup_keep_list(
+    corpus: DataFrame,
+    dim: int = 64,
+    bits: int = 5,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: bucket embeddings, keep one
+    representative per bucket, drop members whose cosine to the
+    representative exceeds ``threshold``.
+
+    SemDeDup (Abbas et al., 2023) clusters embeddings with k-means and
+    removes within-cluster near-duplicates.  This implementation keeps
+    the same decision rule but forms clusters with the deterministic
+    sign-LSH bucket (``lsh_bucket``) so the whole pass is Catalyst
+    expressions — no training step, no RNG, reproducible across runs
+    and cluster sizes.  The q67 IVF cells are the drop-in k-means
+    alternative when trained centroids are worth the extra pass.
+
+    Representative = min ``id_col`` per bucket (stable under
+    re-partitioning).  Plan shape: one hash shuffle on the bucket to
+    pick representatives (tiny aggregate, 2^bits rows), a second
+    co-partitioned join to pair every member with its representative's
+    vector, then per-row cosine — O(n) comparisons total, never the
+    O(n^2) within-cluster pairwise of the paper (star-vs-rep is the
+    standard scale relaxation; chained near-dups beyond the rep's
+    radius survive one pass and are caught by re-running with a fresh
+    table id, same trade as q33's banding).
+
+    Output: (vec_id, bucket, rep_id, cosine_to_rep, keep).
+    """
+    b = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
+    )
+    rep_ids = b.groupBy("bucket").agg(F.min("vec_id").alias("rep_id"))
+    rep_vecs = (
+        b.withColumnRenamed("vec_id", "rep_id")
+        .withColumnRenamed("vec", "rep_vec")
+        .join(F.broadcast(rep_ids), ["bucket", "rep_id"])
+    )
+    paired = b.join(F.broadcast(rep_ids), "bucket").join(
+        rep_vecs, ["bucket", "rep_id"]
+    )
+    cos = cosine_similarity(F.col("vec"), F.col("rep_vec"))
+    return paired.select(
+        "vec_id",
+        "bucket",
+        "rep_id",
+        cos.alias("cosine_to_rep"),
+        ((F.col("vec_id") == F.col("rep_id")) | (cos <= F.lit(threshold))).alias(
+            "keep"
+        ),
+    )

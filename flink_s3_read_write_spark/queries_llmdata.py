@@ -1142,3 +1142,122 @@ def _inject_pretrain_oracle() -> None:
 
 
 _inject_pretrain_oracle()
+
+
+@register(
+    "q92_gopher_quality",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    unigrams AS (
+      SELECT doc_id, u, COUNT(*) AS c
+      FROM words, unnest(w) AS t(u)
+      GROUP BY doc_id, u
+    ),
+    uni AS (
+      SELECT doc_id,
+             SUM(c) AS word_cnt,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+               AS dup_word_frac,
+             CAST(SUM(c * len(u)) AS DOUBLE) / SUM(c) AS mean_word_len
+      FROM unigrams GROUP BY doc_id
+    ),
+    trigrams AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tg
+      FROM words, unnest(range(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    tri AS (
+      SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_trigram_frac
+      FROM (SELECT doc_id, tg, COUNT(*) AS c FROM trigrams GROUP BY doc_id, tg)
+      GROUP BY doc_id
+    )
+    SELECT u.doc_id, u.word_cnt, u.dup_word_frac, u.mean_word_len,
+           coalesce(t.top_trigram_frac, 0.0) AS top_trigram_frac,
+           (u.word_cnt >= 5 AND u.word_cnt <= 100000
+            AND u.mean_word_len >= 2 AND u.mean_word_len <= 12
+            AND u.dup_word_frac < 0.75
+            AND coalesce(t.top_trigram_frac, 0.0) < 0.18) AS keep
+    FROM uni u LEFT JOIN tri t ON u.doc_id = t.doc_id
+    """,
+    doc=(
+        "Gopher-style quality rule suite (extends q75's single rule): "
+        "word count bounds, mean word length band, duplicate-word "
+        "fraction, top-trigram fraction — combined into one keep flag. "
+        "Two explode→count aggregates keyed on doc_id (unigram and "
+        "trigram) joined back — both shuffles are partial-aggregated "
+        "map-side and the join keys share the doc_id partitioning. All "
+        "ratios are bigint-exact sums divided once in double, so both "
+        "engines compute identical bits. At 100 TB this runs as ONE "
+        "pass before any dedup (cheap rules first: each dropped doc "
+        "skips the expensive MinHash/embedding stages downstream)."
+    ),
+)
+def q92_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    uni_counts = (
+        w.select("doc_id", F.explode("w").alias("u"))
+        .groupBy("doc_id", "u")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni = uni_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("word_cnt"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c")
+        ).alias("dup_word_frac"),
+        (F.sum(F.col("c") * F.length("u")).cast("double") / F.sum("c")).alias(
+            "mean_word_len"
+        ),
+    )
+    tg = w.filter(F.size("w") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3), "
+                "i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))"
+            )
+        ).alias("tg"),
+    )
+    tri = (
+        tg.groupBy("doc_id", "tg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_trigram_frac"))
+    )
+    joined = uni.join(tri, "doc_id", "left").select(
+        "doc_id",
+        "word_cnt",
+        "dup_word_frac",
+        "mean_word_len",
+        F.coalesce("top_trigram_frac", F.lit(0.0)).alias("top_trigram_frac"),
+    )
+    keep = (
+        (F.col("word_cnt") >= 5)
+        & (F.col("word_cnt") <= 100000)
+        & (F.col("mean_word_len") >= 2)
+        & (F.col("mean_word_len") <= 12)
+        & (F.col("dup_word_frac") < 0.75)
+        & (F.col("top_trigram_frac") < 0.18)
+    )
+    return joined.withColumn("keep", keep)
+
+
+@register(
+    "q97_semdedup",
+    oracle=None,
+    doc=(
+        "SemDeDup-style semantic dedup over embeddings: deterministic "
+        "sign-LSH buckets play the paper's k-means clusters, one "
+        "representative (min vec_id) kept per bucket, members with "
+        "cosine-to-representative > 0.9 dropped. O(n) comparisons — "
+        "star-vs-representative, never within-cluster pairwise. No "
+        "DuckDB twin (xxhash64 hyperplanes); planted-duplicate "
+        "semantics in tests/test_similarity.py."
+    ),
+)
+def q97_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semdedup_keep_list(emb, dim=64, bits=5, threshold=0.9)

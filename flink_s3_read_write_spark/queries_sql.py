@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_s3_read_write_spark.functions.numeric import dsum
 from flink_s3_read_write_spark.queries import register
 from flink_s3_read_write_spark.sources.io import load_table
 from flink_s3_read_write_spark.sql import run_sql
@@ -808,4 +809,263 @@ def q88_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (n * sxy - sx * sy) / (F.sqrt(var_num_x) * F.sqrt(var_num_y)), 9
         ).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "q91_minmax_by",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderstatus,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn_min,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           MIN(CASE WHEN rn_min = 1 THEN o_orderkey END) AS cheapest_orderkey,
+           MIN(CASE WHEN rn_max = 1 THEN o_orderkey END) AS priciest_orderkey,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bit_or(o_orderkey % 256) AS key_bits_or,
+           bit_and(o_orderkey % 256) AS key_bits_and
+    FROM r
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Ordered-argument and boolean/bitwise aggregates: min_by/max_by "
+        "with a struct ordering key (unique o_orderkey tiebreak makes the "
+        "answer engine-independent even under o_totalprice ties), "
+        "bool_and/bool_or, bit_and/bit_or. All are single-pass mergeable "
+        "aggregates (partial+final HashAggregate, no window, no sort) — "
+        "min_by carries one candidate row per partition, which is the "
+        "100 TB-safe way to answer 'the row that attains the extreme' "
+        "without a self-join back onto the fact table. The oracle spells "
+        "the same ordering out as row_number because DuckDB's arg_min "
+        "cannot take a composite ordering key."
+    ),
+)
+def q91_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    price_key = F.struct("o_totalprice", "o_orderkey")
+    price_key_desc = F.struct("o_totalprice", "o_orderkey")
+    return orders.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", price_key).alias("cheapest_orderkey"),
+        F.max_by("o_orderkey", price_key_desc).alias("priciest_orderkey"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bit_or(F.col("o_orderkey") % 256).alias("key_bits_or"),
+        F.bit_and(F.col("o_orderkey") % 256).alias("key_bits_and"),
+    )
+
+
+@register(
+    "q93_timestamp_arithmetic",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 90 MINUTE AS ts_plus_90m,
+           ts - INTERVAL 3 DAY AS ts_minus_3d,
+           last_day(ts) AS month_end,
+           CAST(isodow(ts) AS INT) AS iso_dow,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+    FROM events
+    """,
+    doc=(
+        "Timestamp interval arithmetic surface: +/- INTERVAL, last_day, "
+        "ISO day-of-week, epoch seconds. Zero-shuffle projection; every "
+        "expression is a Catalyst built-in inside whole-stage codegen. "
+        "Spark's weekday() is 0-based Monday (isodow - 1); epoch seconds "
+        "are floor(cast(ts as double)) on both engines so sub-second "
+        "event times truncate identically."
+    ),
+)
+def q93_timestamp_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        (ts + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
+        (ts - F.expr("INTERVAL 3 DAYS")).alias("ts_minus_3d"),
+        F.last_day(ts).alias("month_end"),
+        (F.weekday(ts) + F.lit(1)).cast("int").alias("iso_dow"),
+        F.floor(ts.cast("double")).cast("bigint").alias("epoch_s"),
+    )
+
+
+@register(
+    "q94_nested_struct_topk",
+    oracle="""
+    WITH r AS (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer
+    )
+    SELECT c_nationkey, CAST(rnk AS INT) AS rnk, c_custkey, c_acctbal
+    FROM r WHERE rnk <= 3
+    """,
+    doc=(
+        "Nested-type surface: per-nation top-3 customers built as an "
+        "array-of-struct column — collect_list(struct) → sort_array on "
+        "the struct's lexicographic order (negated balance gives DESC, "
+        "unique custkey breaks ties) → slice(3) → posexplode back to flat "
+        "rows. The grouped state is capped at k+input structs per group "
+        "and the plan is one hash shuffle with a partial collect on the "
+        "map side; the oracle states the same answer with a window "
+        "row_number. At 100 TB prefer q10's WindowGroupLimit for big "
+        "groups; the array-of-struct form is the one that matters when "
+        "the nested column itself is the product (feature lists, "
+        "session records)."
+    ),
+)
+def q94_nested_struct_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    item = F.struct(
+        (-F.col("c_acctbal")).alias("neg_bal"), F.col("c_custkey").alias("c_custkey")
+    )
+    g = cust.groupBy("c_nationkey").agg(
+        F.slice(F.sort_array(F.collect_list(item)), 1, 3).alias("top3")
+    )
+    return g.select(
+        "c_nationkey", F.posexplode("top3").alias("pos", "s")
+    ).select(
+        "c_nationkey",
+        (F.col("pos") + 1).cast("int").alias("rnk"),
+        F.col("s.c_custkey").alias("c_custkey"),
+        (-F.col("s.neg_bal")).alias("c_acctbal"),
+    )
+
+
+_Q95_SQL = """
+    SELECT s.s_name, COUNT(*) AS waiting_lines
+    FROM lineitem l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+"""
+
+
+@register(
+    "q95_last_to_ship",
+    oracle=_Q95_SQL,
+    doc=(
+        "TPC-H Q21 shape (suppliers who kept orders waiting): per "
+        "lineitem, EXISTS another supplier on the same order (semi join) "
+        "and NOT EXISTS a strictly later-shipping other supplier (anti "
+        "join with an inequality) — the supplier whose shipment closed "
+        "each multi-supplier order. Catalyst decorrelates both "
+        "subqueries into joins on l_orderkey; the two self-join shuffles "
+        "share the same hash partitioning as the probe side, so at "
+        "100 TB bucketed-by-orderkey storage makes all three scans "
+        "co-located (operators/relational.py bucketed-join pattern)."
+    ),
+)
+def q95_last_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sql(spark, sf_dir, _Q95_SQL)
+
+
+@register(
+    "q96_percentile_disc",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_quantity,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag, MAX(n) AS n,
+           MIN(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN l_quantity END) AS p25_disc,
+           MIN(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN l_quantity END) AS p50_disc,
+           MIN(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN l_quantity END) AS p75_disc,
+           MIN(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN l_quantity END) AS p95_disc
+    FROM r
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Discrete (no-interpolation) percentiles: the value at ordinal "
+        "ceil(p*n) in each group's sort order — always an actually "
+        "occurring value, unlike q28's interpolated percentile. Both "
+        "engines evaluate the identical ordinal formula, so tie order "
+        "inside row_number cannot change the selected value (equal "
+        "ranks hold equal quantities). One hash shuffle + per-partition "
+        "sort; at 100 TB swap to approx_percentile (q55) — discrete "
+        "exactness is what you pay the sort for."
+    ),
+)
+def q96_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wn = Window.partitionBy("l_returnflag")
+    r = li.select("l_returnflag", "l_quantity").select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    def disc(p: float, name: str):
+        at = F.ceil(F.col("n") * F.lit(p)).cast("bigint")
+        return F.min(F.when(F.col("rn") == at, F.col("l_quantity"))).alias(name)
+    return r.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        disc(0.25, "p25_disc"),
+        disc(0.50, "p50_disc"),
+        disc(0.75, "p75_disc"),
+        disc(0.95, "p95_disc"),
+    )
+
+
+@register(
+    "q98_rich_but_quiet",
+    oracle="""
+    WITH pos AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS s, COUNT(*) AS cnt
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_balance
+    FROM customer c, pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,6)) * CAST(cnt AS DECIMAL(10,0)) > s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    GROUP BY c_mktsegment
+    """,
+    doc=(
+        "TPC-H Q22 shape (rich-but-quiet customers): above-average "
+        "account balance (uncorrelated scalar subquery) with no large "
+        "order (anti join with an extra predicate). The average test is "
+        "cross-multiplied — acctbal * count > sum in DECIMAL — so the "
+        "boundary decision is exact rational arithmetic on both engines "
+        "instead of a last-ulp double coin flip. The scalar aggregate "
+        "broadcasts (one row); the anti join's orders side is pre-filtered "
+        "by the pushed-down price predicate before it shuffles."
+    ),
+)
+def q98_rich_but_quiet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("s"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(
+            F.col("c_acctbal").cast("decimal(18,6)")
+            * F.col("cnt").cast("decimal(10,0)")
+            > F.col("s")
+        )
+    )
+    big_orders = orders.filter(F.col("o_totalprice") > 400000)
+    quiet = rich.join(big_orders, rich.c_custkey == big_orders.o_custkey, "left_anti")
+    return quiet.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", "total_balance"),
     )

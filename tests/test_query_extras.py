@@ -199,3 +199,49 @@ def test_stats_aggregates_match_builtins(spark, sf_dir):
         assert abs(got[k].mean_qty - r.m) < 1e-6
         assert abs(got[k].stddev_qty - r.s) < 1e-6
         assert abs(got[k].corr_qty_price - r.c) < 1e-6
+
+
+def test_minmax_by_attains_extremes(spark, sf_dir):
+    rows = _q("q91_minmax_by")(spark, sf_dir).collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    by_prio = {
+        r.o_orderpriority: r
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+        .collect()
+    }
+    price = {
+        (r.o_orderkey): r.o_totalprice for r in orders.select("o_orderkey", "o_totalprice").collect()
+    }
+    assert rows
+    for r in rows:
+        assert price[r.cheapest_orderkey] == by_prio[r.o_orderpriority].lo
+        assert price[r.priciest_orderkey] == by_prio[r.o_orderpriority].hi
+        assert 0 <= r.key_bits_or <= 255
+
+
+def test_percentile_disc_values_occur(spark, sf_dir):
+    # Discrete percentiles must be actually-occurring values, ordered.
+    rows = _q("q96_percentile_disc")(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    vals = {
+        r.l_returnflag: {x.l_quantity for x in li.filter(F.col("l_returnflag") == r.l_returnflag)
+                         .select("l_quantity").distinct().collect()}
+        for r in rows
+    }
+    for r in rows:
+        qs = [r.p25_disc, r.p50_disc, r.p75_disc, r.p95_disc]
+        assert qs == sorted(qs)
+        for v in qs:
+            assert v in vals[r.l_returnflag]
+
+
+def test_gopher_quality_bounds(spark, sf_dir):
+    rows = _q("q92_gopher_quality")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.dup_word_frac <= 1.0
+        assert 0.0 <= r.top_trigram_frac <= 1.0
+        assert r.word_cnt >= 1
+        if r.keep:
+            assert r.dup_word_frac < 0.75 and r.top_trigram_frac < 0.18

@@ -128,3 +128,42 @@ def test_pandas_topk_empty_queries(spark):
     df = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
     out = S.brute_force_topk_pandas(df, df.filter(F.col("vec_id") < 0), k=3)
     assert out.count() == 0
+
+
+def test_semdedup_planted_duplicates(spark):
+    # 3 base vectors, each duplicated exactly (and one with tiny noise);
+    # exact/near copies must be dropped, the min-id representative kept.
+    rng = np.random.RandomState(11)
+    base = rng.randn(3, DIM).astype(np.float64)
+    rows = []
+    for i in range(3):
+        v = [float(x) for x in base[i]]
+        rows.append((i * 10, v))          # representative candidate
+        rows.append((i * 10 + 1, v))      # exact duplicate
+    noisy = base[0] + 1e-3 * rng.randn(DIM)
+    rows.append((100, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in S.semdedup_keep_list(
+        df, dim=DIM, bits=2, threshold=0.95).collect()}
+    assert len(out) == len(rows)
+    for i in range(3):
+        rep, dup = out[i * 10], out[i * 10 + 1]
+        # same vector -> same bucket; duplicate scores cosine ~1 to its rep
+        assert dup.bucket == rep.bucket
+        assert not dup.keep and dup.cosine_to_rep > 0.999
+    # every bucket's representative is kept and is its own rep
+    for r in out.values():
+        if r.vec_id == r.rep_id:
+            assert r.keep
+    # near-duplicate of base[0] shares that bucket and is dropped too
+    assert not out[100].keep
+
+
+def test_semdedup_random_corpus_keeps_everything(spark):
+    # Random gaussian vectors have pairwise cosine ~0: nothing should
+    # be dropped at a 0.9 threshold except by astronomical accident.
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(DIM)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.semdedup_keep_list(df, dim=DIM, bits=3, threshold=0.9).collect()
+    assert len(out) == 60 and all(r.keep for r in out)
