@@ -46,6 +46,22 @@ def main() -> int:
         run_one(reg[names[0]].fn, spark, sf_dir)
     except Exception:
         pass
+    # Pre-spawn Python workers (Arrow + numpy/pandas imports, ~8 s once
+    # per session) so the first pandas_udf query isn't charged for them.
+    try:
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _warm(s):
+            return s * 1.0
+
+        spark.range(256).repartition(int(spark.conf.get(
+            "spark.sql.shuffle.partitions"))).select(
+            _warm(F.col("id").cast("double"))).write.format("noop").mode(
+            "overwrite").save()
+    except Exception:
+        pass
 
     times: dict[str, float] = {}
     for name in names:

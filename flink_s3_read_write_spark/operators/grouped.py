@@ -37,9 +37,18 @@ def zscore_catalyst(df: DataFrame, key: str, value: str) -> DataFrame:
     """
     w = Window.partitionBy(key)
     v = F.col(value)
-    s1 = F.sum(v.cast("decimal(30,6)")).over(w).cast("double")
-    s2 = F.sum((v * v).cast("decimal(30,6)")).over(w).cast("double")
-    n = F.count(v).over(w).cast("double")
+    # Bind each window aggregate to a column FIRST: window expressions
+    # get no common-subexpression elimination, so reusing the s1/s2/n
+    # Column objects textually would make the Window operator compute
+    # 13 running aggregates instead of 3 (observed in the physical
+    # plan before this projection was introduced).
+    bound = df.select(
+        "*",
+        F.sum(v.cast("decimal(30,6)")).over(w).cast("double").alias("_s1"),
+        F.sum((v * v).cast("decimal(30,6)")).over(w).cast("double").alias("_s2"),
+        F.count(v).over(w).cast("double").alias("_n"),
+    )
+    s1, s2, n = F.col("_s1"), F.col("_s2"), F.col("_n")
     # greatest(0, ·): decimal quantization of the moments can push the
     # computed variance epsilon-negative, and sqrt(<0) is NaN — which
     # Spark orders ABOVE every number, so a bare `std > 0` guard would
@@ -47,10 +56,10 @@ def zscore_catalyst(df: DataFrame, key: str, value: str) -> DataFrame:
     var = F.greatest((s2 - s1 * s1 / n) / (n - F.lit(1.0)), F.lit(0.0))
     std = F.sqrt(var)
     mean = s1 / n
-    return df.withColumn(
+    return bound.withColumn(
         "zscore",
         F.when((n > 1) & (std > 0), (v - mean) / std).otherwise(F.lit(0.0)),
-    )
+    ).drop("_s1", "_s2", "_n")
 
 
 def zscore_pandas(df: DataFrame, key: str, value: str) -> DataFrame:

@@ -1069,3 +1069,92 @@ def q98_rich_but_quiet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         dsum("c_acctbal", "total_balance"),
     )
+
+
+_Q99_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+@register(
+    "q99_lateral_topk",
+    oracle=_Q99_SQL,
+    doc=(
+        "Correlated LATERAL subquery with ORDER BY + LIMIT (each "
+        "customer's two priciest orders) — the per-row derived-table "
+        "shape. Catalyst decorrelates the lateral into a window "
+        "row_number <= 2 over a single orders shuffle (DomainJoin "
+        "rewrite), so the 'run a subquery per row' surface costs one "
+        "partitioned window, not N probes — exactly the q10 top-k plan "
+        "reached from SQL that reads like a loop. Unique o_orderkey "
+        "tiebreak keeps the LIMIT deterministic on both engines."
+    ),
+)
+def q99_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sql(spark, sf_dir, _Q99_SQL)
+
+
+@register(
+    "q100_running_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_orderpriority, o_orderdate, o_orderkey,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY o_orderpriority, o_custkey
+                    ORDER BY o_orderdate, o_orderkey) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM orders
+    ),
+    cum AS (
+      SELECT o_orderpriority, o_orderdate,
+             SUM(is_first) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS run
+      FROM firsts
+    )
+    SELECT o_orderpriority, o_orderdate, MAX(run) AS distinct_customers_so_far
+    FROM cum
+    GROUP BY o_orderpriority, o_orderdate
+    """,
+    doc=(
+        "Running COUNT(DISTINCT) over an ordered window — a frame SQL "
+        "engines refuse directly — via the scalable two-window rewrite: "
+        "flag each customer's first order (row_number = 1 over the "
+        "(priority, customer) partition), then a running sum of flags "
+        "in date order, aggregated to end-of-date values. State per "
+        "window is one counter instead of a distinct-set, which is what "
+        "makes the pattern viable at 100 TB (a true distinct-set frame "
+        "would hold every key in memory per partition). Two hash "
+        "shuffles, both on bounded keys."
+    ),
+)
+def q100_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w_first = Window.partitionBy("o_orderpriority", "o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    firsts = orders.select(
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    w_run = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = firsts.select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.sum("is_first").over(w_run).alias("run"),
+    )
+    return cum.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.max("run").alias("distinct_customers_so_far")
+    )
