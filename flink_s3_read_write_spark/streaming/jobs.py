@@ -140,6 +140,7 @@ def interval_join_streams(
     key: str = "user_id",
     bound: str = "10 minutes",
     delay: str = "5 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream equi-join with a time-interval condition:
     right.ts ∈ [left.ts − bound, left.ts + bound] per key.
@@ -150,6 +151,11 @@ def interval_join_streams(
     stream-stream inner join would buffer forever.  ABSENT from the
     reference (no join of any kind); this is the streaming member of
     the engine's join family (batch range join: q24; as-of: q25).
+
+    ``how='left_outer'`` emits unmatched left rows with NULL right
+    columns — but only once the right watermark has passed the row's
+    match window (the engine must prove no future match can arrive),
+    so outer results trail the watermark by ``bound + delay``.
     """
     l = left.withWatermark("ts", delay).select(
         F.col(key).alias("l_key"),
@@ -166,18 +172,23 @@ def interval_join_streams(
         (F.col("l_key") == F.col("r_key"))
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {bound}"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {bound}")),
+        how,
     )
 
 
-def start_memory_sink(df: DataFrame, name: str, mode: str):
-    """Test harness sink: results to an in-memory table ``name``."""
-    return (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+def start_memory_sink(df: DataFrame, name: str, mode: str, *, follow: bool = False):
+    """Test harness sink: results to an in-memory table ``name``.
+
+    Default is a one-shot ``availableNow`` drain (the query TERMINATES
+    once the start-time backlog is processed — files appended later are
+    never read).  ``follow=True`` keeps the query live on a micro-batch
+    trigger so tests can append source files across batches (watermark
+    advancement, outer-join flushes, state eviction).
+    """
+    w = df.writeStream.format("memory").queryName(name).outputMode(mode)
+    if not follow:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def start_materialized_view(

@@ -349,3 +349,45 @@ def test_transform_with_state_running_stats(spark, tmp_path):
         assert last["b"] == (1, 10.0, 10.0)
     finally:
         q.stop()
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """Unmatched left rows emit NULL right columns once the right
+    watermark proves no in-window match can still arrive."""
+    srcl, srcr = str(tmp_path / "lo_l"), str(tmp_path / "lo_r")
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(eid, minutes, uid):
+        return (eid, t0 + timedelta(minutes=minutes), uid, "x", 1.0, "{}")
+
+    # l1 matches r101; l2 (user 9) has no right-side event at all.
+    spark.createDataFrame([ev(1, 0, 7), ev(2, 0, 9)], schema).coalesce(1).write.parquet(srcl)
+    spark.createDataFrame([ev(101, 5, 7)], schema).coalesce(1).write.parquet(srcr)
+    joined = jobs.interval_join_streams(
+        jobs.events_stream(spark, srcl),
+        jobs.events_stream(spark, srcr),
+        bound="10 minutes",
+        delay="5 minutes",
+        how="left_outer",
+    )
+    q = jobs.start_memory_sink(joined, "t_ssj_lo", "append", follow=True)
+    try:
+        q.processAllAvailable()
+        # Advance both watermarks far past l2's window (+2h, +3h), over
+        # two batches so the state-eviction pass runs behind the new
+        # watermark.
+        for extra in (120, 180):
+            spark.createDataFrame([ev(900 + extra, extra, 99)], schema) \
+                .coalesce(1).write.mode("append").parquet(srcl)
+            spark.createDataFrame([ev(800 + extra, extra, 99)], schema) \
+                .coalesce(1).write.mode("append").parquet(srcr)
+            q.processAllAvailable()
+        got = {(r["l_id"], r["r_id"]) for r in spark.table("t_ssj_lo").collect()}
+        assert (1, 101) in got                      # matched pair
+        assert (2, None) in got                     # outer row flushed
+    finally:
+        q.stop()
