@@ -1261,3 +1261,56 @@ def q92_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q97_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semdedup_keep_list(emb, dim=64, bits=5, threshold=0.9)
+
+
+@register(
+    "q102_linear_classifier",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, u AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           unnest(w) AS t(u)
+    ),
+    weighted AS (
+      SELECT doc_id,
+             ((ascii(substring(md5('w-v1' || tok), 1, 1)) * 131
+               + ascii(substring(md5('w-v1' || tok), 2, 1))) * 131
+               + ascii(substring(md5('w-v1' || tok), 3, 1))) % 1001 - 500 AS w
+      FROM toks
+    )
+    SELECT doc_id,
+           SUM(w) AS score,
+           COUNT(*) AS n_terms,
+           SUM(w) > 0 AS positive
+    FROM weighted
+    GROUP BY doc_id
+    """,
+    doc=(
+        "Linear text-classifier inference (the fastText/quality-filter "
+        "shape): every token carries a weight looked up by feature "
+        "hash, a document's score is the sparse dot product, the label "
+        "a sign test. Weights here are derived from md5 bytes so both "
+        "engines agree bit-for-bit and the whole pass is integer-exact "
+        "— in production the same plan applies a broadcast weight "
+        "table or a hash-derived embedding row instead. One explode + "
+        "one doc_id shuffle with map-side partial sums; no Python in "
+        "the hot path, which is what makes model-based filtering "
+        "viable inline at 100 TB rather than as a separate service."
+    ),
+)
+def q102_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = F.md5(F.concat(F.lit("w-v1"), F.col("tok")))
+    w = (
+        (
+            F.ascii(F.substring(h, 1, 1)) * 131 + F.ascii(F.substring(h, 2, 1))
+        ) * 131
+        + F.ascii(F.substring(h, 3, 1))
+    ) % 1001 - 500
+    weighted = toks.select("doc_id", w.cast("bigint").alias("w"))
+    return weighted.groupBy("doc_id").agg(
+        F.sum("w").alias("score"),
+        F.count(F.lit(1)).alias("n_terms"),
+        (F.sum("w") > 0).alias("positive"),
+    )

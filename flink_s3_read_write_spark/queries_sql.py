@@ -1158,3 +1158,40 @@ def q100_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.groupBy("o_orderpriority", "o_orderdate").agg(
         F.max("run").alias("distinct_customers_so_far")
     )
+
+
+_Q101_SQL = """
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE m < DATE '2001-12-01'
+    ),
+    rev AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT months.m, coalesce(rev.revenue, 0.0) AS revenue,
+           coalesce(rev.n_orders, 0) AS n_orders
+    FROM months LEFT JOIN rev ON months.m = rev.m
+"""
+
+
+@register(
+    "q101_recursive_spine",
+    oracle=_Q101_SQL,
+    doc=(
+        "Recursive CTE (Spark 4 WITH RECURSIVE) generating a monthly "
+        "calendar spine, left-joined to monthly revenue so empty months "
+        "surface as explicit zero rows — the gap-filling step every "
+        "time-series report needs before window functions make sense. "
+        "The spine is 84 rows built driver-cheap by the recursion (each "
+        "step is a one-row union), and the revenue side is a normal "
+        "pre-aggregated shuffle; the join broadcasts the spine. Same "
+        "SQL text runs on both engines."
+    ),
+)
+def q101_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sql(spark, sf_dir, _Q101_SQL)
