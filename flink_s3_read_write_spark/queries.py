@@ -48,6 +48,7 @@ def registry() -> dict[str, Query]:
         queries_llmdata,
         queries_streaming,
         queries_sql,
+        queries_tpch,
     )
 
     return dict(_REGISTRY)
