@@ -1314,3 +1314,172 @@ def q102_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms"),
         (F.sum("w") > 0).alias("positive"),
     )
+
+
+@register(
+    "q113_unigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    cf AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(cf.cnt) AS BIGINT) AS sum_tf,
+           MIN(cf.cnt) AS min_tf,
+           CAST(SUM(cf.cnt) AS DOUBLE) / COUNT(*) AS mean_tf
+    FROM toks t JOIN cf ON t.token = cf.token
+    GROUP BY t.doc_id
+    """,
+    doc=(
+        "Unigram language-model scoring (the KenLM-perplexity-filter "
+        "shape): the corpus's own token frequencies are the model, "
+        "broadcast back onto the token stream, reduced per document. "
+        "Two shuffles (vocab build keyed on token, doc reduce keyed on "
+        "doc_id); the vocabulary table is tiny by Zipf's law, so the "
+        "score join is a broadcast and the corpus is never re-shuffled. "
+        "Output stays integer-exact (sum/min of counts; one double "
+        "division at the end) because JVM and DuckDB ln() differ in the "
+        "last ulp — production swaps SUM(cnt) for SUM(ln p) and a "
+        "perplexity threshold, same plan."
+    ),
+)
+def q113_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    cf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        toks.join(F.broadcast(cf), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("sum_tf"),
+            F.min("cnt").alias("min_tf"),
+            (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("mean_tf"),
+        )
+    )
+
+
+@register(
+    "q114_centroid_distance",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    mu AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS mu
+      FROM e GROUP BY label, pos
+    )
+    SELECT e.vec_id, e.label,
+           CAST(SUM(CAST((e.x - mu.mu) * (e.x - mu.mu) AS DECIMAL(30,18)))
+                AS DOUBLE) AS dist2
+    FROM e JOIN mu ON e.label = mu.label AND e.pos = mu.pos
+    GROUP BY e.vec_id, e.label
+    """,
+    doc=(
+        "Per-class centroid + distance-to-own-centroid over the "
+        "embedding column — the outlier-pruning / cluster-quality pass "
+        "of an embedding-based curation pipeline (SemDeDup's cluster "
+        "step with labels standing in for k-means assignments). "
+        "Dimension-as-row formulation: posexplode, per-(label,dim) "
+        "DECIMAL-exact mean (order-independent under any partitioning), "
+        "broadcast the 10x64-row centroid table back, per-vector "
+        "DECIMAL-exact squared-distance sum. At 100 TB the explode "
+        "multiplies rows by dim, so the scale path computes the same "
+        "centroid table via per-partition NumPy partials (mapInPandas) "
+        "while this plan remains the semantic reference."
+    ),
+)
+def q114_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "x")
+    mu = e.groupBy("label", "pos").agg(
+        (F.sum(F.col("x").cast("decimal(30,15)")).cast("double") / F.count(F.lit(1))
+         ).alias("mu")
+    )
+    d = (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))
+    return (
+        e.join(F.broadcast(mu), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(d.cast("decimal(30,18)")).cast("double").alias("dist2"))
+    )
+
+
+@register(
+    "q115_int8_cosine_pairs",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               x -> CAST(floor(x / sqrt(list_sum(list_transform(embedding,
+                          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+                          * 127.0 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+      WHERE list_sum(list_transform(embedding,
+                     y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                p -> p[1] * p[2])) AS BIGINT) AS dot_q,
+           CAST(CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                p -> p[1] * p[2])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE)))
+             AS DOUBLE) AS cos_q
+    FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
+    """,
+    doc=(
+        "Quantized-vector similarity: int8-quantize (q76's scheme) then "
+        "integer dot-product cosine over adjacent-id pairs — the verify "
+        "stage of an ANN pipeline run entirely on the compressed "
+        "representation (4x less shuffle traffic than float32, and the "
+        "dot product becomes exact integer arithmetic, so the oracle "
+        "hash matches bit-for-bit with no decimal routing). The "
+        "adjacent-id self-join stands in for an LSH/IVF candidate list "
+        "(q36/q67 produce real ones); at scale both sides arrive "
+        "pre-bucketed so the join never shuffles the corpus."
+    ),
+)
+def q115_int8_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    n = v.select(
+        "vec_id", "e",
+        F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+    )
+    q = n.filter(F.col("nrm") > 0).select(
+        "vec_id",
+        F.transform(
+            "e", lambda x: F.floor(x / F.col("nrm") * 127.0 + 0.5).cast("bigint")
+        ).alias("qv"),
+    )
+    a = q.select(F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"))
+    b = q.select(F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x,
+    )
+    nsq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a", "id_b",
+            dot.alias("dot_q"),
+            (dot.cast("double")
+             / (F.sqrt(nsq("qa").cast("double")) * F.sqrt(nsq("qb").cast("double")))
+             ).alias("cos_q"),
+        )
+    )
