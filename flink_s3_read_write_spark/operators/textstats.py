@@ -131,11 +131,14 @@ def winnowing_fingerprints(
     (Schleimer et al., SIGMOD'03 — the standard local fingerprinting
     scheme for plagiarism/near-dup detection).
 
-    Character k-gram hashes via xxhash64 on substrings, window-minimum
-    selection via higher-order functions — no UDF.  Output is the
-    distinct fingerprint multiset size + a stable digest of the sorted
-    fingerprints (arrays are kept internal so downstream comparisons
-    don't depend on array order).
+    Character k-gram hashes are the first 16 hex chars of md5(gram) —
+    fixed-width lowercase hex, so lexicographic min == numeric min and
+    the whole scheme is reproducible on any engine with md5 (the
+    DuckDB oracle recomputes it verbatim; xxhash64 would be faster but
+    engine-private).  Window-minimum selection via higher-order
+    functions — no UDF.  Output is the distinct fingerprint multiset
+    size + a stable digest of the sorted fingerprints (arrays are kept
+    internal so downstream comparisons don't depend on array order).
 
     Staged projections (norm → grams → window-mins): lambdas run
     interpreted with no CSE, so the normalization / gram array must be
@@ -153,9 +156,9 @@ def winnowing_fingerprints(
             n >= k,
             F.transform(
                 F.sequence(F.lit(1), n - k + 1),
-                lambda i: F.xxhash64(F.col("_norm").substr(i, F.lit(k))),
+                lambda i: F.substring(F.md5(F.col("_norm").substr(i, F.lit(k))), 1, 16),
             ),
-        ).otherwise(F.array().cast("array<bigint>")).alias("_grams"),
+        ).otherwise(F.array().cast("array<string>")).alias("_grams"),
     )
     g = F.col("_grams")
     mins = F.when(
@@ -171,7 +174,7 @@ def winnowing_fingerprints(
     return fingered.select(
         F.col(id_col),
         F.size(F.col("_fp")).alias("n_fingerprints"),
-        F.md5(F.to_json(F.col("_fp"))).alias("fingerprint_digest"),
+        F.md5(F.concat_ws(",", F.col("_fp"))).alias("fingerprint_digest"),
     )
 
 

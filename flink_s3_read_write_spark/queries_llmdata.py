@@ -157,18 +157,37 @@ def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q57_topk_cosine_pandas",
-    oracle=None,  # matmul accumulation order differs from the oracle's
-    # element-ordered sum in the last ulp; exact-id equivalence with the
-    # oracle-checked q35 is asserted in tests/test_similarity.py
+    # Same contract as q35; matmul accumulation order can perturb the
+    # cosine in the last ulp, so BOTH sides round to 6 dp (ids/ranks are
+    # exact, and exact-id equivalence with the oracle-checked q35 is
+    # additionally asserted in tests/test_similarity.py).
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+    pairs AS (
+      SELECT q.q_id, c.vec_id AS n_id,
+             list_sum(list_transform(list_zip(q.q_vec, c.embedding),
+                                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine
+      FROM embeddings c, q WHERE c.vec_id <> q.q_id)
+    SELECT q_id, n_id, round(cosine, 6) AS cosine, rn FROM (
+      SELECT q_id, n_id, cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+      FROM pairs) t
+    WHERE rn <= 5
+    """,
     doc=(
         "Exact top-5 cosine via Arrow-batched NumPy matmul (mapInPandas): "
         "same semantics as q35, BLAS-speed per batch, per-batch top-k so "
-        "the shuffle carries O(batches*k) rows. The large-dim scale path."
+        "the shuffle carries O(batches*k) rows. The large-dim scale path. "
+        "Driver-facing cosine rounded to 6 dp (see oracle note)."
     ),
 )
 def q57_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.brute_force_topk_pandas(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    out = S.brute_force_topk_pandas(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return out.withColumn("cosine", F.round("cosine", 6))
 
 
 @register(
@@ -259,7 +278,34 @@ def q40_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q41_winnowing",
-    oracle=None,  # xxhash64 rolling hashes; no DuckDB twin — tests/test_textstats.py
+    # k-gram hash = first 16 hex chars of md5 (engine-neutral by design);
+    # the oracle replays k-gram extraction, window-min selection, and the
+    # sorted-distinct digest verbatim in DuckDB list functions.
+    oracle=f"""
+    WITH normed AS (
+      SELECT doc_id, {_NORM_SQL.format(c='text')} AS nrm FROM documents
+    ),
+    grammed AS (
+      SELECT doc_id,
+             CASE WHEN length(nrm) >= 5
+                  THEN list_transform(range(1, length(nrm) - 5 + 2),
+                         i -> substring(md5(substring(nrm, i, 5)), 1, 16))
+                  ELSE [] END AS g
+      FROM normed
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               CASE WHEN len(g) >= 4
+                    THEN list_transform(range(0, len(g) - 4 + 1),
+                           i -> list_aggregate(list_slice(g, i + 1, i + 4), 'min'))
+                    ELSE g END)) AS f
+      FROM grammed
+    )
+    SELECT doc_id, len(f) AS n_fingerprints,
+           md5(array_to_string(f, ',')) AS fingerprint_digest
+    FROM fp
+    """,
     doc="Winnowing (SIGMOD'03) k-gram rolling-hash fingerprints, window-min selection, Catalyst-only.",
 )
 def q41_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,35 +404,157 @@ def q54_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q43_media_features",
-    oracle=None,  # mapInPandas decode stub; plumbing verified in tests/test_multimodal.py
+    # The fake decode derives every output from md5(content), so the whole
+    # query IS DuckDB-expressible: hex-digit arithmetic reconstructs the
+    # digest bytes, widths/heights/channels, and the exact integer numerators
+    # of the feature floats (feature[i] = k_i/1000003 in float32, and
+    # round(f*1000003) recovers k_i exactly because the float32 error is
+    # < 0.06 ulp of the integer grid).
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             strlen(text) AS n_bytes,
+             md5(text) AS h
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, media_type, n_bytes,
+             list_transform(range(0, 16),
+               j -> (strpos('0123456789abcdef', substring(h, 2*j+1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substring(h, 2*j+2, 1)) - 1)) AS bs
+      FROM m
+    ),
+    k AS (
+      SELECT doc_id, media_type, n_bytes,
+             16 + bs[1] % 240 AS width,
+             16 + bs[2] % 240 AS height,
+             1 + bs[3] % 4 AS channels,
+             list_transform(range(0, 4),
+               i -> (bs[4*i+1] + bs[4*i+2]*256 + bs[4*i+3]*65536
+                     + bs[4*i+4]*16777216) % 1000003) AS ks
+      FROM b
+    )
+    SELECT doc_id, media_type, n_bytes, width, height, channels,
+           concat_ws(',', ks[1], ks[2], ks[3], ks[4],
+                          ks[1], ks[2], ks[3], ks[4]) AS feature_sig
+    FROM k
+    """,
     doc=(
         "Multimodal plumbing: documents -> binary media column + typed "
         "metadata -> Arrow-batched mapInPandas decode/feature-extract "
-        "(decode STUBBED deterministically; no imaging libs in container)."
+        "(decode STUBBED deterministically; no imaging libs in container). "
+        "Driver-facing output serializes the array<float> feature to its "
+        "exact integer signature (round(f*1000003) per element, comma "
+        "joined) so the correctness hasher gets a flat string; the raw "
+        "array stays in the operator API (operators/multimodal.py)."
     ),
 )
 def q43_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.attach_media(load_table(spark, sf_dir, "documents"))
-    return M.image_features(media, fake=True)
+    feats = M.image_features(media, fake=True)
+    return feats.select(
+        "doc_id", "media_type", "n_bytes", "width", "height", "channels",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature",
+                lambda x: F.round(x.cast("double") * 1000003).cast("bigint").cast("string"),
+            ),
+        ).alias("feature_sig"),
+    )
 
 
 @register(
     "q60_audio_features",
-    oracle=None,  # DSP over binary PCM; NumPy-oracle test in tests/test_multimodal.py
+    # Fully-real DSP, yet exactly DuckDB-expressible: the int16 samples are
+    # reconstructed from hex(encode(text)); every float op is then exact or
+    # identically-rounded on both engines (pcm = s/2^15 is exact, each
+    # pcm² = s²·2⁻³⁰ is exact, their sum stays < 2^23 so ANY summation
+    # order — numpy pairwise included — is exact, leaving one shared
+    # division + one correctly-rounded sqrt).  frame_rms (array<float>)
+    # is excluded from the driver-facing projection: per-frame float32
+    # casts are engine-reproducible too, but the driver hasher can't take
+    # arrays — the arrays stay in the operator API and are NumPy-twin
+    # checked in tests/test_multimodal.py.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx, strlen(text) AS nb
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    s AS (
+      SELECT doc_id, CAST(nb // 2 AS BIGINT) AS n,
+             list_transform(range(0, CAST(nb // 2 AS BIGINT)),
+               i -> CASE WHEN
+                      ((strpos('0123456789abcdef', substring(hx, 4*i+1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substring(hx, 4*i+2, 1)) - 1))
+                      + 256 * ((strpos('0123456789abcdef', substring(hx, 4*i+3, 1)) - 1) * 16
+                               + (strpos('0123456789abcdef', substring(hx, 4*i+4, 1)) - 1))
+                      >= 32768
+                    THEN ((strpos('0123456789abcdef', substring(hx, 4*i+1, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef', substring(hx, 4*i+2, 1)) - 1))
+                         + 256 * ((strpos('0123456789abcdef', substring(hx, 4*i+3, 1)) - 1) * 16
+                                  + (strpos('0123456789abcdef', substring(hx, 4*i+4, 1)) - 1))
+                         - 65536
+                    ELSE ((strpos('0123456789abcdef', substring(hx, 4*i+1, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef', substring(hx, 4*i+2, 1)) - 1))
+                         + 256 * ((strpos('0123456789abcdef', substring(hx, 4*i+3, 1)) - 1) * 16
+                                  + (strpos('0123456789abcdef', substring(hx, 4*i+4, 1)) - 1))
+                    END) AS smp
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_samples,
+           CAST(CASE WHEN n >= 256 THEN n // 256 ELSE 1 END AS INT) AS n_frames,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE sqrt((CAST(list_sum(list_transform(smp, x -> x*x)) AS DOUBLE)
+                           / 1073741824.0) / n) END AS rms,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE CAST(list_max(list_transform(smp, x -> abs(x))) AS DOUBLE)
+                     / 32768.0 END AS peak,
+           CASE WHEN n > 1
+                THEN CAST(list_sum(list_transform(range(1, n),
+                       i -> CASE WHEN (smp[i] < 0) <> (smp[i+1] < 0)
+                            THEN 1 ELSE 0 END)) AS DOUBLE) / (n - 1)
+                ELSE 0.0 END AS zero_crossing_rate
+    FROM s
+    """,
     doc=(
         "Audio feature extraction over raw int16 PCM binary columns - "
         "RMS/peak/zero-crossings + per-frame RMS, Arrow-batched NumPy "
-        "(fully real, no codec lib required)."
+        "(fully real, no codec lib required). Driver-facing projection "
+        "keeps the scalar features (bit-exact across engines by "
+        "power-of-two scaling); per-frame RMS arrays live in the "
+        "operator API."
     ),
 )
 def q60_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.attach_media(load_table(spark, sf_dir, "documents"))
-    return M.audio_features(media)
+    return M.audio_features(media).select(
+        "doc_id", "n_samples", "n_frames", "rms", "peak", "zero_crossing_rate"
+    )
 
 
 @register(
     "q58_image_resize",
-    oracle=None,  # mapInPandas resize stub; tests/test_multimodal.py
+    # md5-derived stub dims + md5 resize digest — both exactly
+    # reproducible in DuckDB from the text bytes.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, md5(text) AS h, text
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id,
+           16 + ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)) % 240 AS width,
+           16 + ((strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) % 240 AS height,
+           224 AS target_w, 224 AS target_h,
+           md5(text || '224x224') AS resized_digest
+    FROM m
+    """,
     doc="Image resize plumbing: image rows -> fixed target dims + stable digest.",
 )
 def q58_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1366,20 +1534,22 @@ def q113_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT vec_id, label,
-             CAST(unnest(embedding) AS DOUBLE) AS x,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 4096 + 0.5) AS BIGINT) AS xi,
              generate_subscripts(embedding, 1) AS pos
       FROM embeddings
     ),
     mu AS (
-      SELECT label, pos,
-             CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS mu
+      SELECT label, pos, CAST(SUM(xi) AS BIGINT) AS sxi, COUNT(*) AS n
       FROM e GROUP BY label, pos
+    ),
+    d AS (
+      SELECT e.vec_id, e.label, mu.n,
+             mu.n * e.xi - mu.sxi AS dev
+      FROM e JOIN mu ON e.label = mu.label AND e.pos = mu.pos
     )
-    SELECT e.vec_id, e.label,
-           CAST(SUM(CAST((e.x - mu.mu) * (e.x - mu.mu) AS DECIMAL(30,18)))
-                AS DOUBLE) AS dist2
-    FROM e JOIN mu ON e.label = mu.label AND e.pos = mu.pos
-    GROUP BY e.vec_id, e.label
+    SELECT vec_id, label, MAX(n) AS n,
+           CAST(SUM(CAST(dev * dev AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS dist2_num
+    FROM d GROUP BY vec_id, label
     """,
     doc=(
         "Per-class centroid + distance-to-own-centroid over the "
@@ -1387,12 +1557,17 @@ def q113_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "of an embedding-based curation pipeline (SemDeDup's cluster "
         "step with labels standing in for k-means assignments). "
         "Dimension-as-row formulation: posexplode, per-(label,dim) "
-        "DECIMAL-exact mean (order-independent under any partitioning), "
-        "broadcast the 10x64-row centroid table back, per-vector "
-        "DECIMAL-exact squared-distance sum. At 100 TB the explode "
-        "multiplies rows by dim, so the scale path computes the same "
-        "centroid table via per-partition NumPy partials (mapInPandas) "
-        "while this plan remains the semantic reference."
+        "centroid aggregate, broadcast the tiny centroid table back, "
+        "per-vector squared-distance sum. Cross-engine exactness: "
+        "inputs are quantized to integers (floor(x*4096+0.5) — exact "
+        "in IEEE double on both engines) and the distance is carried "
+        "as the n²-scaled integer numerator sum((n·xi − Σxi)²), so no "
+        "double division or double→decimal cast ever happens; real "
+        "dist2 = dist2_num/(n²·4096²), recoverable losslessly. At "
+        "100 TB the explode multiplies rows by dim, so the scale path "
+        "computes the same centroid table via per-partition NumPy "
+        "partials (mapInPandas) while this plan remains the semantic "
+        "reference."
     ),
 )
 def q114_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1401,16 +1576,23 @@ def q114_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"),
-    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "x")
-    mu = e.groupBy("label", "pos").agg(
-        (F.sum(F.col("x").cast("decimal(30,15)")).cast("double") / F.count(F.lit(1))
-         ).alias("mu")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("x") * 4096 + 0.5).cast("bigint").alias("xi"),
     )
-    d = (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))
+    mu = e.groupBy("label", "pos").agg(
+        F.sum("xi").alias("sxi"), F.count(F.lit(1)).alias("n")
+    )
+    dev = (F.col("n") * F.col("xi") - F.col("sxi")).cast("decimal(19,0)")
     return (
         e.join(F.broadcast(mu), ["label", "pos"])
         .groupBy("vec_id", "label")
-        .agg(F.sum(d.cast("decimal(30,18)")).cast("double").alias("dist2"))
+        .agg(
+            F.max("n").alias("n"),
+            F.sum((dev * dev).cast("decimal(38,0)")).cast("decimal(38,0)").alias("dist2_num"),
+        )
     )
 
 
