@@ -72,11 +72,23 @@ def main() -> int:
             times[name] = -1.0
     total = round(sum(t for t in times.values() if t > 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+
+    # Full per-query map goes to a sidecar file; the single stdout JSON
+    # line stays short (slowest 15 only) so the driver's line capture
+    # never truncates it (round 1 lost the tail of a 115-entry line).
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json")
+    with open(sidecar, "w") as f:
+        json.dump({"sf": sf, "n_queries": len(times), "queries": times}, f, indent=1, sort_keys=True)
+    slowest = dict(sorted(
+        ((n, t) for n, t in times.items() if t == t),  # drop NaN streaming entries
+        key=lambda kv: -kv[1])[:15])
     print(json.dumps({
         "metric": "total_wall_sec_all_queries",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        "n_queries": len(times),
+        "queries": slowest,
+        "queries_detail_file": "BENCH_QUERIES.json",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     return 0 if all(t >= 0 or t != t for t in times.values()) else 1
