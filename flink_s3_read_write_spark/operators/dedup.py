@@ -372,6 +372,11 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # One job per round: the new labels carry a per-row `chg` flag
+        # (label strictly decreased), the checkpoint is lazy, and the
+        # convergence probe is an agg over it — so a single action both
+        # materializes the round's labels and returns whether anything
+        # changed (no second join-the-old-labels pass).
         new_labels = (
             labels.join(nbr, labels.id == nbr.src, "left")
             .select(
@@ -379,18 +384,13 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
                     "label"
                 ),
+                (F.coalesce(F.col("nbr_min"), F.col("label")) < F.col("label")).alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.max("chg")).first()[0]
+        labels = new_labels.select("id", "label")
+        if not changed:
             break
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -145,25 +145,29 @@ def ann_ivf_topk(
     corpus, so a distributed KMeans buys ~10 barrier jobs of overhead
     for nothing); the only full-data pass is cell assignment, an
     Arrow-batched pandas_udf argmin against the broadcast centroid
-    matrix.  Query→cell probe list is computed on the driver (queries
-    and centroids are both small by definition) and broadcast;
-    candidates equi-join on cell id, then the same re-rank as every
-    other similarity path.
+    matrix.  Query→cell probe lists are computed inside the plan (a
+    vectorized UDF over the query DataFrame, exploded to n_probe rows
+    per query) and broadcast; candidates equi-join on cell id, then
+    the same re-rank as every other similarity path.  Total driver
+    round-trips: exactly one (the bounded training sample).
     """
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
 
-    # Bounded seeded sample for training.  A seeded sample, NOT
-    # limit(): limit() takes whichever rows the first partitions
-    # yield, which on sorted data is a biased prefix that would tile
-    # only one region of the embedding space.
+    # Bounded deterministic sample for training, count-free: order by a
+    # uniform hash of the vector and take the global top-`target`.
+    # Catalyst plans this as TakeOrderedAndProject — per-partition
+    # top-k, one corpus pass, no full sort, no prior .count() job —
+    # and the hash priority is position-independent, so the sample is
+    # unbiased even on sorted/clustered data (a bare limit() would
+    # take a one-region prefix).  At 100 TB swap the top-k for a
+    # catalog-stats-derived sample fraction; locally top-k is exact
+    # and cheaper than the count+sample round-trips it replaces.
     target = max(2000, 50 * n_centroids)
-    n_corpus = corpus.count()
-    frac = min(1.0, (2.0 * target) / max(1, n_corpus))
     train_rows = (
         corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .sample(frac, seed=42)
+        .orderBy(F.xxhash64(F.col(vec_col)))
         .limit(target)
         .collect()
     )
@@ -198,21 +202,29 @@ def ann_ivf_topk(
         F.col(vec_col).alias("n_vec"),
         assign_cell(F.col(vec_col)).alias("cell"),
     )
-    q_rows = queries.select(id_col, vec_col).collect()
-    probes = []
-    for r in q_rows:
-        qv = np.asarray(r[1], dtype=np.float64)
-        d = ((centroids - qv) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:n_probe]:
-            probes.append((int(r[0]), int(cell)))
-    spark = corpus.sparkSession
-    probe_df = spark.createDataFrame(probes, "q_id long, cell int")
-    q_vecs = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+
+    # Probe lists are computed INSIDE the plan (vectorized UDF against
+    # the broadcast centroid matrix), not by collecting the queries to
+    # the driver: queries stay a DataFrame end-to-end, so the whole
+    # search is one job — sample/train, then scan+join.  Each query row
+    # explodes into its n_probe nearest cells with q_vec carried along,
+    # which also folds the old probe⋈query second broadcast join away.
+    @pandas_udf("array<int>")
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        order = np.argsort(d, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    probe_df = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
     cand = (
         assigned.join(F.broadcast(probe_df), "cell")
-        .join(F.broadcast(q_vecs), "q_id")
         .filter(F.col("n_id") != F.col("q_id"))
     )
     scored = cand.select(

@@ -1073,18 +1073,20 @@ def q82_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # one count job; at 100 TB read from stats
+    # Corpus size as a broadcast 1-row side, not a driver .count():
+    # keeps the whole query one job with zero driver round-trips.
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "token").select(
+    scored = tf.join(F.broadcast(df), "token").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "token",
         "tf",
         "df",
         (
             F.col("tf")
-            * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0))
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0))
         ).alias("score"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
