@@ -17,6 +17,8 @@ overhead beyond the decode call itself, which dominates anyway).
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -24,12 +26,123 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-try:  # real decoders, absent in this container — gate behind import-try
+try:  # richer decoders (JPEG etc.), absent in this container
     from PIL import Image  # type: ignore  # noqa: F401
 
     HAS_PIL = True
 except ImportError:
     HAS_PIL = False
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (8-bit, non-interlaced support)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal stdlib-only PNG writer (8-bit grey/RGB/RGBA, filter 0).
+
+    For fixtures and round-trip tests — a real, spec-conforming PNG any
+    external viewer can open.  ``pixels``: (h, w) or (h, w, {1,3,4})
+    uint8 array.
+    """
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Real stdlib-only PNG decode: chunk walk → IHDR dims → zlib
+    IDAT inflate → per-scanline unfilter (all five filter types) →
+    (width, height, channels, uint8 pixel array of shape (h, w, c)).
+
+    Supports the dominant web case: 8-bit, non-interlaced, color types
+    0/2/3/4/6 (palette rows are expanded via PLTE).  Anything else
+    raises ``ValueError`` — callers route those rows to the stub or an
+    error column rather than silently guessing.
+    """
+    if buf[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, idat, ihdr, plte = len(_PNG_SIG), [], None, None
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR/IDAT")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG variant (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace}); 8-bit non-interlaced 0/2/3/4/6 only"
+        )
+    c = _PNG_CHANNELS[color_type]
+    stride = w * c
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("corrupt PNG: IDAT length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = line + prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    cur[x] = (int(line[x]) + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    cc = int(prev[x - c]) if x >= c else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"corrupt PNG: unknown filter {ftype}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, c)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("corrupt PNG: palette image without PLTE")
+        px = plte[px[:, :, 0]]
+        c = 3
+    return w, h, c, px
 
 IMAGE_FEATURES_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes int, width int, height int, "
@@ -58,13 +171,39 @@ def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 
 def _decode_image_real(buf: bytes) -> tuple[int, int, int]:
-    """Real decode path — requires PIL; not available here."""
+    """Real decode path: stdlib PNG decoder (no imaging libs needed).
+    Non-PNG formats would route through PIL, which this container
+    lacks — those raise ``NotImplementedError`` explicitly."""
+    if buf[: len(_PNG_SIG)] == _PNG_SIG:
+        w, h, c, _px = decode_png(buf)
+        return w, h, c
     if not HAS_PIL:
         raise NotImplementedError(
-            "image decode requires PIL; this container has no imaging libs — "
-            "use fake=True (deterministic stub) or install pillow"
+            "non-PNG decode requires PIL; this container has no imaging libs — "
+            "use fake=True (deterministic stub) for synthetic media, or PNG bytes"
         )
-    raise NotImplementedError("real decode wiring is deferred until PIL exists")
+    raise NotImplementedError("PIL decode wiring is deferred until PIL exists")
+
+
+def _real_feature(buf: bytes, dim: int = 8) -> np.ndarray:
+    """Real image feature from decoded pixels: per-channel mean and
+    std (normalized to [0,1]), zero-padded to ``dim`` float32s — the
+    shape a downstream embedding model would consume."""
+    _w, _h, c, px = decode_png(buf)
+    flat = px.reshape(-1, px.shape[2]).astype(np.float64) / 255.0
+    stats = np.concatenate([flat.mean(axis=0), flat.std(axis=0)])
+    out = np.zeros(dim, dtype=np.float32)
+    out[: min(dim, len(stats))] = stats[:dim]
+    return out
+
+
+def resize_pixels(px: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resize via pure NumPy index maps — the real
+    kernel behind ``resize_images`` when the bytes are decodable."""
+    h, w = px.shape[:2]
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return px[ys][:, xs]
 
 
 def _fake_decode(buf: bytes) -> tuple[int, int, int]:
