@@ -876,7 +876,7 @@ def q91_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ISO day-of-week, epoch seconds. Zero-shuffle projection; every "
         "expression is a Catalyst built-in inside whole-stage codegen. "
         "Spark's weekday() is 0-based Monday (isodow - 1); epoch seconds "
-        "are floor(cast(ts as double)) on both engines so sub-second "
+        "are floor(unix_micros/1e6) vs floor(epoch(ts)) so sub-second "
         "event times truncate identically."
     ),
 )
@@ -889,7 +889,7 @@ def q93_timestamp_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ts - F.expr("INTERVAL 3 DAYS")).alias("ts_minus_3d"),
         F.last_day(ts).alias("month_end"),
         (F.weekday(ts) + F.lit(1)).cast("int").alias("iso_dow"),
-        F.floor(ts.cast("double")).cast("bigint").alias("epoch_s"),
+        F.floor(F.unix_micros(ts) / F.lit(1000000.0)).cast("bigint").alias("epoch_s"),
     )
 
 

@@ -70,8 +70,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Micros-precision parquet infers as TIMESTAMP_NTZ, on which
+            # unix_micros()/epoch casts are illegal.  Normalize to TIMESTAMP
+            # with epoch micros == the parquet-stored micros, independent of
+            # the session timezone: the cast renders the NTZ wall clock in
+            # the session zone and to_utc_timestamp re-interprets that same
+            # wall clock as UTC, so the two zone conversions cancel.
+            df = df.withColumn(
+                "ts", F.to_utc_timestamp(F.col("ts").cast("timestamp"), "UTC")
+            )
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 
