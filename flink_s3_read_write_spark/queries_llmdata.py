@@ -796,7 +796,7 @@ def q72_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
     )
     SELECT doc_id,
-           SUM(c) AS n_bigrams,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
            MAX(c) AS top_bigram_n,
            CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
            CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.18 AS repetitive
@@ -865,7 +865,7 @@ def q75_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u
     )
     SELECT vec_id, l2_norm,
-           list_sum(qv) AS q_sum,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
            list_max(list_transform(list_zip(qv, un),
                     p -> abs(CAST(p[1] AS DOUBLE) / 127.0 - p[2]))) AS max_abs_err
     FROM q
@@ -1111,7 +1111,7 @@ def q82_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
       FROM sized
     )
-    SELECT doc_id, source, n_tokens, cum_tokens
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM laid WHERE cum_tokens <= 4000
     """,
     doc=(
@@ -1327,7 +1327,7 @@ _inject_pretrain_oracle()
     ),
     uni AS (
       SELECT doc_id,
-             SUM(c) AS word_cnt,
+             CAST(SUM(c) AS BIGINT) AS word_cnt,
              CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
                AS dup_word_frac,
              CAST(SUM(c * len(u)) AS DOUBLE) / SUM(c) AS mean_word_len
@@ -1449,7 +1449,7 @@ def q97_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     )
     SELECT doc_id,
-           SUM(w) AS score,
+           CAST(SUM(w) AS BIGINT) AS score,
            COUNT(*) AS n_terms,
            SUM(w) > 0 AS positive
     FROM weighted
@@ -1550,7 +1550,8 @@ def q113_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e JOIN mu ON e.label = mu.label AND e.pos = mu.pos
     )
     SELECT vec_id, label, MAX(n) AS n,
-           CAST(SUM(CAST(dev * dev AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS dist2_num
+           CAST(CAST(SUM(CAST(dev * dev AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                AS VARCHAR) AS dist2_num
     FROM d GROUP BY vec_id, label
     """,
     doc=(
@@ -1565,7 +1566,11 @@ def q113_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in IEEE double on both engines) and the distance is carried "
         "as the n²-scaled integer numerator sum((n·xi − Σxi)²), so no "
         "double division or double→decimal cast ever happens; real "
-        "dist2 = dist2_num/(n²·4096²), recoverable losslessly. At "
+        "dist2 = dist2_num/(n²·4096²), recoverable losslessly. The "
+        "numerator is emitted as a STRING: INT128-scale values survive "
+        "every client fetch path that way (pandas coerces DuckDB "
+        "DECIMAL(38,0)/HUGEINT to lossy float64, breaking exact "
+        "comparison).At "
         "100 TB the explode multiplies rows by dim, so the scale path "
         "computes the same centroid table via per-partition NumPy "
         "partials (mapInPandas) while this plan remains the semantic "
@@ -1593,7 +1598,10 @@ def q114_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label")
         .agg(
             F.max("n").alias("n"),
-            F.sum((dev * dev).cast("decimal(38,0)")).cast("decimal(38,0)").alias("dist2_num"),
+            F.sum((dev * dev).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("dist2_num"),
         )
     )
 

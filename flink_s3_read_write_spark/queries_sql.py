@@ -553,13 +553,15 @@ def q73_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q74_map_functions",
     oracle="""
     SELECT 'k' AS key, COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_v,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_v,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_v,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_v
     FROM events
     UNION ALL
     SELECT 'type_len', COUNT(*),
-           SUM(len(event_type)), MIN(len(event_type)), MAX(len(event_type))
+           CAST(SUM(len(event_type)) AS BIGINT),
+           CAST(MIN(len(event_type)) AS BIGINT),
+           CAST(MAX(len(event_type)) AS BIGINT)
     FROM events
     """,
     doc=(
@@ -1116,7 +1118,8 @@ def q99_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ROWS UNBOUNDED PRECEDING) AS run
       FROM firsts
     )
-    SELECT o_orderpriority, o_orderdate, MAX(run) AS distinct_customers_so_far
+    SELECT o_orderpriority, o_orderdate,
+           CAST(MAX(run) AS BIGINT) AS distinct_customers_so_far
     FROM cum
     GROUP BY o_orderpriority, o_orderdate
     """,

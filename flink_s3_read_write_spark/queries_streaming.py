@@ -106,7 +106,7 @@ def q52_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
     FROM events
