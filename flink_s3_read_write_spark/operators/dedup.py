@@ -301,12 +301,24 @@ def jaccard_tokens(a: Column, b: Column) -> Column:
 
 
 def minhash_dedup_pairs_verified(
-    df: DataFrame, threshold: float = 0.6, **kwargs
+    df: DataFrame, threshold: float = 0.6, *,
+    verify_on: str = "tokens",
+    threshold_frac: tuple[int, int] | None = None,
+    **kwargs,
 ) -> DataFrame:
-    """LSH candidates re-verified with exact token Jaccard ≥ threshold.
+    """LSH candidates re-verified with exact Jaccard ≥ threshold.
 
     The expensive exact check runs only on LSH survivors — the whole
     point of the banding at scale.
+
+    ``verify_on`` picks the set the exact Jaccard runs over:
+    ``"tokens"`` (word sets — order-insensitive, the looser check) or
+    ``"shingles"`` (the same k-word shingle sets the MinHash signature
+    is built from — order-sensitive, and the representation for which
+    the LSH S-curve recall guarantee actually holds).
+    ``threshold_frac=(num, den)`` replaces the double comparison with
+    exact integer cross-multiplication (|∩|·den ≥ |∪|·num), removing
+    any float-boundary ambiguity for rational thresholds.
     """
     id_col = kwargs.get("id_col", "doc_id")
     text_col = kwargs.get("text_col", "text")
@@ -314,9 +326,18 @@ def minhash_dedup_pairs_verified(
     # Tokenize each document ONCE (n docs), not once per candidate side
     # (2·n_pairs) — the regex normalization is the expensive part and a
     # doc can appear in many candidate pairs.
-    toks = df.select(
-        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
-    )
+    if verify_on == "shingles":
+        shingle_k = kwargs.get("shingle_k", 3)
+        toks = df.select(
+            F.col(id_col),
+            F.array_distinct(
+                shingles_from_tokens(tokens(F.col(text_col)), shingle_k)
+            ).alias("toks"),
+        )
+    else:
+        toks = df.select(
+            F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
+        )
     joined = (
         cand.join(
             toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a")), "id_a"
@@ -324,14 +345,18 @@ def minhash_dedup_pairs_verified(
             toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b")), "id_b"
         )
     )
-    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("double")
-    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b"))).cast("double")
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        joined.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    inter_n = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("long")
+    union_n = F.size(F.array_union(F.col("toks_a"), F.col("toks_b"))).cast("long")
+    jac = F.when(union_n > 0, inter_n.cast("double") / union_n.cast("double")).otherwise(
+        F.lit(0.0)
     )
+    joined = joined.withColumn("jaccard", jac)
+    if threshold_frac is not None:
+        num, den = threshold_frac
+        keep = (union_n > 0) & (inter_n * F.lit(den) >= union_n * F.lit(num))
+    else:
+        keep = F.col("jaccard") >= threshold
+    return joined.filter(keep).select("id_a", "id_b", "jaccard")
 
 
 def connected_components(

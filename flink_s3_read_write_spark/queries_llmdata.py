@@ -90,7 +90,11 @@ def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q33_minhash_dedup_pairs",
-    oracle=None,  # xxhash64-based; no DuckDB twin — verified in tests/test_dedup.py
+    # rows-only: candidates come from Spark's xxhash64 (not in DuckDB) and the
+    # 16x4 S-curve has ~64% recall at J=0.5, so the verified-pair set is
+    # LSH-dependent by design; precision-1.0 (every emitted pair has true J>=0.5) and recall
+    # invariants asserted vs brute force in tests/test_dedup.py.
+    oracle=None,
     doc=(
         "MinHash(64 perms) + 16-band LSH candidates, re-verified with exact "
         "token Jaccard >= 0.5. Catalyst-only: shingle/hash/band via "
@@ -104,7 +108,10 @@ def q33_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q34_simhash_near_pairs",
-    oracle=None,  # xxhash64-based; verified in tests/test_dedup.py
+    # rows-only: SimHash bits are votes over Spark xxhash64 token hashes —
+    # no DuckDB twin; Hamming<=3 correctness asserted vs brute force in
+    # tests/test_dedup.py.
+    oracle=None,
     doc="64-bit SimHash + 4x16-bit pigeonhole banding; pairs with Hamming <= 3.",
 )
 def q34_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,7 +149,10 @@ def q35_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q36_ann_lsh_topk",
-    oracle=None,  # approximate by design; recall vs brute force asserted in tests
+    # rows-only: ANN is approximate by design — output is top-k under an
+    # LSH candidate set with recall<1; recall@5 floor vs exact brute force
+    # asserted in tests/test_similarity.py (exact twin = q35/q57).
+    oracle=None,
     doc=(
         "ANN via multi-table random-hyperplane LSH (8 tables x 4 bits) "
         "+ exact cosine re-rank; recall@5 ~0.75 vs brute force on the "
@@ -390,16 +400,73 @@ def q56_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q54_dedup_keep_list",
-    oracle=None,  # iterative (connected components) + xxhash64 LSH — tests/test_dedup.py
+    # The Spark side goes through xxhash64 MinHash banding, but the
+    # banding is only a candidate FILTER: at shingle-Jaccard >= 0.9 the
+    # 16x4 S-curve's miss probability is (1 - 0.9^4)^16 ~ 3e-8 per pair,
+    # so the verified pair set equals the exact >= 0.9 pair set (asserted
+    # against brute force in tests/test_dedup.py on this corpus).  The
+    # oracle therefore computes the exact pair set directly — candidates
+    # from an inverted-index join (J > 0 requires a shared shingle),
+    # integer cross-multiplied Jaccard, transitive closure by recursive
+    # CTE, min-id label per component.
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             (SELECT CASE WHEN len(t.toks) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(t.toks) - 1),
+                         i -> t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2]))
+                     ELSE [] END
+              FROM (SELECT string_split({_NORM_SQL.format(c='text')}, ' ') AS toks) t
+             ) AS s
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM ex x JOIN ex y ON y.g = x.g AND y.doc_id > x.doc_id
+    ),
+    verified AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sh a ON a.doc_id = cand.id_a
+      JOIN sh b ON b.doc_id = cand.id_b
+      WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+        AND len(list_intersect(a.s, b.s)) * 10
+            >= len(list_distinct(list_concat(a.s, b.s))) * 9
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(l.cluster_id, d.doc_id) AS keep
+    FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+    """,
     doc=(
-        "End-to-end near-dedup decision: MinHash LSH pairs -> exact-Jaccard "
-        "verify -> connected components (iterative min-label propagation) -> "
-        "one keeper per duplicate cluster. Output (doc_id, cluster_id, keep) "
-        "for every document."
+        "End-to-end near-dedup decision: MinHash LSH candidates -> exact "
+        "shingle-Jaccard >= 0.9 verify (integer cross-multiplication, the "
+        "same 3-word shingle sets the signatures hash) -> connected "
+        "components (iterative min-label propagation) -> one keeper per "
+        "duplicate cluster. Output (doc_id, cluster_id, keep) for every "
+        "document. Scale: LSH banding bounds candidates, CC rounds = "
+        "cluster diameter (tiny for near-dup graphs); the oracle's "
+        "brute-force inverted-index twin is feasible only at oracle SF."
     ),
 )
 def q54_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.dedup_keep_list(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return D.dedup_keep_list(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.9,
+        verify_on="shingles",
+        threshold_frac=(9, 10),
+    )
 
 
 @register(
@@ -564,7 +631,26 @@ def q58_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q44_frame_samples",
-    oracle=None,  # mapInPandas explode stub; tests/test_multimodal.py
+    # The stub decode is md5-deterministic: frame_digest =
+    # md5(utf8(text) + frame_idx as 4 little-endian bytes), n_frames =
+    # min(4, 1 + byte_len % 4).  chr(i)||chr(0)*3 reproduces the LE
+    # int bytes in DuckDB (frame_idx < 4, and NUL is a legal VARCHAR
+    # byte there), so the whole explode is SQL-expressible.
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, text, least(4, 1 + strlen(text) % 4) AS n
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    f AS (
+      SELECT doc_id, text, unnest(range(0, n)) AS i FROM v
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i * 1000 AS BIGINT) AS frame_ts_ms,
+           md5(text || chr(CAST(i AS INT)) || chr(0) || chr(0) || chr(0))
+             AS frame_digest
+    FROM f
+    """,
     doc="Video frame-sampling plumbing: per-media-row frame explosion with stable digests.",
 )
 def q44_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,8 +680,11 @@ def q64_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q67_ann_ivf_topk",
-    oracle=None,  # KMeans-based, approximate by design; recall floor +
-    # exact-cosine assertions in tests/test_similarity.py
+    # rows-only: cell assignments come from Spark ML KMeans (iterative,
+    # implementation-specific init/tie-breaks) and ANN is approximate by
+    # design; recall floor + exact-cosine re-rank assertions in
+    # tests/test_similarity.py (exact twin = q35/q57).
+    oracle=None,
     doc=(
         "ANN via IVF: 16 k-means cells (Spark ML, seeded), 4-cell "
         "multi-probe, exact cosine re-rank - the partition-pruned ANN "
@@ -1417,6 +1506,10 @@ def q92_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q97_semdedup",
+    # rows-only: bucket geometry comes from seeded NumPy hyperplanes
+    # materialized Spark-side (no SQL twin without inlining the full
+    # float matrix); star-vs-representative cosine checked in
+    # tests/test_similarity.py.
     oracle=None,
     doc=(
         "SemDeDup-style semantic dedup over embeddings: deterministic "

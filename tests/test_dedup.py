@@ -157,3 +157,34 @@ def test_normalized_dedup_non_latin_not_collapsed(spark):
     assert by_key["hello"]["n_dups"] == 2
     assert by_key["#1"]["n_dups"] == 1      # non-Latin docs stay singletons
     assert by_key["#2"]["n_dups"] == 1
+
+
+def test_shingle_verified_lsh_equals_brute_force(spark, sf_dir):
+    """Soundness condition of q54's DuckDB oracle: on the test corpus,
+    LSH candidates catch EVERY pair with shingle-Jaccard >= 0.9 (the
+    16x4 S-curve miss probability at 0.9 is ~3e-8 per pair), so the
+    verified pair set equals the exact brute-force pair set and the
+    oracle may skip the banding step entirely."""
+    from pyspark.sql import functions as F
+
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = D.minhash_dedup_pairs_verified(
+        docs, threshold=0.9, verify_on="shingles", threshold_frac=(9, 10)
+    )
+    got = {tuple(sorted((r["id_a"], r["id_b"]))) for r in lsh.collect()}
+
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(D.shingles_from_tokens(D.tokens(F.col("text")), 3)).alias("s"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    pairs = a.join(b, F.col("id_b") > F.col("id_a"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+    union = F.size(F.array_union("sa", "sb")).cast("long")
+    exact = pairs.filter((union > 0) & (inter * 10 >= union * 9))
+    want = {(r["id_a"], r["id_b"]) for r in exact.select("id_a", "id_b").collect()}
+    assert got == want
+    assert want  # non-vacuous: the corpus does contain planted near-dups
