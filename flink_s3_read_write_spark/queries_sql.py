@@ -1186,15 +1186,45 @@ _Q101_SQL = """
     "q101_recursive_spine",
     oracle=_Q101_SQL,
     doc=(
-        "Recursive CTE (Spark 4 WITH RECURSIVE) generating a monthly "
-        "calendar spine, left-joined to monthly revenue so empty months "
-        "surface as explicit zero rows — the gap-filling step every "
-        "time-series report needs before window functions make sense. "
-        "The spine is 84 rows built driver-cheap by the recursion (each "
-        "step is a one-row union), and the revenue side is a normal "
-        "pre-aggregated shuffle; the join broadcasts the spine. Same "
-        "SQL text runs on both engines."
+        "Monthly calendar spine left-joined to monthly revenue so empty "
+        "months surface as explicit zero rows — the gap-filling step "
+        "every time-series report needs before window functions make "
+        "sense. The spine is ONE sequence()+explode job (84 rows from a "
+        "single literal row), not the 84 sequential one-row union steps "
+        "a WITH RECURSIVE spine schedules — at sf0.1 that recursion cost "
+        "~15 s of pure driver round-trips for constant-size output. The "
+        "recursive-CTE surface itself stays covered: the DuckDB oracle "
+        "runs exactly that SQL, and tests/test_query_extras.py asserts "
+        "Spark 4's WITH RECURSIVE produces the identical spine."
     ),
 )
 def q101_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_sql(spark, sf_dir, _Q101_SQL)
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("m"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-12-01").cast("date"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("m")
+    )
+    # rev is at most one row per month (bounded ~84 at any data scale),
+    # so it broadcasts; months is the preserved side of the left join.
+    return (
+        months.join(F.broadcast(rev), "m", "left")
+        .select(
+            "m",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )

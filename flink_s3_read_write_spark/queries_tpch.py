@@ -157,22 +157,32 @@ def q105_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         "of the global total, the group-vs-global-scalar HAVING pattern. "
         "The threshold compares val*2000 > SUM(val) in pure DECIMAL — "
         "exact rational arithmetic, so the cut cannot ulp-flip between "
-        "engines (same trick as q98). The global scalar is one broadcast "
-        "row; the per-part aggregate is computed once and reused for both "
-        "sides (adaptation: lineitem value plays partsupp, which this "
+        "engines (same trick as q98). Spark does not materialize SQL "
+        "CTEs, so the scalar-subquery formulation scans lineitem TWICE; "
+        "here the per-part aggregate is cached and both the global total "
+        "and the filter read the one materialization — a single lineitem "
+        "scan, and the cached pv is only n_parts rows (tiny next to "
+        "lineitem at any scale). The total joins back as a broadcast of "
+        "one row (adaptation: lineitem value plays partsupp, which this "
         "schema lacks)."
     ),
 )
 def q106_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_sql(spark, sf_dir, """
-        WITH pv AS (
-          SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS val
-          FROM lineitem GROUP BY l_partkey
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("val"))
+        .cache()
+    )
+    total = pv.agg(F.sum("val").alias("total"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("val") * 2000 > F.col("total"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("val").cast("double").alias("part_value"),
         )
-        SELECT l_partkey AS partkey, CAST(val AS DOUBLE) AS part_value
-        FROM pv
-        WHERE val * 2000 > (SELECT SUM(val) FROM pv)
-    """)
+    )
 
 
 @register(

@@ -245,3 +245,22 @@ def test_gopher_quality_bounds(spark, sf_dir):
         assert r.word_cnt >= 1
         if r.keep:
             assert r.dup_word_frac < 0.75 and r.top_trigram_frac < 0.18
+
+
+def test_recursive_cte_spine_matches_sequence_plan(spark, sf_dir):
+    """Spark 4's WITH RECURSIVE surface: the recursive calendar spine
+    must produce exactly the rows the registered sequence()+explode
+    q101 plan produces (the registered plan replaced the recursion for
+    performance — 84 sequential one-row steps vs one job)."""
+    from flink_s3_read_write_spark.queries_sql import _Q101_SQL
+    from flink_s3_read_write_spark.sql import run_sql
+
+    recursive = {
+        tuple(r) for r in run_sql(spark, sf_dir, _Q101_SQL).collect()
+    }
+    registered = {
+        tuple(r)
+        for r in registry()["q101_recursive_spine"].fn(spark, sf_dir).collect()
+    }
+    assert recursive == registered
+    assert len(registered) == 84
