@@ -391,3 +391,48 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
         assert (2, None) in got                     # outer row flushed
     finally:
         q.stop()
+
+
+def test_session_window_stream_final_state_matches_batch(spark, sf_dir, tmp_path):
+    """Batch/streaming unification for SESSION windows on real data:
+    every session the append-mode stream finalizes must equal the batch
+    session_agg row bit-for-bit (decimal-routed sums make the values
+    partition-order-independent), and every batch session that the
+    final watermark safely passed must have been emitted.  This is the
+    one streaming semantics with no DuckDB cross-check (the oracle's
+    gaps-and-islands twin covers batch only), so the batch plan is the
+    reference."""
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "sess_eq")
+    ev.coalesce(1).write.parquet(src)
+
+    gap, delay = "30 minutes", "1 minute"
+    batch = {tuple(r) for r in W.session_agg(ev, gap=gap).collect()}
+
+    stream = W.session_agg(
+        jobs.events_stream(spark, src).withWatermark("ts", delay), gap=gap
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_sess_eq")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = {tuple(r) for r in spark.table("t_sess_eq").collect()}
+    finally:
+        q.stop()
+
+    # 1) no invented rows: everything emitted is a batch session
+    assert emitted <= batch
+    # 2) completeness up to the watermark: sessions that ended safely
+    #    before (max_ts - delay) must all have been finalized (a 1-min
+    #    margin keeps the assertion off the watermark boundary)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    wm_safe = max_ts - timedelta(minutes=2)
+    must_emit = {r for r in batch if r[1] < wm_safe}  # r[1] = s_end
+    assert must_emit <= emitted
+    assert len(must_emit) > 10  # non-vacuous on sf0.001
