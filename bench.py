@@ -63,13 +63,17 @@ def main() -> int:
     except Exception:
         pass
 
+    # Crashed queries go to `failed`, never into the timing map — a
+    # -1.0 sentinel there would silently poison any consumer that sums
+    # or diffs timings round-over-round.
     times: dict[str, float] = {}
+    failed: list[str] = []
     for name in names:
         try:
             times[name] = round(run_one(reg[name].fn, spark, sf_dir), 3)
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
-            times[name] = -1.0
+            failed.append(name)
     total = round(sum(t for t in times.values() if t > 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
 
@@ -78,7 +82,11 @@ def main() -> int:
     # never truncates it (round 1 lost the tail of a 115-entry line).
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json")
     with open(sidecar, "w") as f:
-        json.dump({"sf": sf, "n_queries": len(times), "queries": times}, f, indent=1, sort_keys=True)
+        json.dump(
+            {"sf": sf, "n_queries": len(times), "failed": failed, "queries": times},
+            f, indent=1, sort_keys=True,
+        )
+        f.write("\n")
     slowest = dict(sorted(
         ((n, t) for n, t in times.items() if t == t),  # drop NaN streaming entries
         key=lambda kv: -kv[1])[:15])
@@ -87,11 +95,12 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "n_queries": len(times),
+        "failed": failed,
         "queries": slowest,
         "queries_detail_file": "BENCH_QUERIES.json",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
-    return 0 if all(t >= 0 or t != t for t in times.values()) else 1
+    return 0 if not failed else 1
 
 
 if __name__ == "__main__":

@@ -328,10 +328,17 @@ def minhash_dedup_pairs_verified(
     # doc can appear in many candidate pairs.
     if verify_on == "shingles":
         shingle_k = kwargs.get("shingle_k", 3)
-        toks = df.select(
+        # Two staged projections, NOT one inline expression: the shingle
+        # lambda references its token array k times per element, and
+        # higher-order functions evaluate interpreted with no CSE — an
+        # inline tokens() would re-run the normalize regexes O(k·shingles)
+        # times per doc (measured 15x slower at sf0.1).  Same staging as
+        # minhash_signatures.
+        toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+        toks = toked.select(
             F.col(id_col),
             F.array_distinct(
-                shingles_from_tokens(tokens(F.col(text_col)), shingle_k)
+                shingles_from_tokens(F.col("_tok"), shingle_k)
             ).alias("toks"),
         )
     else:

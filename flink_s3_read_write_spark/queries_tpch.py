@@ -475,3 +475,337 @@ def q112_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q116_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    reg AS (
+      SELECT c.l_partkey, c.supply_cost, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM cost c
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    ),
+    m AS (
+      SELECT *, MIN(supply_cost) OVER (PARTITION BY l_partkey) AS min_cost FROM reg
+    )
+    SELECT p.p_partkey, p.p_name, m.s_suppkey, m.s_name, m.s_acctbal, m.n_name,
+           m.supply_cost
+    FROM m JOIN part p ON p.p_partkey = m.l_partkey
+    WHERE p.p_size = 15 AND m.supply_cost = m.min_cost
+    """,
+    doc=(
+        "TPC-H Q2 shape (minimum-cost supplier): for each qualifying part, "
+        "the supplier(s) offering the regional minimum supply cost. The "
+        "correlated-MIN-subquery formulation is rewritten as ONE pass: "
+        "per-(part,supplier) cost aggregate, broadcast dimension joins "
+        "with the region filter applied before the window, then a "
+        "per-part MIN window on the already-aggregated (tiny) cost table "
+        "— no second lineitem scan, no decorrelation needed. supply_cost "
+        "is a plain MIN (no arithmetic), so the equality against the "
+        "window min is exact on both engines. Adaptation: lineitem plays "
+        "partsupp (this schema has no ps_supplycost); min extendedprice "
+        "plays supply cost."
+    ),
+)
+def q116_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supply_cost")
+    )
+    reg = (
+        cost.join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    w = Window.partitionBy("l_partkey")
+    m = reg.withColumn("min_cost", F.min("supply_cost").over(w))
+    return (
+        m.filter(F.col("supply_cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal",
+            "n_name", "supply_cost",
+        )
+    )
+
+
+@register(
+    "q117_late_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "TPC-H Q4 shape (order priority checking): orders in one quarter "
+        "with at least one late line, counted per priority. The EXISTS is "
+        "a LEFT SEMI join on orderkey with the lateness predicate as the "
+        "join condition — each order counted once no matter how many late "
+        "lines, and the quarter filter prunes the orders scan before the "
+        "shuffle. Adaptation: this schema has no commit/receipt dates, so "
+        "'late' means shipped more than 60 days after the order date."
+    ),
+)
+def q117_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "leftsemi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q118_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    doc=(
+        "TPC-H Q6 shape (forecast revenue change): pure scan-filter-"
+        "aggregate, zero joins, zero shuffles past the partial agg — the "
+        "canonical predicate-pushdown showcase (year, discount band and "
+        "quantity all reach the parquet scan as PushedFilters). The "
+        "discount band compares the stored doubles directly (no "
+        "arithmetic before the compare), and the revenue product routes "
+        "through DECIMAL so the sum is partition-order-independent."
+    ),
+)
+def q118_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast(_DEC)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q119_late_line_priority",
+    oracle="""
+    SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 90 DAY
+                THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    doc=(
+        "TPC-H Q12 shape (shipping modes / priority): lines bucketed by a "
+        "derived lateness class, priority split as conditional sums inside "
+        "one aggregate — two output rows from one fact-fact join with the "
+        "year filter pushed to the lineitem scan. Integer counts only, so "
+        "cross-engine exactness is free. Adaptation: no l_shipmode or "
+        "commit/receipt dates in this schema; the 90-day ship lag plays "
+        "the mode split."
+    ),
+)
+def q119_late_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        F.lit("LATE"),
+    ).otherwise(F.lit("ONTIME"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q120_custdist",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON o_custkey = c_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    doc=(
+        "TPC-H Q13 shape (customer order-count distribution): LEFT join "
+        "with a non-key predicate inside the ON clause (excluded orders "
+        "must not turn customers into non-matches), COUNT of non-null "
+        "order keys per customer, then the distribution of those counts — "
+        "the classic two-level aggregate. The priority filter prunes the "
+        "orders side BEFORE the join (Catalyst pushes ON-clause filters "
+        "on the non-preserved side down to the scan); zero-order "
+        "customers flow through as c_count = 0. Integer-only output."
+    ),
+)
+def q120_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c_orders = (
+        cust.join(
+            orders,
+            (orders.o_custkey == cust.c_custkey)
+            & (orders.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q121_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc=(
+        "TPC-H Q15 shape (top supplier): per-supplier quarterly revenue, "
+        "keep the supplier(s) at the global maximum. Like q106, the view "
+        "is referenced twice, so the per-supplier aggregate is CACHED and "
+        "the one-row global max joins back as a broadcast — one lineitem "
+        "scan total (a single-partition MAX-OVER-() window would also "
+        "avoid the rescan but serializes every supplier through one task "
+        "at scale; the cached re-aggregate stays parallel). Revenue stays "
+        "DECIMAL through the equality compare — ties are exact — and "
+        "converts to double only for output."
+    ),
+)
+def q121_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC))
+            .alias("total_revenue")
+        )
+        .cache()
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q122_part_promotion_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 30
+      )
+      AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+    """,
+    doc=(
+        "TPC-H Q20 shape (potential part promotion): suppliers who moved "
+        "a significant volume of a name-matched part in one year, "
+        "restricted to one nation — nested IN subqueries where the inner "
+        "one aggregates before filtering (HAVING over SUM). Both INs "
+        "become LEFT SEMI joins; the part-name LIKE and year filters "
+        "prune before the group-by, and the nation probe is a broadcast. "
+        "Quantities are integral doubles, so the volume threshold is "
+        "exact on both engines."
+    ),
+)
+def q122_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    movers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 30)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(movers, supp.s_suppkey == movers.l_suppkey, "leftsemi")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation.n_nationkey,
+            "leftsemi",
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
