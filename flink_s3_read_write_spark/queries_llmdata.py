@@ -1768,3 +1768,126 @@ def q115_int8_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              ).alias("cos_q"),
         )
     )
+
+
+@register(
+    "q123_temperature_mix",
+    # Cross-engine exactness: n_min/n_s is one correctly-rounded IEEE
+    # division, sqrt is correctly rounded by the standard, x*2^32 is an
+    # exact power-of-two scale and floor is exact — so the per-source
+    # integer threshold is bit-identical on both engines, and the md5
+    # prefix compare is pure string order on fixed-width lowercase hex.
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    m AS (SELECT MIN(n_docs) AS n_min FROM counts),
+    rates AS (
+      SELECT lang, n_docs,
+             format('{:08x}', least(CAST(floor(
+                 sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                 * 4294967296.0) AS BIGINT), 4294967295)) AS thr
+      FROM counts, m
+    )
+    SELECT d.doc_id, d.lang, r.n_docs AS lang_size
+    FROM documents d JOIN rates r ON r.lang = d.lang
+    WHERE substring(md5('mix-t-v1' || CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thr
+    """,
+    doc=(
+        "Temperature-based language mixing (alpha = 0.5, the mT5-style "
+        "multilingual rebalance): per-language keep probability "
+        "(n_min/n_lang)^alpha derived FROM the data — one tiny count "
+        "aggregate, broadcast back as an md5-prefix threshold, so "
+        "dominant languages are downsampled toward the smallest and the "
+        "mixture needs no RNG state, no count-first driver pass, and is "
+        "reproducible on any cluster size. The count-derived-rate shape "
+        "is the delta vs q78's fixed-rate stratified sample. At 100 TB "
+        "the rates table is |languages| rows — always a broadcast."
+    ),
+)
+def q123_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    nmin = counts.agg(F.min("n_docs").alias("n_min"))
+    thr_num = F.floor(
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_docs").cast("double"))
+        * F.lit(4294967296.0)
+    ).cast("bigint")
+    rates = (
+        counts.join(F.broadcast(nmin))
+        .select(
+            "lang",
+            "n_docs",
+            F.format_string("%08x", F.least(thr_num, F.lit(4294967295))).alias("thr"),
+        )
+    )
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("mix-t-v1"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("thr"))
+        .select("doc_id", "lang", F.col("n_docs").alias("lang_size"))
+    )
+
+
+@register(
+    "q124_source_overlap",
+    # Integer-only output; the informative-shingle cap (<= 10 sources)
+    # is an exact integer filter on both engines.
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT source, g
+      FROM (
+        SELECT source,
+               unnest(CASE WHEN len(toks) >= 3 THEN
+                 list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE [] END) AS g
+        FROM (SELECT source,
+                     string_split({{norm}}, ' ') AS toks
+              FROM documents) t
+      )
+    ),
+    informative AS (
+      SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 10
+    ),
+    kept AS (SELECT sh.source, sh.g FROM sh JOIN informative USING (g))
+    SELECT a.source AS src_a, b.source AS src_b,
+           COUNT(*) AS shared_shingles
+    FROM kept a JOIN kept b ON a.g = b.g AND a.source < b.source
+    GROUP BY a.source, b.source
+    """.replace("{norm}", _NORM_SQL.format(c="text")),
+    doc=(
+        "Cross-source contamination matrix: which sources share verbatim "
+        "3-word shingles (who copies from whom) — the corpus-provenance "
+        "audit before mixing. Inverted-index self-join on the shingle, "
+        "with a frequency cap that drops shingles appearing in > 10 "
+        "sources first: boilerplate is uninformative for provenance AND "
+        "it is exactly what would blow the pair expansion up at scale — "
+        "the same guard as the LSH bucket cap. Distinct-ing (source, "
+        "shingle) BEFORE the join bounds the join input by vocabulary, "
+        "not corpus size."
+    ),
+)
+def q124_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("source", D.tokens(F.col("text")).alias("_tok"))
+    sh = (
+        toked.select(
+            "source",
+            F.explode(D.shingles_from_tokens(F.col("_tok"), 3)).alias("g"),
+        )
+        .distinct()
+    )
+    informative = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_src")).filter(
+        F.col("n_src") <= 10
+    )
+    kept = sh.join(informative.select("g"), "g")
+    a = kept.select(F.col("g").alias("g"), F.col("source").alias("src_a"))
+    b = kept.select(F.col("g").alias("g2"), F.col("source").alias("src_b"))
+    return (
+        a.join(b, (F.col("g") == F.col("g2")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
