@@ -126,3 +126,53 @@ def test_asof_join_null_payload_not_skipped(spark):
                     payload=["v", "tag"]).collect()[0]
     assert out["asof_tag"] == "new"
     assert out["asof_v"] is None            # not the older row's 5.0
+
+
+def test_q117_exists_is_left_semi_join(spark, sf_dir):
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q117_late_order_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    # quarter filter reaches the orders scan, not a post-join Filter
+    assert any("o_orderdate" in f for f in P.pushed_filters(plan)), plan
+
+
+def test_q118_all_predicates_pushed_zero_joins(spark, sf_dir):
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q118_forecast_revenue"].fn(spark, sf_dir))
+    pushed = " ".join(P.pushed_filters(plan))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, plan
+    assert not P.has(plan, "Join"), plan
+    (cols,) = P.read_schemas(plan)
+    # 4 of lineitem's 11 columns — everything else pruned at the scan
+    assert set(cols) == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q120_on_clause_filter_prunes_orders_scan(spark, sf_dir):
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q120_custdist"].fn(spark, sf_dir))
+    # the non-key ON predicate must prune the orders side BEFORE the
+    # join (pushed to the scan), never run as a post-join filter that
+    # would wrongly drop zero-order customers
+    assert any("o_orderpriority" in f for f in P.pushed_filters(plan)), plan
+
+
+def test_q116_single_lineitem_scan_and_broadcast_dims(spark, sf_dir):
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q116_min_cost_supplier"].fn(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert P.count(plan, "BroadcastHashJoin") >= 3, plan  # supp/nation/region/part
+
+
+def test_q123_rates_join_is_broadcast(spark, sf_dir):
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q123_temperature_mix"].fn(spark, sf_dir))
+    assert P.has(plan, "BroadcastHashJoin"), plan
+    # the corpus is never shuffled for the rates join; the only
+    # exchanges belong to the tiny per-language count aggregate
+    assert P.count(plan, "BroadcastExchange") >= 1, plan
