@@ -73,15 +73,18 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q106_important_parts",
     # newly oracle-backed this round
     "q54_dedup_keep_list", "q44_frame_samples",
-    # tier 2: green rows worth re-confirming (TPC-H + flagship families)
-    "q103_promo_revenue", "q104_small_qty_revenue", "q105_disjunctive_pred",
-    "q107_supplier_variety", "q108_nation_pair_volume",
-    "q109_market_share", "q110_local_supplier_volume", "q111_profit_by_nation",
-    "q112_returned_items",
-    "q26_exists_subquery", "q27_correlated_scalar_subquery", "q99_lateral_topk",
+    # new queries this round (no driver row can exist yet)
+    "q116_min_cost_supplier", "q117_late_order_priority",
+    "q118_forecast_revenue", "q119_late_line_priority", "q120_custdist",
+    "q121_top_supplier", "q122_part_promotion_suppliers",
+    "q123_temperature_mix", "q124_source_overlap",
+    # tier 2: green rows worth re-confirming (flagship families); the
+    # rest of the registry follows in registration order
+    "q103_promo_revenue", "q104_small_qty_revenue",
+    "q26_exists_subquery", "q27_correlated_scalar_subquery",
     "q50_tumbling_window", "q51_sliding_window", "q52_session_window",
     "q113_unigram_lm_score", "q115_int8_cosine_pairs",
-    "q87_pretrain_pipeline", "q82_tfidf_keywords",
+    "q87_pretrain_pipeline",
 )
 
 
