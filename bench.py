@@ -46,6 +46,16 @@ def main() -> int:
         run_one(reg[names[0]].fn, spark, sf_dir)
     except Exception:
         pass
+    # Touch every table once (footer reads, codec init, page-cache fill)
+    # so first-scan costs aren't charged to whichever query happens to
+    # read a table first — per-query timings stay attributable.
+    from flink_s3_read_write_spark.sources.io import TABLES, load_table
+
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
     # Pre-spawn Python workers (Arrow + numpy/pandas imports, ~8 s once
     # per session) so the first pandas_udf query isn't charged for them.
     try:
