@@ -170,17 +170,55 @@ def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def jpeg_dimensions(buf: bytes) -> tuple[int, int, int]:
+    """Parse (width, height, channels) from JPEG/JFIF markers — pure
+    stdlib, no codec needed.  Walks the marker stream to the first
+    frame header (SOF0/1/2/3/5/6/7/9/10/11/13/14/15), which carries the
+    image dimensions and component count; pixel decode (the entropy-
+    coded scan) is NOT performed.  Raises ValueError on non-JPEG or
+    truncated input."""
+    if len(buf) < 4 or buf[0:2] != b"\xff\xd8":  # SOI
+        raise ValueError("not a JPEG (missing SOI marker)")
+    pos = 2
+    sof_markers = set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}  # not DHT/JPG/DAC
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            pos += 1  # fill bytes / entropy data resync
+            continue
+        marker = buf[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers, no length
+            continue
+        if pos + 4 > len(buf):
+            break
+        seg_len = struct.unpack(">H", buf[pos + 2 : pos + 4])[0]
+        if marker in sof_markers:
+            if pos + 9 > len(buf):
+                break
+            _prec, h, w, ncomp = struct.unpack(">BHHB", buf[pos + 4 : pos + 10])
+            return w, h, ncomp
+        pos += 2 + seg_len
+    raise ValueError("truncated JPEG: no SOF marker found")
+
+
 def _decode_image_real(buf: bytes) -> tuple[int, int, int]:
-    """Real decode path: stdlib PNG decoder (no imaging libs needed).
-    Non-PNG formats would route through PIL, which this container
-    lacks — those raise ``NotImplementedError`` explicitly."""
+    """Real decode path, stdlib only: full PNG decode (``decode_png``)
+    and JPEG header parse (``jpeg_dimensions`` — dimensions/channels
+    without entropy decode).  Other formats would route through PIL,
+    which this container lacks — those raise ``NotImplementedError``
+    explicitly."""
     if buf[: len(_PNG_SIG)] == _PNG_SIG:
         w, h, c, _px = decode_png(buf)
         return w, h, c
+    if buf[:2] == b"\xff\xd8":
+        return jpeg_dimensions(buf)
     if not HAS_PIL:
         raise NotImplementedError(
-            "non-PNG decode requires PIL; this container has no imaging libs — "
-            "use fake=True (deterministic stub) for synthetic media, or PNG bytes"
+            "non-PNG/JPEG decode requires PIL; this container has no imaging "
+            "libs — use fake=True (deterministic stub) for synthetic media"
         )
     raise NotImplementedError("PIL decode wiring is deferred until PIL exists")
 

@@ -1891,3 +1891,64 @@ def q124_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
     )
+
+
+@register(
+    "q126_quality_keeper_dedup",
+    # max_by/arg_max need a total order for determinism: the key is the
+    # exact integer scalar q*2^32 - doc_id (quality major, smallest-id
+    # tiebreak) — integer-only, so no cross-engine tie ambiguity.
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_NORM_SQL.format(c='text')} AS norm,
+             length(text) AS q
+      FROM documents
+    ),
+    keyed AS (
+      SELECT *, CASE WHEN norm = '' THEN '#' || CAST(doc_id AS VARCHAR)
+                     ELSE norm END AS grp
+      FROM scored
+    )
+    SELECT grp AS norm_text,
+           arg_max(doc_id, q * 4294967296 - doc_id) AS keeper_id,
+           MAX(q) AS keeper_quality,
+           COUNT(*) AS n_dups
+    FROM keyed
+    GROUP BY grp
+    """,
+    doc=(
+        "Quality-keeper dedup: like q31's normalized dedup but the "
+        "survivor is the HIGHEST-QUALITY member of each duplicate group "
+        "(longest text; ties break to the smallest doc_id via the exact "
+        "integer sort key [q, -doc_id]), not the smallest id — the "
+        "production choice when near-duplicates differ in truncation or "
+        "boilerplate. Same single digest-keyed shuffle as q31: max_by "
+        "ships one (id, quality) pair per group through the partial "
+        "aggregate, never the texts. Empty normal forms fall back to "
+        "per-doc groups (q31's multilingual-safety rule)."
+    ),
+)
+def q126_quality_keeper_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = D.normalize_text(F.col("text"))
+    grp = F.when(norm == "", F.concat(F.lit("#"), F.col("doc_id").cast("string"))).otherwise(
+        norm
+    )
+    q = F.length("text")
+    return (
+        docs.select(
+            grp.alias("norm_text"),
+            F.col("doc_id"),
+            q.alias("q"),
+        )
+        .groupBy("norm_text")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.col("q").cast("long") * F.lit(4294967296) - F.col("doc_id"),
+            ).alias("keeper_id"),
+            F.max("q").alias("keeper_quality"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )

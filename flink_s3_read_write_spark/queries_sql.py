@@ -1228,3 +1228,42 @@ def q101_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "q125_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                AS BIGINT) AS valid_to_us,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+             AS is_current,
+           value
+    FROM events
+    """,
+    doc=(
+        "SCD2 interval construction (the warehouse dimension-history "
+        "pattern): each per-key change record gets [valid_from, valid_to) "
+        "from its own and the NEXT record's event time via lead(), open "
+        "intervals flagged is_current — turning an append-only change "
+        "log into a point-in-time-joinable dimension. One keyed window "
+        "(partition by user, per-partition sort), no self-join — the "
+        "naive formulation joins the table to itself on 'next change'. "
+        "Emitted as epoch micros on both engines (NTZ-safe)."
+    ),
+)
+def q125_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+        "value",
+    )

@@ -98,3 +98,37 @@ def test_audio_features_numpy_oracle(spark):
     f0 = float(np.sqrt(np.mean(x[:256] ** 2)))
     assert out[1]["frame_rms"][0] == pytest.approx(f0, rel=1e-6)
     assert out[2]["rms"] == 0.0 and out[2]["peak"] == 0.0
+
+
+def test_jpeg_dimensions_header_parse():
+    """jpeg_dimensions reads w/h/channels from the SOF marker of a
+    hand-assembled minimal JPEG stream (SOI + APP0 + DQT + SOF0), with
+    no pixel decode and no imaging library."""
+    import struct
+
+    import pytest
+
+    from flink_s3_read_write_spark.operators.multimodal import (
+        _decode_image_real,
+        jpeg_dimensions,
+    )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    w, h, ncomp = 640, 480, 3
+    sof0 = seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + b"\x01\x11\x00" * ncomp)
+    jpeg = (
+        b"\xff\xd8"                                   # SOI
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")  # APP0
+        + seg(0xDB, b"\x00" + bytes(64))              # DQT (ignored)
+        + sof0
+        + b"\xff\xd9"                                 # EOI
+    )
+    assert jpeg_dimensions(jpeg) == (w, h, ncomp)
+    assert _decode_image_real(jpeg) == (w, h, ncomp)  # routes via JPEG branch
+
+    with pytest.raises(ValueError):
+        jpeg_dimensions(b"\x89PNG not a jpeg")
+    with pytest.raises(ValueError):
+        jpeg_dimensions(jpeg[:8])  # truncated before SOF
