@@ -78,9 +78,9 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q118_forecast_revenue", "q119_late_line_priority", "q120_custdist",
     "q121_top_supplier", "q122_part_promotion_suppliers",
     "q123_temperature_mix", "q124_source_overlap",
+    "q125_scd2_intervals", "q126_quality_keeper_dedup",
     # tier 2: green rows worth re-confirming (flagship families); the
     # rest of the registry follows in registration order
-    "q103_promo_revenue", "q104_small_qty_revenue",
     "q26_exists_subquery", "q27_correlated_scalar_subquery",
     "q50_tumbling_window", "q51_sliding_window", "q52_session_window",
     "q113_unigram_lm_score", "q115_int8_cosine_pairs",

@@ -96,3 +96,39 @@ def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
     z_ts = _overlap_fraction(z_path, "ts_us", mid_lo, mid_hi)
     assert z_user <= 0.5, z_user
     assert z_ts <= 0.75, z_ts
+
+
+def test_zorder2_property_random(spark):
+    """Morton-code property check on random 16-bit pairs: exact bit
+    interleave, and locality (equal high bits of inputs => equal high
+    bits of the code)."""
+    from hypothesis import given, settings, strategies as st
+
+    u16 = st.integers(min_value=0, max_value=65535)
+
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.tuples(u16, u16), min_size=1, max_size=16))
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "a long, b long")
+        got = {
+            (r["a"], r["b"]): r["z"]
+            for r in df.withColumn("z", zorder2(F.col("a"), F.col("b"))).collect()
+        }
+        for (a, b), z in got.items():
+            assert z == morton(a, b)
+            # locality: the top 2 bits of each input occupy the top 4
+            # bits of the code (z31=b15, z30=a15, z29=b14, z28=a14)
+            expect_hi = (
+                ((b >> 15) & 1) << 3 | ((a >> 15) & 1) << 2
+                | ((b >> 14) & 1) << 1 | ((a >> 14) & 1)
+            )
+            assert (z >> 28) == expect_hi
+
+    check()
