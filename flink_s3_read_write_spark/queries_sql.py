@@ -1267,3 +1267,108 @@ def q125_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         "value",
     )
+
+
+@register(
+    "q127_funnel_steps",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    ),
+    flags AS (
+      SELECT user_id,
+             t_view IS NOT NULL AS viewed,
+             (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view)
+               AS clicked_after_view,
+             (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+              AND t_buy IS NOT NULL AND t_buy > t_click)
+               AS bought_after_click
+      FROM per_user
+    )
+    SELECT CAST(SUM(CASE WHEN viewed THEN 1 ELSE 0 END) AS BIGINT) AS step1_view,
+           CAST(SUM(CASE WHEN clicked_after_view THEN 1 ELSE 0 END) AS BIGINT)
+             AS step2_click,
+           CAST(SUM(CASE WHEN bought_after_click THEN 1 ELSE 0 END) AS BIGINT)
+             AS step3_purchase,
+           COUNT(*) AS n_users
+    FROM flags
+    """,
+    doc=(
+        "Ordered funnel analysis (view -> click -> purchase): per-user "
+        "first-occurrence times of each step as conditional MINs in ONE "
+        "keyed aggregate, then strict-order flags and one global count — "
+        "two shuffles total, never the self-join-per-step formulation "
+        "(k-step funnel as k-way join re-shuffles the event log k "
+        "times). Timestamps compare exactly (same parquet micros on "
+        "both engines); counts are integers."
+    ),
+)
+def q127_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_buy"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & F.col("t_buy").isNotNull() & (F.col("t_buy") > F.col("t_click"))
+    return per_user.select(
+        viewed.alias("viewed"), clicked.alias("clicked"), bought.alias("bought")
+    ).agg(
+        F.sum(F.when(F.col("viewed"), 1).otherwise(0)).alias("step1_view"),
+        F.sum(F.when(F.col("clicked"), 1).otherwise(0)).alias("step2_click"),
+        F.sum(F.when(F.col("bought"), 1).otherwise(0)).alias("step3_purchase"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+@register(
+    "q128_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(d) AS cohort FROM activity GROUP BY user_id
+    )
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, a.d) AS INT) AS days_since,
+           COUNT(*) AS active_users
+    FROM activity a JOIN firsts f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Retention cohort matrix: users keyed by first-active day, "
+        "counted on each subsequent active day — the standard growth-"
+        "analytics triangle (daily grain; the test events span one "
+        "month). distinct-ing (user, day) FIRST collapses the event log "
+        "to at most users x days rows, so the cohort join and both "
+        "aggregates run on the collapsed table, not the raw log; at "
+        "100 TB that is the difference between joining billions of "
+        "events and joining millions of user-days. Integer/date output."
+    ),
+)
+def q128_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    firsts = activity.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(F.col("d"), F.col("cohort")).cast("int").alias("days_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
