@@ -79,7 +79,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q121_top_supplier", "q122_part_promotion_suppliers",
     "q123_temperature_mix", "q124_source_overlap",
     "q125_scd2_intervals", "q126_quality_keeper_dedup",
-    "q127_funnel_steps", "q128_retention_cohorts",
+    "q127_funnel_steps", "q128_retention_cohorts", "q129_event_sequences",
     # tier 2: green rows worth re-confirming (flagship families); the
     # rest of the registry follows in registration order
     "q26_exists_subquery", "q27_correlated_scalar_subquery",

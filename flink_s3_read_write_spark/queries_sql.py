@@ -1372,3 +1372,59 @@ def q128_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@register(
+    "q129_event_sequences",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           seq,
+           CAST(length(seq) AS INT) AS n_events,
+           CAST((length(seq) - length(replace(seq, 'vcp', ''))) / 3 AS INT)
+             AS n_view_click_buy
+    FROM seqs
+    """,
+    doc=(
+        "CEP-lite sequence analysis (the batch analogue of Flink CEP, "
+        "which the reference's framework is known for but its jobs never "
+        "use): each user's full event history collapses to an ordered "
+        "initial-letter string in ONE keyed aggregate — sort_array over "
+        "(ts, event_id, initial) structs, so the order is total and "
+        "engine-independent — and pattern counting is literal substring "
+        "arithmetic (no regex-dialect drift). Patterns over sequences "
+        "become string ops on a per-user row: grep-able, joinable, "
+        "O(|user's events|) memory, one shuffle. The streaming twin is "
+        "applyInPandasWithState (streaming/stateful.py)."
+    ),
+)
+def q129_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"),
+                        F.col("event_id"),
+                        F.substring("event_type", 1, 1).alias("c"),
+                    )
+                )
+            ),
+            lambda s: s["c"],
+        ),
+        "",
+    )
+    out = ev.groupBy("user_id").agg(seq.alias("seq"))
+    hits = (F.length("seq") - F.length(F.replace(F.col("seq"), F.lit("vcp")))) / 3
+    return out.select(
+        "user_id",
+        "seq",
+        F.length("seq").cast("int").alias("n_events"),
+        hits.cast("int").alias("n_view_click_buy"),
+    )
