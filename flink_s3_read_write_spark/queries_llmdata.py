@@ -1952,3 +1952,59 @@ def q126_quality_keeper_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_dups"),
         )
     )
+
+
+@register(
+    "q130_salted_hot_key_agg",
+    # The salt is internal plumbing: two-phase (key, salt) -> key
+    # aggregation must be EXACTLY the plain one-phase aggregate (sum
+    # merges sums, count merges as sum, min/max idempotent), so the
+    # oracle is the unsalted SQL — the driver gate proves the skew
+    # machinery changes the plan, not the answer.
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=(
+        "Skew-safe two-phase aggregation under the correctness gate: "
+        "events keyed by event_type (5 values over the whole log — every "
+        "key is a hot key) aggregate on (key, salt-of-event_id) first, "
+        "spreading each key's state over 16 reducers, then merge partials "
+        "per key. Identical answer to the plain aggregate by construction "
+        "(algebraic merge), which is exactly what the oracle asserts; the "
+        "plan delta (extra narrow exchange, even reducer load) is what "
+        "you buy at 100 TB when one reducer would otherwise own a "
+        "boilerplate-sized key. Sum routes through DECIMAL pre-salt so "
+        "the merged double is partition-order-independent."
+    ),
+)
+def q130_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(30,6)")
+    )
+    out = salted_aggregate(
+        ev,
+        key="event_type",
+        salt_src=F.col("event_id"),
+        aggs={
+            "n_events": ("event_id", "count"),
+            "total_value_dec": ("value_dec", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("total_value_dec").cast("double").alias("total_value"),
+        "min_value",
+        "max_value",
+    )
