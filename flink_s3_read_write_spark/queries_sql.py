@@ -1428,3 +1428,47 @@ def q129_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("seq").cast("int").alias("n_events"),
         hits.cast("int").alias("n_view_click_buy"),
     )
+
+
+@register(
+    "q131_locf_gapfill",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS raw_value,
+           last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value
+    FROM events
+    """,
+    doc=(
+        "Last-observation-carried-forward gap fill (the time-series "
+        "repair every sensor/metrics pipeline needs): readings from "
+        "'error' events are nulled out, then each row takes the most "
+        "recent non-null value via last_value(... IGNORE NULLS) over a "
+        "keyed running frame — one window per user, no self-join, no "
+        "as-of lookup against the table itself. Users whose history "
+        "starts with errors keep NULL (nothing to carry). The "
+        "(ts, event_id) order key is total, so the fill is deterministic "
+        "on both engines."
+    ),
+)
+def q131_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        raw.alias("raw_value"),
+        F.last(raw, ignorenulls=True).over(w).alias("filled_value"),
+    )
