@@ -1873,12 +1873,17 @@ def q123_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q124_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("source", D.tokens(F.col("text")).alias("_tok"))
+    # The distinct (source, shingle) table is referenced THREE times
+    # (frequency cap, both self-join sides); without the cache each
+    # reference re-scans and re-shingles the whole corpus.  Cached, the
+    # corpus is read once and the reuses hit a vocabulary-bounded table.
     sh = (
         toked.select(
             "source",
             F.explode(D.shingles_from_tokens(F.col("_tok"), 3)).alias("g"),
         )
         .distinct()
+        .cache()
     )
     informative = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_src")).filter(
         F.col("n_src") <= 10

@@ -1360,9 +1360,12 @@ def q127_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q128_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # activity is referenced twice (cohort derivation + the join);
+    # cached, the raw event log is scanned once and both consumers read
+    # the collapsed user-day table.
     activity = ev.select(
         "user_id", F.col("ts").cast("date").alias("d")
-    ).distinct()
+    ).distinct().cache()
     firsts = activity.groupBy("user_id").agg(F.min("d").alias("cohort"))
     return (
         activity.join(firsts, "user_id")

@@ -176,3 +176,16 @@ def test_q123_rates_join_is_broadcast(spark, sf_dir):
     # the corpus is never shuffled for the rates join; the only
     # exchanges belong to the tiny per-language count aggregate
     assert P.count(plan, "BroadcastExchange") >= 1, plan
+
+
+def test_q124_q128_reuse_cached_collapsed_tables(spark, sf_dir):
+    """Multi-referenced collapsed intermediates (distinct shingle/
+    activity tables) must be cached: every reuse reads
+    InMemoryTableScan, so the raw corpus/event log is scanned once at
+    cache fill, not once per reference."""
+    from flink_s3_read_write_spark.queries import registry
+
+    reg = registry()
+    for name, min_refs in (("q124_source_overlap", 3), ("q128_retention_cohorts", 2)):
+        plan = P.formatted_plan(reg[name].fn(spark, sf_dir))
+        assert plan.count("InMemoryTableScan") >= min_refs, (name, plan)
