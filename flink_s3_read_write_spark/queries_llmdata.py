@@ -1807,7 +1807,10 @@ def q115_int8_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q123_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # counts (|languages| rows) feeds both the n_min scalar and the
+    # rates projection; cached, the corpus is scanned once for counting
+    # and once for the filtered output — not three times.
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).cache()
     nmin = counts.agg(F.min("n_docs").alias("n_min"))
     thr_num = F.floor(
         F.sqrt(F.col("n_min").cast("double") / F.col("n_docs").cast("double"))
