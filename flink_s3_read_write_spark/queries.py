@@ -80,7 +80,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q123_temperature_mix", "q124_source_overlap",
     "q125_scd2_intervals", "q126_quality_keeper_dedup",
     "q127_funnel_steps", "q128_retention_cohorts", "q129_event_sequences",
-    "q130_salted_hot_key_agg", "q131_locf_gapfill",
+    "q130_salted_hot_key_agg", "q131_locf_gapfill", "q132_ntile_deciles",
     # tier 2: green rows worth re-confirming (flagship families); the
     # rest of the registry follows in registration order
     "q26_exists_subquery", "q27_correlated_scalar_subquery",

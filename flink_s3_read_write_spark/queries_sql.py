@@ -1475,3 +1475,50 @@ def q131_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.alias("raw_value"),
         F.last(raw, ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@register(
+    "q132_ntile_deciles",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS decile_revenue
+    FROM ranked
+    GROUP BY decile
+    """,
+    doc=(
+        "Equal-frequency bucketing via ntile(10) — the quantile-bucket "
+        "complement to q22's equal-width histogram. The (o_totalprice, "
+        "o_orderkey) order key is total, so bucket boundaries are "
+        "deterministic on both engines even across tied prices. NOTE the "
+        "empty OVER partition: a global ntile serializes the full sort "
+        "through one task, acceptable only because the aggregate output "
+        "is 10 rows and the input here is orders at bench SF; at 100 TB "
+        "the same result comes from approx quantile boundaries + a "
+        "broadcast range join (q22/q28 show both halves), which is why "
+        "this query documents rather than hides the trade-off."
+    ),
+)
+def q132_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("decile_revenue"),
+    )
