@@ -81,6 +81,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q125_scd2_intervals", "q126_quality_keeper_dedup",
     "q127_funnel_steps", "q128_retention_cohorts", "q129_event_sequences",
     "q130_salted_hot_key_agg", "q131_locf_gapfill", "q132_ntile_deciles",
+    "q133_grouping_id_labels", "q134_curate_mix_pipeline",
     # tier 2: green rows worth re-confirming (flagship families); the
     # rest of the registry follows in registration order
     "q26_exists_subquery", "q27_correlated_scalar_subquery",

@@ -2016,3 +2016,83 @@ def q130_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@register(
+    "q134_curate_mix_pipeline",
+    # Composition of q126 (quality-keeper dedup) and q123 (temperature
+    # mix) as ONE plan: survivors of the dedup feed the per-language
+    # counts AND the final filter, so the mixture rates reflect the
+    # deduplicated corpus, not the raw one.
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             CASE WHEN {_NORM_SQL.format(c='text')} = ''
+                  THEN '#' || CAST(doc_id AS VARCHAR)
+                  ELSE {_NORM_SQL.format(c='text')} END AS grp,
+             length(text) AS q
+      FROM documents
+    ),
+    keepers AS (
+      SELECT arg_max(doc_id, q * 4294967296 - doc_id) AS doc_id
+      FROM keyed GROUP BY grp
+    ),
+    surv AS (
+      SELECT k.doc_id, k.lang FROM keyed k JOIN keepers USING (doc_id)
+    ),
+    counts AS (SELECT lang, COUNT(*) AS n_docs FROM surv GROUP BY lang),
+    m AS (SELECT MIN(n_docs) AS n_min FROM counts),
+    rates AS (
+      SELECT lang,
+             format('{{:08x}}', least(CAST(floor(
+                 sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                 * 4294967296.0) AS BIGINT), 4294967295)) AS thr
+      FROM counts, m
+    )
+    SELECT s.doc_id, s.lang
+    FROM surv s JOIN rates r ON r.lang = s.lang
+    WHERE substring(md5('mix-t-v1' || CAST(s.doc_id AS VARCHAR)), 1, 8) < r.thr
+    """,
+    doc=(
+        "Curate-then-mix composite: quality-keeper dedup (q126) feeds "
+        "temperature language mixing (q123) in one Catalyst plan — the "
+        "mixture rates are computed over the DEDUPLICATED corpus, which "
+        "is the order production pipelines need (dedup first, or "
+        "duplicate-heavy languages get over-weighted). One dedup "
+        "shuffle, one tiny count aggregate, one broadcast probe; the "
+        "corpus is never re-shuffled for the mix."
+    ),
+)
+def q134_curate_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = D.normalize_text(F.col("text"))
+    grp = F.when(norm == "", F.concat(F.lit("#"), F.col("doc_id").cast("string"))).otherwise(
+        norm
+    )
+    keyed = docs.select(
+        "doc_id", "lang", grp.alias("grp"), F.length("text").alias("q")
+    )
+    keepers = keyed.groupBy("grp").agg(
+        F.max_by(
+            "doc_id", F.col("q").cast("long") * F.lit(4294967296) - F.col("doc_id")
+        ).alias("doc_id")
+    )
+    surv = keyed.join(keepers.select("doc_id"), "doc_id").select("doc_id", "lang").cache()
+    counts = surv.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).cache()
+    nmin = counts.agg(F.min("n_docs").alias("n_min"))
+    thr_num = F.floor(
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_docs").cast("double"))
+        * F.lit(4294967296.0)
+    ).cast("bigint")
+    rates = counts.join(F.broadcast(nmin)).select(
+        "lang",
+        F.format_string("%08x", F.least(thr_num, F.lit(4294967295))).alias("thr"),
+    )
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("mix-t-v1"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    return (
+        surv.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("thr"))
+        .select("doc_id", "lang")
+    )

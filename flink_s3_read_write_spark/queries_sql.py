@@ -1522,3 +1522,55 @@ def q132_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("decile_revenue"),
     )
+
+
+@register(
+    "q133_grouping_id_labels",
+    oracle="""
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 AND GROUPING(l_linestatus) = 1
+                THEN 'grand_total'
+                WHEN GROUPING(l_linestatus) = 1 THEN 'per_flag'
+                ELSE 'leaf' END AS level,
+           CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END
+             AS returnflag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END
+             AS linestatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc=(
+        "grouping()/grouping_id labeling of ROLLUP output — the part of "
+        "the grouping-sets family q13-q15 leave implicit: subtotal rows "
+        "are distinguished from genuine NULL group keys by the grouping "
+        "bitmask, not by the (ambiguous) NULL itself, and re-labeled "
+        "'ALL'/'per_flag'/'grand_total'. Same single Expand + aggregate "
+        "plan as q13."
+    ),
+)
+def q133_grouping_id_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # grouping() is only legal inside the rollup aggregate — materialize
+    # the bitmask columns there, label in a follow-up projection.
+    agg = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").alias("_g_flag"),
+        F.grouping("l_linestatus").alias("_g_stat"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("total_qty"),
+    )
+    g_flag, g_stat = F.col("_g_flag"), F.col("_g_stat")
+    level = (
+        F.when((g_flag == 1) & (g_stat == 1), "grand_total")
+        .when(g_stat == 1, "per_flag")
+        .otherwise("leaf")
+    )
+    return agg.select(
+        level.alias("level"),
+        F.when(g_flag == 1, "ALL").otherwise(F.col("l_returnflag")).alias("returnflag"),
+        F.when(g_stat == 1, "ALL").otherwise(F.col("l_linestatus")).alias("linestatus"),
+        "n_lines",
+        "total_qty",
+    )
