@@ -13,6 +13,12 @@ users: same three jobs, same semantics (header leak, strict casts,
 
 Streaming mode adds ``--checkpoint`` (required) and runs until
 terminated, committing rolling text parts exactly-once per trigger.
+
+Beyond the three reference jobs, any registry query runs over a table
+directory (local or s3a://):
+
+    python -m flink_s3_read_write_spark.cli query --name q3_avg_by_group \
+        --sf /root/testdata/sf0.01 [--out OUT.parquet] [--show N]
 """
 
 from __future__ import annotations
@@ -48,9 +54,13 @@ def _stream_transform(job: str, spark, in_path: str, city: str):
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="flink_s3_read_write_spark")
-    ap.add_argument("job", choices=["uppercase", "filter-city", "avg-salary"])
-    ap.add_argument("--in", dest="in_path", required=True)
-    ap.add_argument("--out", dest="out_path", required=True)
+    ap.add_argument("job", choices=["uppercase", "filter-city", "avg-salary", "query"])
+    ap.add_argument("--in", dest="in_path")
+    ap.add_argument("--out", dest="out_path")
+    ap.add_argument("--name", help="registry query name (job=query)")
+    ap.add_argument("--sf", help="table directory (job=query)")
+    ap.add_argument("--show", type=int, default=20,
+                    help="rows to print when --out is absent (job=query)")
     ap.add_argument("--city", default="Jacksonville")
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--checkpoint", help="required with --streaming")
@@ -61,6 +71,25 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--s3", action="store_true", help="apply the S3A/magic-committer profile")
     args = ap.parse_args(argv)
 
+    if args.job == "query":
+        if not args.name or not args.sf:
+            ap.error("query requires --name and --sf")
+        from flink_s3_read_write_spark.queries import registry
+
+        reg = registry()
+        if args.name not in reg:
+            ap.error(f"unknown query {args.name!r}; see QUERIES.md "
+                     f"({len(reg)} registered)")
+        spark = build_session(f"query:{args.name}", s3=args.s3)
+        df = reg[args.name].fn(spark, args.sf)
+        if args.out_path:
+            io.write_parquet(df, args.out_path)
+        else:
+            df.show(args.show, truncate=False)
+        return 0
+
+    if not args.in_path or not args.out_path:
+        ap.error(f"{args.job} requires --in and --out")
     spark = build_session(f"job:{args.job}", s3=args.s3)
     if args.streaming:
         if not args.checkpoint:

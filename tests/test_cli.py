@@ -45,3 +45,21 @@ def test_cli_avg_salary(spark, tmp_path):
     got = read_output(out)
     assert len(got) == 99
     assert all(l.count(",") == 2 and l.endswith(",1") for l in got)
+
+def test_cli_query_runs_registry_entry(spark, tmp_path, capsys):
+    from flink_s3_read_write_spark import cli
+
+    rc = cli.main([
+        "query", "--name", "q3_avg_by_group",
+        "--sf", "/root/testdata/sf0.001", "--show", "3",
+    ])
+    assert rc == 0
+    assert "event_type" in capsys.readouterr().out
+
+    out = str(tmp_path / "q3_out")
+    rc = cli.main([
+        "query", "--name", "q3_avg_by_group",
+        "--sf", "/root/testdata/sf0.001", "--out", out,
+    ])
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 4
