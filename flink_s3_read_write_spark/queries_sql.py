@@ -868,7 +868,7 @@ def q91_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            ts + INTERVAL 90 MINUTE AS ts_plus_90m,
            ts - INTERVAL 3 DAY AS ts_minus_3d,
-           last_day(ts) AS month_end,
+           CAST(last_day(ts) AS VARCHAR) AS month_end,
            CAST(isodow(ts) AS INT) AS iso_dow,
            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
     FROM events
@@ -889,7 +889,7 @@ def q93_timestamp_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (ts + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
         (ts - F.expr("INTERVAL 3 DAYS")).alias("ts_minus_3d"),
-        F.last_day(ts).alias("month_end"),
+        F.last_day(ts).cast("string").alias("month_end"),
         (F.weekday(ts) + F.lit(1)).cast("int").alias("iso_dow"),
         F.floor(F.unix_micros(ts) / F.lit(1000000.0)).cast("bigint").alias("epoch_s"),
     )
@@ -1176,7 +1176,7 @@ _Q101_SQL = """
              COUNT(*) AS n_orders
       FROM orders GROUP BY 1
     )
-    SELECT months.m, coalesce(rev.revenue, 0.0) AS revenue,
+    SELECT CAST(months.m AS STRING) AS m, coalesce(rev.revenue, 0.0) AS revenue,
            coalesce(rev.n_orders, 0) AS n_orders
     FROM months LEFT JOIN rev ON months.m = rev.m
 """
@@ -1223,7 +1223,10 @@ def q101_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         months.join(F.broadcast(rev), "m", "left")
         .select(
-            "m",
+            # DATE must not reach the driver-facing output: dataframe
+            # fetches render dates differently per engine (date object
+            # vs midnight datetime64); ISO strings are path-independent.
+            F.col("m").cast("string").alias("m"),
             F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         )
@@ -1341,7 +1344,7 @@ def q127_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts AS (
       SELECT user_id, MIN(d) AS cohort FROM activity GROUP BY user_id
     )
-    SELECT f.cohort,
+    SELECT CAST(f.cohort AS VARCHAR) AS cohort,
            CAST(date_diff('day', f.cohort, a.d) AS INT) AS days_since,
            COUNT(*) AS active_users
     FROM activity a JOIN firsts f ON f.user_id = a.user_id
@@ -1370,7 +1373,7 @@ def q128_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         activity.join(firsts, "user_id")
         .groupBy(
-            "cohort",
+            F.col("cohort").cast("string").alias("cohort"),
             F.datediff(F.col("d"), F.col("cohort")).cast("int").alias("days_since"),
         )
         .agg(F.count(F.lit(1)).alias("active_users"))

@@ -50,6 +50,12 @@ def frame_summary(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], s
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument(
+        "--pandas", action="store_true",
+        help="fetch Spark via toPandas() and DuckDB via .df() — the "
+             "dataframe path external comparators use (catches lossy "
+             "type coercions fetchall() hides)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -67,14 +73,19 @@ def main() -> int:
         try:
             sdf = q.fn(spark, args.sf)
             wide_dec = [f"{c}:{t}" for c, t in sdf.dtypes
-                        if t.startswith("decimal(") and int(t[8:].split(",")[0]) > 18]
+                        if t == "date"
+                        or (t.startswith("decimal(") and int(t[8:].split(",")[0]) > 18)]
             if wide_dec:
                 print(f"FAIL  {name}: pandas-lossy Spark column(s): {wide_dec} "
                       f"(cast to bigint/double/string before returning)")
                 failures += 1
                 continue
-            srows = sdf.collect()
-            scount, scols, shash = frame_summary(sdf.columns, [tuple(r) for r in srows])
+            if args.pandas:
+                pdf = sdf.toPandas()
+                srows = [tuple(r) for r in pdf.itertuples(index=False)]
+            else:
+                srows = [tuple(r) for r in sdf.collect()]
+            scount, scols, shash = frame_summary(sdf.columns, srows)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             failures += 1
@@ -90,10 +101,13 @@ def main() -> int:
             # sum(BIGINT) left as HUGEINT, or wide decimals.  The driver
             # fetches via dataframes, so these fail there even when the
             # Python-object values match — make that a LOCAL failure.
+            # DATE is also fetch-path-dependent: object date vs midnight
+            # datetime64 ("1995-01-01" vs "1995-01-01 00:00:00") — no
+            # driver-green query has ever emitted one; use ISO strings.
             risky = [
                 f"{c}:{t}"
                 for c, t in zip(ocols, res.types)
-                if "HUGEINT" in str(t) or "UBIGINT" in str(t)
+                if "HUGEINT" in str(t) or "UBIGINT" in str(t) or str(t) == "DATE"
                 or (str(t).startswith("DECIMAL") and int(str(t).split("(")[1].split(",")[0]) > 18)
             ]
             if risky:
@@ -101,7 +115,11 @@ def main() -> int:
                       f"(CAST to BIGINT/DOUBLE/VARCHAR in the oracle SQL)")
                 failures += 1
                 continue
-            orows = res.fetchall()
+            if args.pandas:
+                opdf = res.df()
+                orows = [tuple(r) for r in opdf.itertuples(index=False)]
+            else:
+                orows = res.fetchall()
             ocount, ocols_s, ohash = frame_summary(ocols, orows)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
