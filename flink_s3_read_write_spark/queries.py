@@ -47,11 +47,15 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # must come first.  Tiers going into round 4 (union of
 # CORRECTNESS_r01..r03):
 #   0 — the 18 oracle-backed queries NO driver round has ever
-#       checked, plus the two never-checked rows-only ops;
+#       checked, plus the two never-checked rows-only ops (note q93,
+#       q100, q101 also carry round-4 output-type fixes: DATE→STRING
+#       and HUGEINT→BIGINT, the pandas-fetch-path hazards);
 #   1 — queries whose code or oracle changed this round and need a
 #       fresh driver row: the six r02/r03 hash-FAILs (pandas-lossy
 #       HUGEINT/DECIMAL oracle columns, now cast), the four
-#       TIMESTAMP_NTZ crash fixes, and the re-planned q106;
+#       TIMESTAMP_NTZ crash fixes, the re-planned q106, the newly
+#       oracle-backed q54/q44, and the nineteen round-4 queries
+#       (q116–q134);
 #   2 — everything already green, in stable order;
 #   3 — remaining non-SQL-expressible ops (rows-only) last, so they
 #       never displace a hash-compared query from the window.
