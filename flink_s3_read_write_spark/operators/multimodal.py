@@ -196,7 +196,7 @@ def jpeg_dimensions(buf: bytes) -> tuple[int, int, int]:
             break
         seg_len = struct.unpack(">H", buf[pos + 2 : pos + 4])[0]
         if marker in sof_markers:
-            if pos + 9 > len(buf):
+            if pos + 10 > len(buf):
                 break
             _prec, h, w, ncomp = struct.unpack(">BHHB", buf[pos + 4 : pos + 10])
             return w, h, ncomp

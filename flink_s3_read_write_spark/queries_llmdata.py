@@ -67,7 +67,9 @@ def q31_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q32_ngram_jaccard_pairs",
     oracle=f"""
     WITH norm AS (
-      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS toks
+      -- list_slice mirrors the Spark side's MAX_TOKENS=10000 cap (dedup.tokens)
+      SELECT doc_id,
+             list_slice(string_split({_NORM_SQL.format(c='text')}, ' '), 1, 10000) AS toks
       FROM documents)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
@@ -416,7 +418,8 @@ def q56_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                        list_distinct(list_transform(range(1, len(t.toks) - 1),
                          i -> t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2]))
                      ELSE [] END
-              FROM (SELECT string_split({_NORM_SQL.format(c='text')}, ' ') AS toks) t
+              FROM (SELECT list_slice(string_split({_NORM_SQL.format(c='text')}, ' '),
+                                      1, 10000) AS toks) t
              ) AS s
       FROM documents
     ),
@@ -701,7 +704,9 @@ def q67_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q68_boilerplate_ngrams",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS t
+      -- list_slice mirrors the Spark side's MAX_TOKENS=10000 cap (dedup.tokens)
+      SELECT doc_id,
+             list_slice(string_split({_NORM_SQL.format(c='text')}, ' '), 1, 10000) AS t
       FROM documents),
     grams AS (
       SELECT doc_id,
@@ -1848,7 +1853,7 @@ def q123_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
                ELSE [] END) AS g
         FROM (SELECT source,
-                     string_split({{norm}}, ' ') AS toks
+                     list_slice(string_split({{norm}}, ' '), 1, 10000) AS toks
               FROM documents) t
       )
     ),

@@ -77,11 +77,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Micros-precision parquet infers as TIMESTAMP_NTZ, on which
             # unix_micros()/epoch casts are illegal.  Normalize to TIMESTAMP
             # with epoch micros == the parquet-stored micros, independent of
-            # the session timezone: the cast renders the NTZ wall clock in
-            # the session zone and to_utc_timestamp re-interprets that same
-            # wall clock as UTC, so the two zone conversions cancel.
+            # the session timezone: the cast interprets the NTZ wall clock
+            # in the session zone (epoch = wall - offset), and
+            # from_utc_timestamp adds that same zone's offset back, so the
+            # result's epoch equals the stored wall-clock micros whatever
+            # the session zone.  (Residual caveat: wall clocks falling in a
+            # DST "spring forward" gap of the session zone are unrepresent-
+            # able in the intermediate cast; the driver corpus is UTC-
+            # generated so none occur.)
             df = df.withColumn(
-                "ts", F.to_utc_timestamp(F.col("ts").cast("timestamp"), "UTC")
+                "ts",
+                F.from_utc_timestamp(
+                    F.col("ts").cast("timestamp"), F.expr("current_timezone()")
+                ),
             )
         return df
     return spark.read.parquet(table_path(sf_dir, name))

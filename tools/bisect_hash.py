@@ -95,11 +95,14 @@ def main() -> int:
             mark = "  " if shc.get(c) == ohc.get(c) else "->"
             print(f"   {mark} {c}: spark={shc.get(c)} oracle={ohc.get(c)}")
         # show first diverging rows on the diverging columns
-        div = [c for c in shc if shc.get(c) != ohc.get(c)]
-        if div and scols == sorted(scols) or True:
+        div = [c for c in sorted(set(shc) | set(ohc)) if shc.get(c) != ohc.get(c)]
+        if div:
             si = {c: i for i, c in enumerate(scols)}
             oi = {c: i for i, c in enumerate(ocols)}
             for c in div[:2]:
+                if c not in si or c not in oi:
+                    print(f"      {c}: present on only one side")
+                    continue
                 sset = sorted(_norm_cell(r[si[c]]) for r in srows)
                 oset = sorted(_norm_cell(r[oi[c]]) for r in orows)
                 diffs = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
