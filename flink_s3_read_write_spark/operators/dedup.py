@@ -135,15 +135,59 @@ def normalized_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def _md5_h60(m):
+    """Positive 60-bit BIGINT from an md5 hex string (first 15 hex
+    chars).  Engine-independent: DuckDB computes the identical value as
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``, where xxhash64 exists
+    only in Spark.  The md5 hash engine built on this is what upgrades
+    the LSH queries from rows-only driver checks to full hash-checked
+    oracle rows."""
+    return F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+
+
+# MinHash permutation family for the md5 engine: Carter–Wegman affine
+# maps H_j(h) = (a_j*h + b_j) mod P over the Mersenne prime P = 2^31-1.
+# With a_j in [1, P-1] each map is a bijection on Z_P (a genuine
+# permutation of the reduced hash space), and every intermediate stays
+# below 2^62 — exact int64 arithmetic in Spark, DuckDB, and NumPy
+# alike, no overflow wrap anywhere.  Constants are md5-seeded so any
+# engine can re-derive them; the DuckDB oracle gets them inlined as
+# list literals.
+MH_PRIME = (1 << 31) - 1
+
+
+def mh_affine_consts(num_perm: int = 64) -> tuple[list[int], list[int]]:
+    import hashlib
+
+    a = [
+        int(hashlib.md5(f"perm-a-{j}".encode()).hexdigest()[:15], 16)
+        % (MH_PRIME - 1) + 1
+        for j in range(num_perm)
+    ]
+    b = [
+        int(hashlib.md5(f"perm-b-{j}".encode()).hexdigest()[:15], 16) % MH_PRIME
+        for j in range(num_perm)
+    ]
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    num_perm: int = 64, shingle_k: int = 3,
+    num_perm: int = 64, shingle_k: int = 3, hash_src: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document, fully in Catalyst.
 
     One xxhash64 per shingle, then ``num_perm`` keyed xorshift
     permutations (see ``_PERM_KEYS``) reduced with array_min — no UDF,
     no per-row Python.  Deterministic: keys are fixed literals.
+
+    ``hash_src="md5"`` swaps the per-shingle base hash for the
+    md5-derived 60-bit int reduced mod P = 2^31-1 and the xorshift
+    family for Carter–Wegman affine bijections ``H_j = (a_j*h + b_j)
+    mod P`` (md5-seeded constants, see ``mh_affine_consts``) —
+    computable bit-identically by the DuckDB oracle, which upgrades
+    the LSH queries from rows-only to full hash-checked correctness
+    rows.
 
     Each stage (tokens → shingles → base hashes → signature) is its
     own projection: higher-order lambdas run interpreted with no
@@ -165,6 +209,28 @@ def minhash_signatures(
     shingled = toked.select(
         F.col(id_col), shingles_from_tokens(F.col("_tok"), shingle_k).alias("_sh")
     )
+    if hash_src == "md5":
+        # Stage the base hash once per shingle (md5 + reduce mod P);
+        # the 64 affine maps then reuse it (same no-recompute staging).
+        a, b = mh_affine_consts(num_perm)
+        hashed = shingled.select(
+            F.col(id_col),
+            F.transform(
+                F.col("_sh"), lambda s: _md5_h60(F.md5(s)) % F.lit(MH_PRIME)
+            ).alias("_hh"),
+        )
+        sig = F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("_hh"),
+                        lambda h: (F.lit(a[j]) * h + F.lit(b[j])) % F.lit(MH_PRIME),
+                    )
+                )
+                for j in range(num_perm)
+            ]
+        )
+        return hashed.select(F.col(id_col), sig.alias("minhash"))
     hashed = shingled.select(
         F.col(id_col),
         F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_h"),
@@ -180,7 +246,7 @@ def minhash_signatures(
 
 def minhash_signatures_numpy(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    num_perm: int = 64, shingle_k: int = 3,
+    num_perm: int = 64, shingle_k: int = 3, hash_src: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures, vectorized permutation path.
 
@@ -195,6 +261,39 @@ def minhash_signatures_numpy(
     """
     import numpy as np
     import pandas as pd
+
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+    shingled = toked.select(
+        F.col(id_col), shingles_from_tokens(F.col("_tok"), shingle_k).alias("_sh")
+    )
+
+    if hash_src == "md5":
+        al, bl = mh_affine_consts(num_perm)
+        av = np.array(al, dtype=np.int64)[:, None]
+        bv = np.array(bl, dtype=np.int64)[:, None]
+
+        def batches_md5(it):
+            for pdf in it:
+                ids, sigs = [], []
+                for doc_id, hs in zip(pdf[id_col], pdf["_hh"]):
+                    ids.append(doc_id)
+                    if len(hs) == 0:
+                        sigs.append([None] * num_perm)
+                        continue
+                    h = np.asarray(hs, dtype=np.int64)[None, :]
+                    # a < 2^31, h < 2^31: a*h + b < 2^63, exact int64.
+                    sigs.append(((av * h + bv) % MH_PRIME).min(axis=1).tolist())
+                yield pd.DataFrame({id_col: ids, "minhash": sigs})
+
+        hashed = shingled.select(
+            F.col(id_col),
+            F.transform(
+                F.col("_sh"), lambda s: _md5_h60(F.md5(s)) % F.lit(MH_PRIME)
+            ).alias("_hh"),
+        )
+        return hashed.mapInPandas(
+            batches_md5, f"{id_col} long, minhash array<bigint>"
+        )
 
     keys = np.array(_PERM_KEYS[:num_perm], dtype=np.uint64)[:, None]
 
@@ -214,10 +313,6 @@ def minhash_signatures_numpy(
                 sigs.append(x.view(np.int64).min(axis=1).tolist())
             yield pd.DataFrame({id_col: ids, "minhash": sigs})
 
-    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
-    shingled = toked.select(
-        F.col(id_col), shingles_from_tokens(F.col("_tok"), shingle_k).alias("_sh")
-    )
     hashed = shingled.select(
         F.col(id_col),
         F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_h"),
@@ -228,7 +323,7 @@ def minhash_signatures_numpy(
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
-    max_bucket: int = 50, engine: str = "numpy",
+    max_bucket: int = 50, engine: str = "numpy", hash_src: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH on the signature.
 
@@ -247,24 +342,33 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     sig_fn = minhash_signatures_numpy if engine == "numpy" else minhash_signatures
-    sigs = sig_fn(df, text_col, id_col, num_perm, shingle_k)
+    sigs = sig_fn(df, text_col, id_col, num_perm, shingle_k, hash_src)
     # Docs too short to shingle (< k words) have all-null signatures;
     # without this filter they would ALL share the hash-of-nulls band
     # bucket and pair with each other.  Sub-shingle docs are handled by
     # exact/normalized dedup, not minhash.
     sigs = sigs.filter(F.element_at("minhash", 1).isNotNull())
+
+    def band_key(b: int):
+        slots = [
+            F.element_at("minhash", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if hash_src == "md5":
+            # Bucket on the raw slot tuple, not a hash of it: a (2^-64)
+            # band_hash collision would merge two buckets and perturb the
+            # candidate set / bucket cap vs the DuckDB oracle's exact
+            # tuple grouping.  Array group keys shuffle 4 bigints instead
+            # of 1 — negligible, and the semantics are collision-free.
+            return F.array(*slots).alias("band_hash")
+        return F.xxhash64(*slots).alias("band_hash")
+
     banded = sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("minhash", b * rows_per_band + r + 1)
-                              for r in range(rows_per_band)]
-                        ).alias("band_hash"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b))
                     for b in range(bands)
                 ]
             )
@@ -450,27 +554,42 @@ def dedup_keep_list(
     return labeled.withColumn("keep", F.col(id_col) == F.col("cluster_id"))
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_src: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash per document, pure Catalyst.
 
     Per token: xxhash64 → for each bit, +1/−1 vote; document hash =
     sign bits of the 64 vote sums.  Implemented by exploding tokens
     and aggregating 64 conditional sums — one shuffle keyed by doc id
     (pre-aggregated map-side), no UDF.
+
+    ``hash_src="md5"`` votes over the 60-bit md5-derived token hash
+    (``_md5_h1h2`` h1) instead — a 60-bit SimHash whose bits DuckDB
+    can recompute exactly, making the near-pair query fully
+    oracle-checkable.  All values stay positive, so no bit-63 sign
+    special-casing.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = F.xxhash64("tok")
+    if hash_src == "md5":
+        h = _md5_h60(F.md5("tok"))
+        nbits = 60
+    else:
+        h = F.xxhash64("tok")
+        nbits = 64
+
     def bit_i(i: int) -> int:
         # bit 63 as a signed-64 literal (1 << 63 overflows LongType)
         return (1 << i) if i < 63 else -(1 << 63)
 
     votes = [
         F.sum(F.when(h.bitwiseAND(F.lit(bit_i(i))) != 0, 1).otherwise(-1)).alias(f"v{i}")
-        for i in range(64)
+        for i in range(nbits)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
     bits = None
-    for i in range(64):
+    for i in range(nbits):
         term = F.when(F.col(f"v{i}") > 0, F.lit(bit_i(i))).otherwise(F.lit(0))
         bits = term if bits is None else bits.bitwiseOR(term)
     return agg.select(F.col(id_col), bits.alias("simhash"))
@@ -478,20 +597,25 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 def simhash_near_pairs(
     df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id",
-    max_bucket: int = 1000,
+    max_bucket: int = 1000, hash_src: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
-    Pigeonhole banding: split 64 bits into 4 × 16-bit keys; any pair
-    within Hamming 3 shares at least one key, so candidates come from
-    equi-buckets — never an O(n²) cross join.  Pair expansion uses the
-    same one-shuffle collect-per-bucket scheme as ``minhash_lsh_pairs``
-    (struct of id+simhash so the Hamming check runs in-row), with a
-    generous bucket cap against degenerate 16-bit-key collisions.
+    Pigeonhole banding: split 64 bits into 4 × 16-bit keys (4 × 15 for
+    the 60-bit md5 engine); any pair within Hamming 3 shares at least
+    one key, so candidates come from equi-buckets — never an O(n²)
+    cross join.  Pair expansion uses the same one-shuffle
+    collect-per-bucket scheme as ``minhash_lsh_pairs`` (struct of
+    id+simhash so the Hamming check runs in-row), with a generous
+    bucket cap against degenerate band-key collisions.
     """
-    sh = simhash(df, text_col, id_col)
+    sh = simhash(df, text_col, id_col, hash_src)
+    part_bits = 15 if hash_src == "md5" else 16
+    mask = (1 << part_bits) - 1
     parts = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * p).bitwiseAND(F.lit(0xFFFF)).alias("k")
+        F.shiftrightunsigned(F.col("simhash"), part_bits * p)
+        .bitwiseAND(F.lit(mask))
+        .alias("k")
         for p in range(4)
     ]
     banded = sh.select(

@@ -7,9 +7,11 @@ Oracle notes:
 - DuckDB ``list_cosine_similarity`` computes in float32; oracles use
   explicit double arithmetic (list_zip/list_transform/list_sum) to
   match Spark's higher-order-function double math bit-for-bit.
-- Ops built on xxhash64 (minhash/simhash/winnowing/LSH) have no DuckDB
-  twin → registered without oracle (driver rows-only check); their
-  semantics are covered by planted-duplicate tests in tests/.
+- MinHash/SimHash (q33/q34) run the md5 hash engine (dedup.py), whose
+  signatures/banding DuckDB replays bit-for-bit → full hash-checked
+  oracles.  Ops still built on Spark-only xxhash64 or seeded
+  projections (winnowing, ANN LSH/IVF) keep rows-only checks with
+  planted-duplicate / recall-floor tests in tests/.
 """
 
 from __future__ import annotations
@@ -28,6 +30,13 @@ _NORM_SQL = (
     "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
     " ' +', ' ', 'g'))"
 )
+
+# MinHash affine-permutation constants (md5-seeded, engine-independent),
+# inlined into the q33 oracle as DuckDB list literals so the oracle
+# replays the exact same permutation family as the Spark side.
+_MH_A, _MH_B = D.mh_affine_consts(64)
+_MH_A_SQL = "[" + ",".join(map(str, _MH_A)) + "]"
+_MH_B_SQL = "[" + ",".join(map(str, _MH_B)) + "]"
 
 
 @register(
@@ -92,32 +101,133 @@ def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q33_minhash_dedup_pairs",
-    # rows-only: candidates come from Spark's xxhash64 (not in DuckDB) and the
-    # 16x4 S-curve has ~64% recall at J=0.5, so the verified-pair set is
-    # LSH-dependent by design; precision-1.0 (every emitted pair has true J>=0.5) and recall
-    # invariants asserted vs brute force in tests/test_dedup.py.
-    oracle=None,
+    # Full oracle since round 5: the per-shingle base hash is md5-derived
+    # (first 15 md5 hex chars mod P, P = 2^31-1) and the 64 permutations
+    # are Carter–Wegman affine bijections (a_j*h + b_j) mod P with
+    # md5-seeded constants (dedup.mh_affine_consts, inlined below as list
+    # literals) — pure int64 arithmetic DuckDB reproduces bit-for-bit, so
+    # the oracle recomputes the ENTIRE pipeline (signatures → 16x4
+    # banding → bucket cap → candidates → exact-Jaccard verify), not just
+    # the verify step.  The S-curve recall (~64% at J=0.5) is therefore
+    # identical on both sides by construction.
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END AS s
+      FROM (SELECT doc_id,
+                   list_slice(string_split({_NORM_SQL.format(c='text')}, ' '),
+                              1, 10000) AS toks
+            FROM documents) t
+    ),
+    hh AS (
+      SELECT doc_id,
+             list_transform(s, g -> (('0x' || substr(md5(g), 1, 15))::BIGINT)
+                                    % 2147483647) AS hh
+      FROM sh WHERE len(s) > 0
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 64),
+               j -> list_aggregate(
+                      list_transform(hh, h -> (({_MH_A_SQL})[j + 1] * h
+                                               + ({_MH_B_SQL})[j + 1])
+                                              % 2147483647),
+                      'min')) AS sig
+      FROM hh
+    ),
+    banded AS (
+      SELECT doc_id, b, list_slice(sig, b * 4 + 1, b * 4 + 4) AS key
+      FROM sig, range(0, 16) t(b)
+    ),
+    bsz AS (SELECT b, key, COUNT(*) AS n FROM banded GROUP BY b, key),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x
+      JOIN banded y ON y.b = x.b AND y.key = x.key AND y.doc_id > x.doc_id
+      JOIN bsz ON bsz.b = x.b AND bsz.key = x.key AND bsz.n <= 50
+    ),
+    tok AS (
+      SELECT doc_id,
+             list_distinct(list_slice(string_split({_NORM_SQL.format(c='text')}, ' '),
+                                      1, 10000)) AS tk
+      FROM documents
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT c.id_a, c.id_b,
+             CASE WHEN len(list_distinct(list_concat(a.tk, b.tk))) > 0
+                  THEN CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.tk, b.tk)))
+                  ELSE 0.0 END AS jaccard
+      FROM cand c
+      JOIN tok a ON a.doc_id = c.id_a
+      JOIN tok b ON b.doc_id = c.id_b) v
+    WHERE jaccard >= 0.5
+    """,
     doc=(
         "MinHash(64 perms) + 16-band LSH candidates, re-verified with exact "
         "token Jaccard >= 0.5. Catalyst-only: shingle/hash/band via "
-        "higher-order functions; bucket-size guard caps pair blow-up."
+        "higher-order functions; bucket-size guard caps pair blow-up. "
+        "md5-derived double-hash permutation family so the DuckDB oracle "
+        "replays signatures and banding exactly."
     ),
 )
 def q33_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_dedup_pairs_verified(docs, threshold=0.5)
+    return D.minhash_dedup_pairs_verified(docs, threshold=0.5, hash_src="md5")
 
 
 @register(
     "q34_simhash_near_pairs",
-    # rows-only: SimHash bits are votes over Spark xxhash64 token hashes —
-    # no DuckDB twin; Hamming<=3 correctness asserted vs brute force in
-    # tests/test_dedup.py.
-    oracle=None,
-    doc="64-bit SimHash + 4x16-bit pigeonhole banding; pairs with Hamming <= 3.",
+    # Full oracle since round 5: 60-bit SimHash whose bit votes come from
+    # the md5-derived 60-bit token hash — DuckDB recomputes hash, votes,
+    # sign bits, 4x15-bit pigeonhole banding, bucket cap, and Hamming
+    # verify identically (SUM cast to BIGINT to dodge the HUGEINT
+    # pandas-lossy fetch path).
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_slice(string_split({_NORM_SQL.format(c='text')}, ' '),
+                               1, 10000)) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+    votes AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, range(0, 60) t(i)
+      GROUP BY doc_id, i
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                  AS BIGINT) AS sh
+      FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, sh, p, (sh >> (15 * p)) & 32767 AS k
+      FROM sim, range(0, 4) t(p)
+    ),
+    bsz AS (SELECT p, k, COUNT(*) AS n FROM banded GROUP BY p, k),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                      x.sh AS sa, y.sh AS sb
+      FROM banded x
+      JOIN banded y ON y.p = x.p AND y.k = x.k AND y.doc_id > x.doc_id
+      JOIN bsz ON bsz.p = x.p AND bsz.k = x.k AND bsz.n <= 1000
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+    doc=(
+        "60-bit md5-based SimHash + 4x15-bit pigeonhole banding; pairs "
+        "with Hamming <= 3, fully replayed by the DuckDB oracle."
+    ),
 )
 def q34_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+    return D.simhash_near_pairs(load_table(spark, sf_dir, "documents"), hash_src="md5")
 
 
 @register(

@@ -159,6 +159,68 @@ def test_normalized_dedup_non_latin_not_collapsed(spark):
     assert by_key["#2"]["n_dups"] == 1
 
 
+def test_md5_minhash_finds_near_pair_not_far(docs):
+    """The md5 double-hash engine (q33's oracle-checkable path) keeps
+    the planted-duplicate behavior of the xxhash64 engine."""
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_dedup_pairs_verified(
+            docs, threshold=0.5, hash_src="md5"
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs and pairs[(1, 4)] >= 0.8
+    assert not any(5 in p for p in pairs)
+
+
+def test_md5_numpy_signatures_bit_identical_to_catalyst(spark, sf_dir):
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {
+        r["doc_id"]: r["minhash"]
+        for r in D.minhash_signatures(docs, hash_src="md5").collect()
+    }
+    b = {
+        r["doc_id"]: r["minhash"]
+        for r in D.minhash_signatures_numpy(docs, hash_src="md5").collect()
+    }
+    assert a == b
+
+
+def test_md5_minhash_permutations_are_independent(spark):
+    """h1 + j*h2 must behave like independent permutations on partial
+    overlap: some but not all/none of the 64 slots match."""
+    words = [f"tok{i}" for i in range(30)]
+    a = " ".join(words[:20])
+    b = " ".join(words[10:30])
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    sig = {
+        r["doc_id"]: r["minhash"]
+        for r in D.minhash_signatures(df, hash_src="md5").collect()
+    }
+    matches = sum(1 for x, y in zip(sig[1], sig[2]) if x == y)
+    assert 5 < matches < 59, f"slots matching: {matches}/64 (degenerate if 0 or 64)"
+
+
+def test_md5_simhash_near_pairs(docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(docs, max_hamming=6, hash_src="md5").collect()
+    }
+    assert got.get((1, 2)) == 0
+    assert (1, 4) in got and got[(1, 4)] <= 6
+    assert not any(5 in p for p in got)
+
+
+def test_md5_short_docs_excluded_from_lsh_banding(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "alpha beta"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    assert D.minhash_lsh_pairs(df, hash_src="md5").count() == 0
+
+
 def test_shingle_verified_lsh_equals_brute_force(spark, sf_dir):
     """Soundness condition of q54's DuckDB oracle: on the test corpus,
     LSH candidates catch EVERY pair with shingle-Jaccard >= 0.9 (the
