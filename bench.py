@@ -11,6 +11,17 @@ runs (scan → shuffle → ... → sink) but nothing is collected to the
 driver, so timings measure the engine, not result serialization.  One
 warm-up query runs first so JVM/codegen startup isn't charged to the
 first measured query.
+
+Queries at or above ``$SPARK_GRAFT_BENCH_REPEAT_SEC`` (default 1.5 s)
+on their first run are re-run once and the MINIMUM is recorded:
+single-shot numbers are dominated by first-use JIT/codegen of heavy
+operators (observed 8 s vs 0.75 s on an unchanged rollup query
+round-over-round), which makes regressions undetectable.  min-of-2 is
+the stable statistic; sub-threshold queries are not repeated so the
+extra wall cost stays bounded by the slow tail.  The storage cache is
+cleared between runs and between queries, so per-query ``.cache()``
+fills are charged to every run of their own query and never leak into
+the next one's timing (or accumulate across the 135-query sweep).
 """
 
 from __future__ import annotations
@@ -76,14 +87,21 @@ def main() -> int:
     # Crashed queries go to `failed`, never into the timing map — a
     # -1.0 sentinel there would silently poison any consumer that sums
     # or diffs timings round-over-round.
+    repeat_sec = float(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_SEC", "1.5"))
     times: dict[str, float] = {}
     failed: list[str] = []
     for name in names:
         try:
-            times[name] = round(run_one(reg[name].fn, spark, sf_dir), 3)
+            t = run_one(reg[name].fn, spark, sf_dir)
+            if t == t and t >= repeat_sec:  # not-NaN and slow: min-of-2
+                spark.catalog.clearCache()
+                t = min(t, run_one(reg[name].fn, spark, sf_dir))
+            times[name] = round(t, 3)
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             failed.append(name)
+        finally:
+            spark.catalog.clearCache()
     total = round(sum(t for t in times.values() if t > 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
 

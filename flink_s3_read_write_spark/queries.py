@@ -43,53 +43,49 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 # Driver-facing ordering.  The correctness driver consumes registry
 # entries in iteration order with a bounded per-round budget (50 per
-# round), so entries that still lack a hard driver correctness row
-# must come first.  Tiers going into round 4 (union of
-# CORRECTNESS_r01..r03):
-#   0 — the 18 oracle-backed queries NO driver round has ever
-#       checked, plus the two never-checked rows-only ops (note q93,
-#       q100, q101 also carry round-4 output-type fixes: DATE→STRING
-#       and HUGEINT→BIGINT, the pandas-fetch-path hazards);
-#   1 — queries whose code or oracle changed this round and need a
-#       fresh driver row: the six r02/r03 hash-FAILs (pandas-lossy
-#       HUGEINT/DECIMAL oracle columns, now cast), the four
-#       TIMESTAMP_NTZ crash fixes, the re-planned q106, the newly
-#       oracle-backed q54/q44, and the nineteen round-4 queries
-#       (q116–q134);
+# round), so entries that still lack a hard driver correctness row —
+# or whose code/oracle changed since their last row — must come
+# first.  Tiers going into round 5 (union of CORRECTNESS_r01..r04:
+# zero latest-row FAILs, so the window leads with this round's
+# changes):
+#   0 — upgraded from rows-only to full oracles this round: q33/q34
+#       now run the md5 hash engine (DuckDB replays signatures and
+#       banding bit-for-bit) and q55 emits exact counts +
+#       sketch-within-bound booleans; plus the brand-new q135
+#       (salted join under the oracle gate) and the two remaining
+#       stale r01 rows-only ANN queries (q36/q67) whose only driver
+#       rows pre-date the MinHash rewrite and collect-elimination;
+#   1 — queries whose ORACLE changed this round (the MAX_TOKENS cap
+#       mirrored into the shingle CTEs) and the events queries
+#       downstream of the NTZ-normalization rewrite in sources/io.py
+#       — all locally re-verified, fresh driver rows wanted;
 #   2 — everything already green, in stable order;
 #   3 — remaining non-SQL-expressible ops (rows-only) last, so they
 #       never displace a hash-compared query from the window.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # tier 0a: oracle-backed, never driver-checked (r01..r03)
-    "q48_null_handling", "q53_json_props", "q69_profile_table",
-    "q73_latest_by_key", "q74_map_functions", "q77_big_spenders_having",
-    "q81_winsorize", "q84_unpivot", "q86_time_range_frame",
-    "q88_stats_aggregates", "q91_minmax_by", "q93_timestamp_arithmetic",
-    "q94_nested_struct_topk", "q95_last_to_ship", "q96_percentile_disc",
-    "q98_rich_but_quiet", "q100_running_distinct", "q101_recursive_spine",
-    # tier 0b: never-checked rows-only ops
-    "q97_semdedup", "q55_approx_sketches",
-    # tier 1: fixed this round — confirm the fix with a fresh row
-    "q75_repetition_quality", "q76_quantize_embeddings",
-    "q83_token_budget_mix", "q92_gopher_quality", "q102_linear_classifier",
-    "q114_centroid_distance",
-    "q25_asof_join_events",
-    "q106_important_parts",
-    # newly oracle-backed this round
-    "q54_dedup_keep_list", "q44_frame_samples",
-    # new queries this round (no driver row can exist yet)
+    # tier 0: new/upgraded oracles + stale rows-only ANN queries
+    "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
+    "q55_approx_sketches", "q135_salted_skew_join",
+    "q36_ann_lsh_topk", "q67_ann_ivf_topk",
+    # tier 1a: oracle text changed this round (token-cap mirror)
+    "q32_ngram_jaccard_pairs", "q54_dedup_keep_list",
+    "q68_boilerplate_ngrams", "q124_source_overlap",
+    # tier 1b: events queries over the rewritten NTZ read path
+    "q25_asof_join_events", "q93_timestamp_arithmetic",
+    "q125_scd2_intervals", "q131_locf_gapfill",
+    "q50_tumbling_window", "q51_sliding_window", "q52_session_window",
+    "q127_funnel_steps", "q128_retention_cohorts", "q129_event_sequences",
+    "q130_salted_hot_key_agg",
+    # tier 2: green rows worth re-confirming (flagship families +
+    # round-4 first-timers); the rest of the registry follows in
+    # registration order
     "q116_min_cost_supplier", "q117_late_order_priority",
     "q118_forecast_revenue", "q119_late_line_priority", "q120_custdist",
     "q121_top_supplier", "q122_part_promotion_suppliers",
-    "q123_temperature_mix", "q124_source_overlap",
-    "q125_scd2_intervals", "q126_quality_keeper_dedup",
-    "q127_funnel_steps", "q128_retention_cohorts", "q129_event_sequences",
-    "q130_salted_hot_key_agg", "q131_locf_gapfill", "q132_ntile_deciles",
-    "q133_grouping_id_labels", "q134_curate_mix_pipeline",
-    # tier 2: green rows worth re-confirming (flagship families); the
-    # rest of the registry follows in registration order
+    "q123_temperature_mix", "q126_quality_keeper_dedup",
+    "q132_ntile_deciles", "q133_grouping_id_labels",
+    "q134_curate_mix_pipeline",
     "q26_exists_subquery", "q27_correlated_scalar_subquery",
-    "q50_tumbling_window", "q51_sliding_window", "q52_session_window",
     "q113_unigram_lm_score", "q115_int8_cosine_pairs",
     "q87_pretrain_pipeline",
 )

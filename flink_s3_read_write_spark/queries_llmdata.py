@@ -2211,3 +2211,49 @@ def q134_curate_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.col("thr"))
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "q135_salted_skew_join",
+    # Like q130 for aggregation: the salt is internal plumbing, so the
+    # salted fact⋈dim join (dim replicated buckets x, fact salted by a
+    # deterministic row hash, join on (key, salt)) must produce EXACTLY
+    # the plain join's row set — the oracle is the unsalted SQL.  The
+    # plan delta (replicated dim, hot keys spread over `buckets`
+    # reducers) is asserted in tests/test_plans.py.
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           o.o_orderpriority, o.o_orderstatus,
+           l.l_extendedprice * (1 - l.l_discount) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    """,
+    doc=(
+        "Skew-safe equi-join under the correctness gate: lineitem (fact) "
+        "joined to orders (dim, too big to broadcast in the 100 TB "
+        "scenario) on orderkey via salted_join — dim replicated 8x with "
+        "an explicit salt, fact salted by xxhash64(linenumber) mod 8, "
+        "join on (key, salt). A hot orderkey's rows land on 8 reducers "
+        "instead of one; the row set is identical to the plain join by "
+        "construction, which is exactly what the oracle asserts."
+    ),
+)
+def q135_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority", "o_orderstatus"
+    )
+    joined = salted_join(
+        li, orders, "l_orderkey", fact_salt_src=F.col("l_linenumber"), buckets=8
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderpriority",
+        "o_orderstatus",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"),
+    )

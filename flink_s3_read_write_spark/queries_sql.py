@@ -219,24 +219,64 @@ def q47_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q55_approx_sketches",
-    oracle=None,  # approximate by design (HLL++ / KLL); error bounds
-    # vs exact asserted in tests/test_sketches.py
+    # Sketch VALUES are Spark-specific (HLL++ register layout / KLL
+    # compaction), but the published error bounds are not: the query
+    # emits the exact counts plus in-query booleans asserting each
+    # sketch estimate falls within its bound (3x the default 5% rsd for
+    # HLL++; rank window +-0.5/0.5 pct points around the target for
+    # percentile_approx at accuracy 10000, whose guarantee is 1e-4).
+    # The oracle recomputes the exact counts and asserts the booleans
+    # literally TRUE — a sketch drifting out of bound hash-fails the
+    # driver row.  Sketches are hash-deterministic (no seed), so the
+    # booleans are stable.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS orders_ok, TRUE AS parts_ok,
+           TRUE AS p50_ok, TRUE AS p99_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     doc=(
         "Sketch aggregates for 100 TB cardinality/quantile work: "
         "approx_count_distinct (HLL++, fixed-size mergeable state vs "
         "countDistinct's per-key value sets) and approx_percentile "
         "(KLL-style, map-side mergeable vs exact percentile's full "
-        "sort). The exact twins q16/q28 are oracle-checked; these are "
-        "the scale path."
+        "sort). Emits exact counts + within-error-bound booleans so the "
+        "DuckDB oracle hash-checks the contract; the exact twins "
+        "q16/q28 cover values."
     ),
 )
 def q55_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
-        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey").alias("_ao"),
+        F.approx_count_distinct("l_partkey").alias("_ap"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("_p50a"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("_p99a"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.45, 0.55, 0.985, 0.995))"
+        ).alias("_px"),
+    )
+
+    def within_rel(approx, exact, rel=0.15):
+        return F.abs(approx - exact) <= rel * exact
+
+    return agg.select(
+        "l_returnflag", "exact_orders", "exact_parts",
+        within_rel(F.col("_ao"), F.col("exact_orders")).alias("orders_ok"),
+        within_rel(F.col("_ap"), F.col("exact_parts")).alias("parts_ok"),
+        (
+            (F.col("_p50a") >= F.element_at("_px", 1))
+            & (F.col("_p50a") <= F.element_at("_px", 2))
+        ).alias("p50_ok"),
+        (
+            (F.col("_p99a") >= F.element_at("_px", 3))
+            & (F.col("_p99a") <= F.element_at("_px", 4))
+        ).alias("p99_ok"),
     )
 
 

@@ -189,3 +189,21 @@ def test_q124_q128_reuse_cached_collapsed_tables(spark, sf_dir):
     for name, min_refs in (("q124_source_overlap", 3), ("q128_retention_cohorts", 2)):
         plan = P.formatted_plan(reg[name].fn(spark, sf_dir))
         assert plan.count("InMemoryTableScan") >= min_refs, (name, plan)
+
+
+def test_q135_salted_join_replicates_dim_and_joins_on_salt(spark, sf_dir):
+    """The salted join's plan must show (a) the dim side expanded via
+    explode(sequence) — the buckets x replication — and (b) the join
+    keys including the salt, so a hot fact key hashes to `buckets`
+    different reducers instead of one."""
+    from flink_s3_read_write_spark.queries import registry
+
+    import re
+
+    plan = P.formatted_plan(registry()["q135_salted_skew_join"].fn(spark, sf_dir))
+    assert P.has(plan, "Generate") and "explode(" in plan, plan  # dim replication
+    # both join sides key on (l_orderkey, _salt) — 2-column equi-keys
+    assert re.search(r"keys \[2\]: \[l_orderkey#\d+L?, .*_salt", plan), plan
+    # and it stays an equi-join (SMJ or shuffled hash), never a cross join
+    assert not P.has(plan, "CartesianProduct"), plan
+    assert not P.has(plan, "BroadcastNestedLoopJoin"), plan

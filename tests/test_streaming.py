@@ -436,3 +436,56 @@ def test_session_window_stream_final_state_matches_batch(spark, sf_dir, tmp_path
     must_emit = {r for r in batch if r[1] < wm_safe}  # r[1] = s_end
     assert must_emit <= emitted
     assert len(must_emit) > 10  # non-vacuous on sf0.001
+
+
+def test_apply_in_pandas_with_state_matches_batch_aggregate(spark, sf_dir, tmp_path):
+    """Final-state equivalence on the REAL events table: stream the
+    corpus through the applyInPandasWithState running-stats operator in
+    two micro-batches and the last emission per key must equal the
+    one-shot batch aggregate over the same rows — the stateful-path
+    cross-check that runs without the protobuf-gated
+    transformWithStateInPandas harness."""
+    from flink_s3_read_write_spark.sources.io import load_table
+    from flink_s3_read_write_spark.streaming import stateful
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "ev_real")
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.mode("append").parquet(src)
+
+    stream = stateful.running_stats_stream(jobs.events_stream(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_state_real")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.filter(F.col("event_id") > mid).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        last = {}
+        for r in spark.table("t_state_real").collect():
+            last[r["key"]] = r  # update mode: later rows overwrite
+        want = {
+            r["event_type"]: r
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total"),
+                F.max("value").alias("peak"),
+            )
+            .collect()
+        }
+        assert set(last) == set(want)
+        for k, w in want.items():
+            got = last[k]
+            assert got["n_events"] == w["n_events"], k
+            assert got["peak"] == w["peak"], k
+            # stream total accumulates in per-batch pandas order, batch
+            # in shuffle order: same values, different fp addition order
+            assert got["total"] == pytest.approx(w["total"], rel=1e-9), k
+    finally:
+        q.stop()

@@ -69,6 +69,11 @@ def main() -> int:
     failures = 0
     for name in names:
         q = reg[name]
+        # Per-query .cache() fills must not leak across queries: a warm
+        # cached table from query N would mask a missing-cache or
+        # wrong-plan regression in query N+1 (and grows storage memory
+        # across a full 135-query sweep).
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = q.fn(spark, args.sf)
