@@ -11,10 +11,13 @@ Two tiers (driver north star):
   candidate set by ~2^bits at a recall cost measured in
   tests/test_similarity.py.
 
-Deterministic hyperplanes: component r[j][d] is derived from
-xxhash64(j, d) mapped to [-1, 1) — no RNG state, identical on every
-executor, no broadcast of a weight matrix needed (it's generated in
-the expression itself at negligible cost for small dim).
+Deterministic hyperplanes, two engines: component r[j][d] derived
+from xxhash64(j, d) mapped to [-1, 1) — generated inside the
+expression, no RNG state, no broadcast matrix — or, with
+``hash_src="md5"``, md5-seeded constants shipped as a broadcast
+`tables`-row table that a DuckDB oracle re-derives bit-for-bit
+(see ``md5_hyperplane_tables``), which puts the ANN/SemDeDup
+candidate pipelines under the full hash-checked correctness gate.
 """
 
 from __future__ import annotations
@@ -268,6 +271,76 @@ def lsh_bucket(vec: Column, dim: int, bits: int = 8, table: int = 0) -> Column:
     )
 
 
+def md5_hyperplane_tables(
+    dim: int, bits: int, tables: int
+) -> list[tuple[int, list[list[float]]]]:
+    """Engine-independent sign-LSH hyperplanes, md5-seeded: component
+    (t, j, d) = int(md5('hp-{t*1024+j}-{d}') first 15 hex) / 2^59 - 1.
+    A DuckDB oracle re-derives the identical doubles in SQL (same md5
+    hex → BIGINT → same IEEE division), so bucket assignments — and
+    hence the ANN candidate set — replay exactly.  Values are returned
+    driver-side (tables × bits × dim floats, trivially small) and
+    shipped as a broadcast table, keeping per-row bucketing shuffle-
+    free while avoiding the giant-literal expression tree the
+    xxhash64-at-runtime engine was built to dodge."""
+    import hashlib
+
+    out = []
+    for t in range(tables):
+        hs = []
+        for j in range(bits):
+            tj = t * 1024 + j
+            hs.append(
+                [
+                    int(hashlib.md5(f"hp-{tj}-{d}".encode()).hexdigest()[:15], 16)
+                    / float(1 << 59)
+                    - 1.0
+                    for d in range(dim)
+                ]
+            )
+        out.append((t, hs))
+    return out
+
+
+def _md5_table_buckets(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str,
+    dim: int, bits: int, tables: int,
+) -> DataFrame:
+    """(out_id, vec, t, b) — one row per (vector, hash table), bucket
+    computed against the broadcast md5-seeded hyperplanes.  Same
+    zero-shuffle shape as the xxhash64 engine's explode: the hyper
+    table is ``tables`` rows, broadcast, so the corpus is scanned once
+    and never shuffled for bucketing."""
+    spark = df.sparkSession
+    hyper = spark.createDataFrame(
+        md5_hyperplane_tables(dim, bits, tables), "t int, hs array<array<double>>"
+    )
+    vec = F.col(vec_col)
+
+    def dot(h: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(vec, h, lambda x, hh: x.cast("double") * hh),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc * 2
+        + F.when(dot(F.element_at(F.col("hs"), j + 1)) >= 0, 1).otherwise(0),
+    )
+    return (
+        df.crossJoin(F.broadcast(hyper))
+        .select(
+            F.col(id_col).alias(out_id),
+            vec.alias(out_vec),
+            "t",
+            bucket.alias("b"),
+        )
+    )
+
+
 def _table_buckets(vec: Column, dim: int, bits: int, tables: int) -> Column:
     """array<struct<t,b>> — one sign-bucket per hash table."""
     return F.array(
@@ -289,6 +362,7 @@ def ann_lsh_topk(
     tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_src: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH + exact re-rank.
 
@@ -307,17 +381,31 @@ def ann_lsh_topk(
     bucket-partitioned, turning each query into a partition-pruned
     scan of ~tables/2^bits of the data.
     """
-    c = corpus.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("n_vec"),
-        F.explode(_table_buckets(F.col(vec_col), dim, bits, tables)).alias("tb"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(_table_buckets(F.col(vec_col), dim, bits, tables)).alias("tb"),
-    )
-    pairs = c.join(F.broadcast(q), "tb").filter(F.col("n_id") != F.col("q_id"))
+    if hash_src == "md5":
+        # ``hash_src="md5"``: hyperplanes are md5-seeded constants the
+        # DuckDB oracle re-derives exactly (see md5_hyperplane_tables),
+        # joined in via a broadcast `tables`-row table instead of
+        # generated per-row with xxhash64 — same zero-shuffle bucketing,
+        # fully hash-checkable candidate set.
+        c = _md5_table_buckets(corpus, id_col, vec_col, "n_id", "n_vec",
+                               dim, bits, tables)
+        q = _md5_table_buckets(queries, id_col, vec_col, "q_id", "q_vec",
+                               dim, bits, tables)
+        pairs = c.join(F.broadcast(q), ["t", "b"]).filter(
+            F.col("n_id") != F.col("q_id")
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("n_vec"),
+            F.explode(_table_buckets(F.col(vec_col), dim, bits, tables)).alias("tb"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(_table_buckets(F.col(vec_col), dim, bits, tables)).alias("tb"),
+        )
+        pairs = c.join(F.broadcast(q), "tb").filter(F.col("n_id") != F.col("q_id"))
     scored = pairs.select(
         "q_id", "n_id", cosine_similarity(F.col("q_vec"), F.col("n_vec")).alias("cosine")
     )
@@ -337,6 +425,7 @@ def semdedup_keep_list(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_src: str = "xxhash64",
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: bucket embeddings, keep one
     representative per bucket, drop members whose cosine to the
@@ -362,11 +451,18 @@ def semdedup_keep_list(
 
     Output: (vec_id, bucket, rep_id, cosine_to_rep, keep).
     """
-    b = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
-    )
+    if hash_src == "md5":
+        # Single-table md5-seeded buckets (engine-independent — the
+        # DuckDB oracle replays them; see md5_hyperplane_tables).
+        b = _md5_table_buckets(
+            corpus, id_col, vec_col, "vec_id", "vec", dim, bits, 1
+        ).select("vec_id", "vec", F.col("b").alias("bucket"))
+    else:
+        b = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
+        )
     rep_ids = b.groupBy("bucket").agg(F.min("vec_id").alias("rep_id"))
     rep_vecs = (
         b.withColumnRenamed("vec_id", "rep_id")

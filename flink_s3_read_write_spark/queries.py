@@ -49,12 +49,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # zero latest-row FAILs, so the window leads with this round's
 # changes):
 #   0 — upgraded from rows-only to full oracles this round: q33/q34
-#       now run the md5 hash engine (DuckDB replays signatures and
-#       banding bit-for-bit) and q55 emits exact counts +
-#       sketch-within-bound booleans; plus the brand-new q135
-#       (salted join under the oracle gate) and the two remaining
-#       stale r01 rows-only ANN queries (q36/q67) whose only driver
-#       rows pre-date the MinHash rewrite and collect-elimination;
+#       (md5 hash engine — DuckDB replays signatures and banding
+#       bit-for-bit), q36/q97 (md5-seeded hyperplanes — DuckDB
+#       replays ANN buckets/candidates and the SemDeDup keep rule),
+#       and q55 (exact counts + sketch-within-bound booleans); plus
+#       the brand-new q135 (salted join under the oracle gate) and
+#       q67, the one remaining stale r01 rows-only ANN query (IVF:
+#       k-means training is not SQL-replayable — justified);
 #   1 — queries whose ORACLE changed this round (the MAX_TOKENS cap
 #       mirrored into the shingle CTEs) and the events queries
 #       downstream of the NTZ-normalization rewrite in sources/io.py
@@ -63,10 +64,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #   3 — remaining non-SQL-expressible ops (rows-only) last, so they
 #       never displace a hash-compared query from the window.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # tier 0: new/upgraded oracles + stale rows-only ANN queries
+    # tier 0: new/upgraded oracles + the stale rows-only IVF query
     "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
+    "q36_ann_lsh_topk", "q97_semdedup",
     "q55_approx_sketches", "q135_salted_skew_join",
-    "q36_ann_lsh_topk", "q67_ann_ivf_topk",
+    "q67_ann_ivf_topk",
     # tier 1a: oracle text changed this round (token-cap mirror)
     "q32_ngram_jaccard_pairs", "q54_dedup_keep_list",
     "q68_boilerplate_ngrams", "q124_source_overlap",

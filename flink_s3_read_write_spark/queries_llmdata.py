@@ -261,20 +261,74 @@ def q35_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q36_ann_lsh_topk",
-    # rows-only: ANN is approximate by design — output is top-k under an
-    # LSH candidate set with recall<1; recall@5 floor vs exact brute force
-    # asserted in tests/test_similarity.py (exact twin = q35/q57).
-    oracle=None,
+    # Full oracle since round 5: ANN is approximate vs BRUTE FORCE, but
+    # deterministic given the hyperplanes — and the md5-seeded hyperplane
+    # engine lets DuckDB re-derive the identical doubles (md5 hex →
+    # BIGINT → same IEEE division), replaying bucket assignment,
+    # multi-table candidate union, cosine re-rank, and top-k exactly.
+    # The recall@5 floor vs exact brute force stays asserted in
+    # tests/test_similarity.py.
+    oracle="""
+    WITH hyper AS (
+      SELECT t, j,
+             list_transform(range(0, 64), d ->
+               ('0x' || substr(md5('hp-' || CAST(t * 1024 + j AS VARCHAR)
+                                   || '-' || CAST(d AS VARCHAR)), 1, 15))::BIGINT
+               / 576460752303423488.0 - 1.0) AS h
+      FROM range(0, 8) tt(t), range(0, 4) jj(j)
+    ),
+    dots AS (
+      SELECT e.vec_id, hy.t, hy.j,
+             list_sum(list_transform(list_zip(e.embedding, hy.h),
+                                     x -> CAST(x[1] AS DOUBLE) * x[2])) AS dp
+      FROM embeddings e, hyper hy
+    ),
+    buck AS (
+      SELECT vec_id, t,
+             CAST(SUM(CASE WHEN dp >= 0 THEN 1 << (3 - j) ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM dots GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS n_id
+      FROM buck cb
+      JOIN buck qb ON qb.vec_id < 8 AND cb.t = qb.t AND cb.b = qb.b
+      WHERE cb.vec_id <> qb.vec_id
+    ),
+    scored AS (
+      SELECT c.q_id, c.n_id,
+             list_sum(list_transform(list_zip(q.embedding, n.embedding),
+                                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.embedding,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(n.embedding,
+                                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.q_id
+      JOIN embeddings n ON n.vec_id = c.n_id
+    )
+    SELECT q_id, n_id, cosine, rn FROM (
+      SELECT q_id, n_id, cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+      FROM scored) t
+    WHERE rn <= 5
+    """,
     doc=(
         "ANN via multi-table random-hyperplane LSH (8 tables x 4 bits) "
         "+ exact cosine re-rank; recall@5 ~0.75 vs brute force on the "
-        "synthetic embeddings (tests/test_similarity.py). Scale path: "
-        "bucket-partitioned corpus => partition-pruned scans."
+        "synthetic embeddings (tests/test_similarity.py). md5-seeded "
+        "hyperplanes broadcast as a tiny table -> DuckDB replays the "
+        "whole candidate pipeline. Scale path: bucket-partitioned "
+        "corpus => partition-pruned scans."
     ),
 )
 def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64, bits=4, tables=8)
+    return S.ann_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64, bits=4, tables=8,
+        hash_src="md5",
+    )
 
 
 @register(
@@ -1621,24 +1675,63 @@ def q92_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q97_semdedup",
-    # rows-only: bucket geometry comes from seeded NumPy hyperplanes
-    # materialized Spark-side (no SQL twin without inlining the full
-    # float matrix); star-vs-representative cosine checked in
-    # tests/test_similarity.py.
-    oracle=None,
+    # Full oracle since round 5: the md5-seeded hyperplane engine (see
+    # q36) makes the single-table 5-bit buckets engine-independent, so
+    # DuckDB replays bucket assignment, min-id representative
+    # selection, star-vs-rep cosine, and the keep rule exactly.
+    oracle="""
+    WITH hyper AS (
+      SELECT j,
+             list_transform(range(0, 64), d ->
+               ('0x' || substr(md5('hp-' || CAST(j AS VARCHAR)
+                                   || '-' || CAST(d AS VARCHAR)), 1, 15))::BIGINT
+               / 576460752303423488.0 - 1.0) AS h
+      FROM range(0, 5) jj(j)
+    ),
+    dots AS (
+      SELECT e.vec_id, hy.j,
+             list_sum(list_transform(list_zip(e.embedding, hy.h),
+                                     x -> CAST(x[1] AS DOUBLE) * x[2])) AS dp
+      FROM embeddings e, hyper hy
+    ),
+    buck AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dp >= 0 THEN 1 << (4 - j) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    reps AS (SELECT bucket, MIN(vec_id) AS rep_id FROM buck GROUP BY bucket),
+    paired AS (
+      SELECT b.vec_id, b.bucket, r.rep_id,
+             list_sum(list_transform(list_zip(v.embedding, rv.embedding),
+                                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(v.embedding,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(rv.embedding,
+                                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine_to_rep
+      FROM buck b
+      JOIN reps r ON r.bucket = b.bucket
+      JOIN embeddings v ON v.vec_id = b.vec_id
+      JOIN embeddings rv ON rv.vec_id = r.rep_id
+    )
+    SELECT vec_id, bucket, rep_id, cosine_to_rep,
+           (vec_id = rep_id OR cosine_to_rep <= 0.9) AS keep
+    FROM paired
+    """,
     doc=(
         "SemDeDup-style semantic dedup over embeddings: deterministic "
         "sign-LSH buckets play the paper's k-means clusters, one "
         "representative (min vec_id) kept per bucket, members with "
         "cosine-to-representative > 0.9 dropped. O(n) comparisons — "
-        "star-vs-representative, never within-cluster pairwise. No "
-        "DuckDB twin (xxhash64 hyperplanes); planted-duplicate "
-        "semantics in tests/test_similarity.py."
+        "star-vs-representative, never within-cluster pairwise. "
+        "md5-seeded hyperplanes -> the DuckDB oracle replays the whole "
+        "pass; planted-duplicate semantics in tests/test_similarity.py."
     ),
 )
 def q97_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.semdedup_keep_list(emb, dim=64, bits=5, threshold=0.9)
+    return S.semdedup_keep_list(emb, dim=64, bits=5, threshold=0.9, hash_src="md5")
 
 
 @register(

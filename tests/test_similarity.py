@@ -167,3 +167,52 @@ def test_semdedup_random_corpus_keeps_everything(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = S.semdedup_keep_list(df, dim=DIM, bits=3, threshold=0.9).collect()
     assert len(out) == 60 and all(r.keep for r in out)
+
+
+def test_md5_ann_recall_on_driver_embeddings(spark, sf_dir):
+    """q36's md5-seeded hyperplane engine must clear the same recall@5
+    floor as the xxhash64 engine — the oracle upgrade must not have
+    degraded the hyperplane family."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = S.brute_force_topk(emb, q, k=5).collect()
+    approx = S.ann_lsh_topk(
+        emb, q, k=5, dim=64, bits=4, tables=8, hash_src="md5"
+    ).collect()
+    exact_set = {(r["q_id"], r["n_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["n_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"recall {recall}"
+    # cosines are exact re-ranks, not approximations
+    exact_all = {
+        (r["q_id"], r["n_id"]): r["cosine"]
+        for r in S.brute_force_topk(emb, q, k=2000).collect()
+    }
+    for r in approx:
+        assert r["cosine"] == pytest.approx(
+            exact_all[(r["q_id"], r["n_id"])], rel=1e-12
+        )
+
+
+def test_md5_semdedup_matches_xxhash_semantics(spark, sf_dir):
+    """Same keep-rule invariants on the md5 bucket engine: exactly one
+    representative per bucket, reps keep themselves, drops exceed the
+    cosine threshold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = S.semdedup_keep_list(
+        emb, dim=64, bits=5, threshold=0.9, hash_src="md5"
+    ).collect()
+    assert len(rows) == emb.count()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket, members in by_bucket.items():
+        reps = {r["rep_id"] for r in members}
+        assert len(reps) == 1
+        rep_id = reps.pop()
+        assert rep_id == min(r["vec_id"] for r in members)
+        for r in members:
+            if r["vec_id"] == rep_id:
+                assert r["keep"]
+            elif not r["keep"]:
+                assert r["cosine_to_rep"] > 0.9
