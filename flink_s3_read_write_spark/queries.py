@@ -68,6 +68,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
     "q36_ann_lsh_topk", "q97_semdedup",
     "q55_approx_sketches", "q135_salted_skew_join",
+    "q136_stratified_split",
     "q67_ann_ivf_topk",
     # tier 1a: oracle text changed this round (token-cap mirror)
     "q32_ngram_jaccard_pairs", "q54_dedup_keep_list",

@@ -2350,3 +2350,51 @@ def q135_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"),
     )
+
+
+@register(
+    "q136_stratified_split",
+    # Exact-fraction deterministic train/val/test assignment: within
+    # each language stratum, docs are ranked by md5('split-v1-'||id)
+    # (pseudo-random but engine-independent) and the 90/5/5 cut uses
+    # integer cross-multiplication (rn*100 <= n*90) — no division, no
+    # float boundary, bit-identical in DuckDB.
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN rn * 100 <= n * 90 THEN 'train'
+                WHEN rn * 100 <= n * 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('split-v1-' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM documents) t
+    """,
+    doc=(
+        "Deterministic stratified train/val/test split (90/5/5 per "
+        "language): rank docs within each language by a keyed md5 of the "
+        "id, cut at exact integer thresholds. Exact per-stratum "
+        "fractions need the rank, i.e. one window shuffle per run; at "
+        "100 TB, when approximate fractions suffice, drop the window "
+        "and threshold the md5 bucket directly (the q134 mixing "
+        "pattern) for a zero-shuffle projection - the rank variant is "
+        "for splits whose counts must be exact (small eval sets)."
+    ),
+)
+def q136_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.md5(F.concat(F.lit("split-v1-"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(b, "doc_id")
+    wn = Window.partitionBy("lang")
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wn)
+    split = (
+        F.when(rn * 100 <= n * 90, "train")
+        .when(rn * 100 <= n * 95, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
