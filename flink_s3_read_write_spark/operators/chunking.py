@@ -142,3 +142,65 @@ def pack_chunks(
         id_col, "chunk_id", "chunk_text", "n_chunk_tokens", "shard",
         F.floor(start / budget).cast("long").alias("pack_id"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    modulus: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking: a token ends at a chunk boundary when
+    its md5-derived 60-bit hash ≡ 0 (mod ``modulus``), giving expected
+    chunk length ``modulus`` tokens.  Because boundaries depend on
+    token CONTENT, not position, a prefix insertion shifts only the
+    chunks it touches — shared runs between near-identical documents
+    still produce identical chunk texts (the property fixed-size
+    windows lack, and why storage dedup systems chunk this way).
+
+    md5-based on both sides → a DuckDB oracle replays boundaries,
+    chunk texts and hashes exactly (q140).
+
+    Output: (doc_id, chunk_id, ctext, n_tokens, chunk_hash).  Plan:
+    posexplode → per-doc running-sum window (partitioned by doc, so
+    it parallelizes across docs) → one hash aggregate.
+    """
+    from pyspark.sql import Window
+
+    from flink_s3_read_write_spark.operators import dedup as D
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(D.tokens(F.col(text_col))).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    boundary = (D._md5_h60(F.md5(F.col("tok"))) % modulus == 0).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    numbered = tok.withColumn("chunk_id", F.sum(boundary).over(w))
+    return numbered.groupBy("doc_id", "chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("ctext"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    ).withColumn("chunk_hash", F.md5(F.col("ctext")))
+
+
+def cdc_duplicate_chunks(df: DataFrame, modulus: int = 16) -> DataFrame:
+    """Cross-corpus chunk-level dedup over ``cdc_chunks`` output:
+    chunks whose text occurs more than once, with copy counts."""
+    return (
+        cdc_chunks(df, modulus=modulus)
+        .groupBy(F.col("chunk_hash"))
+        .agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

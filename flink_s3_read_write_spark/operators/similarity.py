@@ -418,6 +418,163 @@ def ann_lsh_topk(
     )
 
 
+def md5_pq_codebook(
+    n_sub: int, dsub: int, n_codes: int
+) -> list[tuple[int, int, list[float]]]:
+    """Engine-independent product-quantization codebook, md5-seeded:
+    component (s, c, d) = int(md5('pq-{s}-{c}-{d}') first 15 hex)
+    / 2^59 - 1, i.e. uniform [-1, 1) — the same derivation as
+    ``md5_hyperplane_tables`` so a DuckDB oracle re-creates the exact
+    IEEE doubles.  At 100 TB the codebook would be k-means-trained on
+    a bounded sample (like q67's IVF centroids); the md5 codebook
+    trades quantization quality for a fully replayable pipeline while
+    keeping every other moving part (encode, ADC, re-rank) identical.
+    """
+    import hashlib
+
+    out = []
+    for s in range(n_sub):
+        for c in range(n_codes):
+            out.append(
+                (
+                    s,
+                    c,
+                    [
+                        int(
+                            hashlib.md5(f"pq-{s}-{c}-{d}".encode()).hexdigest()[:15],
+                            16,
+                        )
+                        / float(1 << 59)
+                        - 1.0
+                        for d in range(dsub)
+                    ],
+                )
+            )
+    return out
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = 8,
+    dsub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN: encode the corpus to ``n_sub`` code
+    ids (one 4-bit code per 8-dim subspace → 8 bytes/vector instead
+    of 256), then answer queries with asymmetric distance computation
+    (ADC): approx_dist(q, x) = Σ_s dist²(q_sub[s], C[s][code_s(x)]).
+
+    This is the memory-bound scale path FAISS/ScaNN use: at 100 TB the
+    codes table is ~32× smaller than the raw vectors, fits executor
+    memory where the vectors never would, and the query-side lookup
+    table (n_sub × n_codes distances) is broadcast-tiny.  Plan shape:
+    one broadcast crossJoin against the 128-row codebook + a partial-
+    aggregated argmin shuffle keyed (vec_id, s) to encode — at scale
+    you encode ONCE and persist the codes — then ADC is a broadcast
+    equi-join on (s, code) and a decimal-exact 8-term sum; no vector
+    ever moves through a shuffle.
+
+    The argmin tie-break is lexicographic (dist, code), so encoding
+    is deterministic; the ADC sum routes through DECIMAL(30,6)
+    (see functions.numeric) so the result is accumulation-order-
+    independent and bit-identical across engines and partitionings.
+
+    Output: (q_id, n_id, adc, rn) — ascending approx distance top-k.
+    """
+    spark = corpus.sparkSession
+    cb = spark.createDataFrame(
+        md5_pq_codebook(n_sub, dsub, n_codes), "s int, c int, cvec array<double>"
+    )
+
+    def sub_dist2(vec: Column) -> Column:
+        sub = F.slice(vec, F.col("s") * dsub + 1, dsub)
+        return F.aggregate(
+            F.zip_with(
+                sub,
+                F.col("cvec"),
+                lambda x, h: (x.cast("double") - h) * (x.cast("double") - h),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def dists(df: DataFrame, out_id: str) -> DataFrame:
+        return df.crossJoin(F.broadcast(cb)).select(
+            F.col(id_col).alias(out_id),
+            "s",
+            "c",
+            sub_dist2(F.col(vec_col)).alias("dist"),
+        )
+
+    codes = dists(corpus, "n_id").groupBy("n_id", "s").agg(
+        F.min_by("c", F.array(F.col("dist"), F.col("c").cast("double"))).alias("code")
+    )
+    qdist = dists(queries, "q_id")
+    adc = (
+        codes.join(
+            F.broadcast(qdist),
+            (qdist["s"] == codes["s"]) & (qdist["c"] == codes["code"]),
+        )
+        .filter(F.col("n_id") != F.col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(F.sum(F.col("dist").cast("decimal(30,6)")).cast("double").alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("n_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "adc", "rn")
+    )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the top-k most-similar corpus vectors with a DIFFERENT label —
+    the examples a contrastive loss learns most from (highest-cosine
+    wrong-class neighbors).
+
+    Same physical shape as ``brute_force_topk`` (broadcast queries ×
+    one corpus scan → per-partition WindowGroupLimit), with the label
+    inequality folded into the join predicate so mismatched pairs are
+    dropped before the cosine is computed.  Output: (q_id, n_id,
+    n_label, cosine, rn), ranking key (cosine DESC, n_id).
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.col(label_col).alias("n_label"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("n_label") != F.col("q_label"))
+    scored = pairs.select(
+        "q_id",
+        "n_id",
+        "n_label",
+        cosine_similarity(F.col("q_vec"), F.col("n_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "n_label", "cosine", "rn")
+    )
+
+
 def semdedup_keep_list(
     corpus: DataFrame,
     dim: int = 64,

@@ -69,6 +69,10 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q36_ann_lsh_topk", "q97_semdedup",
     "q55_approx_sketches", "q135_salted_skew_join",
     "q136_stratified_split",
+    # round-5 additions, never driver-checked: PQ-ANN, hard-negative
+    # mining, corpus token stats, content-defined-chunking dedup
+    "q137_pq_ann_topk", "q138_hard_negatives",
+    "q139_corpus_token_stats", "q140_cdc_chunk_dedup",
     "q67_ann_ivf_topk",
     # tier 1a: oracle text changed this round (token-cap mirror)
     "q32_ngram_jaccard_pairs", "q54_dedup_keep_list",

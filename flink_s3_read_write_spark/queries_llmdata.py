@@ -2402,3 +2402,223 @@ def q136_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return docs.select("doc_id", "lang", split.alias("split"))
+
+
+@register(
+    "q137_pq_ann_topk",
+    # Full oracle: the PQ codebook is md5-seeded (similarity.
+    # md5_pq_codebook), so DuckDB re-derives the identical IEEE
+    # doubles, replays encode (lexicographic (dist, code) argmin),
+    # the ADC lookup join, and the DECIMAL(30,6)-exact 8-term sum.
+    oracle="""
+    WITH cb AS (
+      SELECT s, c,
+             list_transform(range(0, 8), d ->
+               ('0x' || substr(md5('pq-' || CAST(s AS VARCHAR) || '-'
+                                   || CAST(c AS VARCHAR) || '-'
+                                   || CAST(d AS VARCHAR)), 1, 15))::BIGINT
+               / 576460752303423488.0 - 1.0) AS cvec
+      FROM range(0, 8) ss(s), range(0, 16) cc(c)
+    ),
+    dists AS (
+      SELECT e.vec_id, cb.s, cb.c,
+             list_sum(list_transform(range(0, 8), d ->
+               (CAST(e.embedding[cb.s * 8 + d + 1] AS DOUBLE) - cb.cvec[d + 1])
+               * (CAST(e.embedding[cb.s * 8 + d + 1] AS DOUBLE) - cb.cvec[d + 1])))
+               AS dist
+      FROM embeddings e, cb
+    ),
+    codes AS (
+      -- deterministic argmin, tie-break on code id (mirrors the Spark
+      -- side's min_by over array(dist, c); arg_min can't take a
+      -- composite ordering here)
+      SELECT n_id, s, code FROM (
+        SELECT vec_id AS n_id, s, c AS code,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+        FROM dists) t
+      WHERE rn = 1
+    ),
+    qdist AS (SELECT vec_id AS q_id, s, c, dist FROM dists WHERE vec_id < 8),
+    adc AS (
+      SELECT q.q_id, x.n_id,
+             CAST(SUM(CAST(q.dist AS DECIMAL(30,6))) AS DOUBLE) AS adc
+      FROM codes x JOIN qdist q ON q.s = x.s AND q.c = x.code
+      WHERE x.n_id <> q.q_id
+      GROUP BY q.q_id, x.n_id
+    )
+    SELECT q_id, n_id, adc, rn FROM (
+      SELECT q_id, n_id, adc,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn
+      FROM adc) t
+    WHERE rn <= 5
+    """,
+    doc=(
+        "Product-quantization ANN (8 subspaces x 16 md5-seeded codes): "
+        "encode to 8 code ids per vector, answer queries by asymmetric "
+        "distance (ADC) over a broadcast lookup table - the FAISS-style "
+        "memory-bound scale path; codes are 32x smaller than vectors."
+    ),
+)
+def q137_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register(
+    "q138_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+               FROM embeddings WHERE vec_id < 8),
+    pairs AS (
+      SELECT q.q_id, c.vec_id AS n_id, c.label AS n_label,
+             list_sum(list_transform(list_zip(q.q_vec, c.embedding),
+                                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine
+      FROM embeddings c, q WHERE c.label <> q.q_label)
+    SELECT q_id, n_id, n_label, cosine, rn FROM (
+      SELECT q_id, n_id, n_label, cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+      FROM pairs) t
+    WHERE rn <= 10
+    """,
+    doc=(
+        "Hard-negative mining for contrastive training: per query, the "
+        "10 most-similar vectors with a DIFFERENT label (broadcast "
+        "queries x one corpus scan, label predicate folded into the "
+        "join, WindowGroupLimit top-k)."
+    ),
+)
+def q138_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.hard_negative_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
+
+
+@register(
+    "q139_corpus_token_stats",
+    # Zipf/Heaps-flavoured corpus statistics kept in integer/decimal
+    # arithmetic on purpose: no ln()/log() (libm results are not
+    # IEEE-pinned across engines), so every output is either exact or
+    # a single double division of two exact integers.
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_slice(string_split({_NORM_SQL.format(c='text')}, ' '),
+                               1, 10000)) AS tok
+      FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS n FROM tok WHERE tok <> '' GROUP BY tok),
+    stats AS (
+      SELECT COUNT(*) AS vocab_size,
+             CAST(SUM(n) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+             CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis_count,
+             CAST(MAX(n) AS BIGINT) AS max_freq
+      FROM freq),
+    top10 AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS top10_tokens
+      FROM (SELECT n, tok FROM freq ORDER BY n DESC, tok LIMIT 10) t)
+    SELECT vocab_size, total_tokens, hapax_count, dis_count, max_freq,
+           top10_tokens / total_tokens AS top10_share,
+           vocab_size / total_tokens AS type_token_ratio
+    FROM stats, top10
+    """,
+    doc=(
+        "Corpus-level token-frequency distribution: vocabulary size, "
+        "hapax/dis legomena, max frequency, top-10-token mass share, "
+        "type-token ratio. One token-count shuffle reused by a full "
+        "aggregate + a TakeOrderedAndProject top-10; integer-exact "
+        "except two final double divisions."
+    ),
+)
+def q139_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(D.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # freq feeds two consumers (full aggregate + top-10); cache it so
+    # the corpus is tokenized once (repeated-scan audit rule, PLANS.md).
+    freq = freq.cache()
+    stats = freq.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("n").alias("total_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax_count"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).alias("dis_count"),
+        F.max("n").alias("max_freq"),
+    )
+    top10 = (
+        freq.orderBy(F.col("n").desc(), "tok")
+        .limit(10)
+        .agg(F.sum("n").alias("top10_tokens"))
+    )
+    return stats.crossJoin(F.broadcast(top10)).select(
+        "vocab_size",
+        "total_tokens",
+        "hapax_count",
+        "dis_count",
+        "max_freq",
+        (F.col("top10_tokens") / F.col("total_tokens")).alias("top10_share"),
+        (F.col("vocab_size") / F.col("total_tokens")).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "q140_cdc_chunk_dedup",
+    # Content-defined chunking for storage-level dedup: a token is a
+    # chunk boundary when its md5-derived 60-bit hash ≡ 0 (mod 16)
+    # (expected chunk length 16 tokens).  Because boundaries depend on
+    # CONTENT, not position, shared runs between near-identical docs
+    # land in identical chunks even after insertions shift positions —
+    # the property fixed-size chunking lacks.  md5 on both sides →
+    # DuckDB replays boundaries, chunk texts, and hashes exactly.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_slice(string_split({_NORM_SQL.format(c='text')}, ' '),
+                        1, 10000) AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, u.s.pos AS pos, u.s.tok AS tok
+      FROM (SELECT doc_id,
+                   unnest(list_transform(toks, (x, i) -> {{'pos': i, 'tok': x}})) AS s
+            FROM toks) u
+      WHERE u.s.tok <> ''),
+    flagged AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % 16 = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM tok),
+    numbered AS (
+      SELECT doc_id, pos, tok,
+             SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS chunk_id
+      FROM flagged),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             string_agg(tok, ' ' ORDER BY pos) AS ctext,
+             COUNT(*) AS n_tokens
+      FROM numbered GROUP BY doc_id, chunk_id)
+    SELECT md5(ctext) AS chunk_hash,
+           CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM chunks
+    GROUP BY md5(ctext)
+    HAVING COUNT(*) >= 2
+    """,
+    doc=(
+        "Content-defined chunking (token-hash boundaries, expected 16 "
+        "tokens/chunk) + cross-corpus chunk dedup: repeated chunks with "
+        "copy counts. Boundaries move with content, so shared runs "
+        "between near-identical docs dedupe even after insertions; "
+        "plan is posexplode -> per-doc running-sum window -> two hash "
+        "aggregates, all partitioned by doc then chunk hash."
+    ),
+)
+def q140_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.operators.chunking import cdc_duplicate_chunks
+
+    return cdc_duplicate_chunks(load_table(spark, sf_dir, "documents"), modulus=16)

@@ -78,3 +78,52 @@ def test_pack_chunks_budget_and_contiguity(spark, sf_dir):
             per_pack[key] = per_pack.get(key, 0) + r["n_chunk_tokens"]
     # every pack's tokens <= budget + one chunk tail
     assert all(v <= 64 + max_chunk for v in per_pack.values())
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """The defining CDC property: inserting tokens at the FRONT of a
+    document shifts every token position, yet chunks from the shared
+    suffix still hash identically — fixed-size windows would realign
+    everything.  Also: chunk texts reassemble the document in order."""
+    from flink_s3_read_write_spark.operators.chunking import cdc_chunks
+
+    base = " ".join(f"tok{i}" for i in range(400))
+    shifted = "xyz1 xyz2 xyz3 " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    chunks = cdc_chunks(docs, modulus=16).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # reassembly: concatenating chunks in chunk_id order restores the doc
+    for doc_id, text in ((1, base), (2, shifted)):
+        ordered = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        assert " ".join(r["ctext"] for r in ordered) == text
+        assert sum(r["n_tokens"] for r in ordered) == len(text.split())
+    # shared-suffix chunks re-sync after the insertion: most of doc 1's
+    # chunk hashes reappear in doc 2 (all but the first boundary-spanning
+    # chunk; the 3 inserted tokens contain no boundary with this corpus)
+    h1 = {r["chunk_hash"] for r in by_doc[1]}
+    h2 = {r["chunk_hash"] for r in by_doc[2]}
+    shared = h1 & h2
+    assert len(shared) >= len(h1) - 2, (len(shared), len(h1))
+
+
+def test_cdc_duplicate_chunks_finds_planted_dup(spark):
+    from flink_s3_read_write_spark.operators.chunking import cdc_duplicate_chunks
+
+    common = " ".join(f"w{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [
+            (1, common),
+            (2, "unrelated prefix words " + common),
+            (3, "totally different " + " ".join(f"z{i}" for i in range(50))),
+        ],
+        "doc_id long, text string",
+    )
+    dups = cdc_duplicate_chunks(docs, modulus=16).collect()
+    assert dups, "shared chunk run must be detected"
+    for r in dups:
+        assert r["n_copies"] >= 2
+        assert r["first_doc"] == 1

@@ -207,3 +207,25 @@ def test_q135_salted_join_replicates_dim_and_joins_on_salt(spark, sf_dir):
     # and it stays an equi-join (SMJ or shuffled hash), never a cross join
     assert not P.has(plan, "CartesianProduct"), plan
     assert not P.has(plan, "BroadcastNestedLoopJoin"), plan
+
+
+def test_pq_adc_broadcasts_codebook_and_lookup(t):
+    """q137: the codebook crossJoin and the ADC lookup join are both
+    broadcasts — no vector ever moves through a shuffle; the only
+    exchanges key on (vec_id, s) ids and the final (q_id, n_id) agg."""
+    emb = t["embeddings"]
+    plan = P.formatted_plan(S.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 4), k=3))
+    assert P.count(plan, "BroadcastNestedLoopJoin") >= 1, plan   # codebook
+    assert P.has(plan, "BroadcastHashJoin"), plan                # ADC lookup
+    assert P.has(plan, "partial_min"), "encode argmin must partial-aggregate"
+    assert P.has(plan, "WindowGroupLimit"), plan
+
+
+def test_hard_negative_broadcasts_queries(t):
+    emb = t["embeddings"]
+    plan = P.formatted_plan(
+        S.hard_negative_topk(emb, emb.filter(F.col("vec_id") < 4), k=3)
+    )
+    assert P.has(plan, "BroadcastNestedLoopJoin"), plan
+    assert P.has(plan, "WindowGroupLimit"), plan
+    assert P.shuffle_exchanges(plan) <= 2

@@ -216,3 +216,70 @@ def test_md5_semdedup_matches_xxhash_semantics(spark, sf_dir):
                 assert r["keep"]
             elif not r["keep"]:
                 assert r["cosine_to_rep"] > 0.9
+
+
+def test_pq_adc_matches_numpy_replay(spark, sf_dir):
+    """Independent NumPy re-implementation of the full PQ pipeline
+    (md5 codebook → lexicographic argmin encode → ADC sum) must
+    reproduce Spark's adc values to decimal(30,6) rounding."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    out = S.pq_adc_topk(emb, q, k=5).collect()
+    assert len(out) == 4 * 5
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    cb = np.zeros((8, 16, 8))
+    for s, c, cv in S.md5_pq_codebook(8, 8, 16):
+        cb[s, c] = cv
+    codes = {
+        vid: [
+            int(np.argmin(((v[s * 8:(s + 1) * 8] - cb[s]) ** 2).sum(1)))
+            for s in range(8)
+        ]
+        for vid, v in vecs.items()
+    }
+    for r in out:
+        qv = vecs[r["q_id"]]
+        adc = sum(
+            round(((qv[s * 8:(s + 1) * 8] - cb[s, codes[r["n_id"]][s]]) ** 2).sum(), 6)
+            for s in range(8)
+        )
+        assert r["adc"] == pytest.approx(adc, abs=1e-5)
+
+
+def test_pq_encoding_one_code_per_subspace(spark, sf_dir):
+    """Every (vector, subspace) maps to exactly one code in [0, 16)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 2), k=3)
+    rows = out.collect()
+    assert all(r["adc"] >= 0.0 for r in rows)
+    assert all(1 <= r["rn"] <= 3 for r in rows)
+
+
+def test_hard_negatives_label_disjoint_and_maximal(spark, sf_dir):
+    """Every mined pair crosses labels, cosines equal the brute-force
+    values, and no skipped different-label vector has higher cosine
+    than the mined top-k floor."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    out = S.hard_negative_topk(emb, q, k=5).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    all_cos = {
+        (r["q_id"], r["n_id"]): r["cosine"]
+        for r in S.brute_force_topk(emb, q, k=2000).collect()
+    }
+    by_q: dict = {}
+    for r in out:
+        assert labels[r["n_id"]] != labels[r["q_id"]]
+        assert r["n_label"] == labels[r["n_id"]]
+        assert r["cosine"] == pytest.approx(all_cos[(r["q_id"], r["n_id"])], rel=1e-12)
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, rows in by_q.items():
+        assert len(rows) == 5
+        floor = min(r["cosine"] for r in rows)
+        mined = {r["n_id"] for r in rows}
+        for (qq, nn), cos in all_cos.items():
+            if qq == q_id and nn not in mined and labels[nn] != labels[q_id]:
+                assert cos <= floor + 1e-12

@@ -117,3 +117,45 @@ def test_redact_pii_masks_planted_fixtures(spark):
     assert got[5].text == "mixed: [EMAIL] and [IPV4]"
     assert got[5].n_redactions == 2
     assert got[2].n_redactions == 2
+
+
+def test_corpus_token_stats_python_twin(spark):
+    """q139's statistics recomputed by plain Python Counter on a small
+    planted corpus — engine-independent third implementation."""
+    from collections import Counter
+
+    from flink_s3_read_write_spark.queries import registry
+
+    docs = [
+        (1, "a b b c c c d d d d"),
+        (2, "a a e f g h h"),
+        (3, "x y z a"),
+    ]
+    counts = Counter(t for _, s in docs for t in s.split())
+    total = sum(counts.values())
+    top10 = sum(n for _, n in counts.most_common(10))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.createOrReplaceTempView("_docs139")
+    import flink_s3_read_write_spark.queries_llmdata  # noqa: F401
+    # run the same pipeline as q139 on the planted frame
+    from pyspark.sql import functions as F
+
+    from flink_s3_read_write_spark.operators import dedup as D
+
+    freq = (
+        df.select(F.explode(D.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row = freq.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("n").alias("total_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax_count"),
+        F.max("n").alias("max_freq"),
+    ).collect()[0]
+    assert row["vocab_size"] == len(counts)
+    assert row["total_tokens"] == total
+    assert row["hapax_count"] == sum(1 for n in counts.values() if n == 1)
+    assert row["max_freq"] == max(counts.values())
+    assert top10 <= total
