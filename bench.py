@@ -13,12 +13,14 @@ warm-up query runs first so JVM/codegen startup isn't charged to the
 first measured query.
 
 Queries at or above ``$SPARK_GRAFT_BENCH_REPEAT_SEC`` (default 1.5 s)
-on their first run are re-run once and the MINIMUM is recorded:
-single-shot numbers are dominated by first-use JIT/codegen of heavy
-operators (observed 8 s vs 0.75 s on an unchanged rollup query
-round-over-round), which makes regressions undetectable.  min-of-2 is
-the stable statistic; sub-threshold queries are not repeated so the
-extra wall cost stays bounded by the slow tail.  The storage cache is
+on their first run are re-run once IN A SECOND PASS AFTER THE FULL
+SWEEP and the MINIMUM is recorded: single-shot numbers are dominated
+by first-use JIT/codegen of heavy operators (observed 8 s vs 0.75 s
+on an unchanged rollup query round-over-round), and a back-to-back
+repeat shares the same early-session compilation storm, so the second
+sample must come after the JVM has fully warmed.  min-of-2 is the
+stable statistic; sub-threshold queries are not repeated so the extra
+wall cost stays bounded by the slow tail.  The storage cache is
 cleared between runs and between queries, so per-query ``.cache()``
 fills are charged to every run of their own query and never leak into
 the next one's timing (or accumulate across the 135-query sweep).
@@ -92,16 +94,28 @@ def main() -> int:
     failed: list[str] = []
     for name in names:
         try:
-            t = run_one(reg[name].fn, spark, sf_dir)
-            if t == t and t >= repeat_sec:  # not-NaN and slow: min-of-2
-                spark.catalog.clearCache()
-                t = min(t, run_one(reg[name].fn, spark, sf_dir))
-            times[name] = round(t, 3)
+            times[name] = round(run_one(reg[name].fn, spark, sf_dir), 3)
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             failed.append(name)
         finally:
             spark.catalog.clearCache()
+    # Second pass for slow queries, AFTER the full sweep: a back-to-back
+    # min-of-2 shares whatever transient hurt the first run (early-
+    # session C2/JIT compilation storms hit the alphabetically-first
+    # queries, and both consecutive runs land inside the storm — seen
+    # as q100/q101 at 8 s both-runs-slow while the same queries warm-
+    # rerun at ~1.2 s).  Re-running at sweep end decorrelates the two
+    # samples; min is the recorded statistic.  Sub-threshold queries
+    # are not repeated so the extra wall cost stays bounded.
+    for name, t in list(times.items()):
+        if t == t and t >= repeat_sec:
+            try:
+                times[name] = round(min(t, run_one(reg[name].fn, spark, sf_dir)), 3)
+            except Exception:
+                pass
+            finally:
+                spark.catalog.clearCache()
     total = round(sum(t for t in times.values() if t > 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
 

@@ -2622,3 +2622,154 @@ def q140_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_s3_read_write_spark.operators.chunking import cdc_duplicate_chunks
 
     return cdc_duplicate_chunks(load_table(spark, sf_dir, "documents"), modulus=16)
+
+
+@register(
+    "q141_embedding_covariance",
+    # The PCA/whitening precursor: upper-triangle covariance of the
+    # 64-dim embedding matrix.  Raw second moments and means are
+    # DECIMAL(30,6)-exact (order-independent — bit-identical on any
+    # partitioning/engine), combined into covariance with one double
+    # expression per output row.  The float32 components are cast to
+    # double BEFORE the product on both sides.
+    oracle="""
+    WITH comp AS (
+      SELECT u.i, CAST(embedding[u.i + 1] AS DOUBLE) AS x,
+             v.j, CAST(embedding[v.j + 1] AS DOUBLE) AS y
+      FROM embeddings, range(0, 64) u(i), range(0, 64) v(j)
+      WHERE u.i <= v.j
+    ),
+    moments AS (
+      SELECT i, j,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+      FROM comp GROUP BY i, j
+    )
+    SELECT i, j, (sxy - sx * sy / n) / (n - 1) AS cov
+    FROM moments
+    """,
+    doc=(
+        "Embedding covariance matrix (upper triangle, 2080 entries) - "
+        "the PCA/whitening/ZCA precursor every embedding pipeline "
+        "needs. Decimal-exact moment sums (order-independent, "
+        "mergeable map-side) finished in double per output cell; at "
+        "100 TB the same plan holds: the shuffle carries dim^2/2 "
+        "partial-aggregated cells per partition, never rows."
+    ),
+)
+def q141_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 2080-row upper-triangle index table, broadcast (the q137 codebook
+    # pattern): the corpus is scanned once and never shuffled for the
+    # pairing; partial aggregation collapses each partition to <= 2080
+    # cells before the only exchange.
+    idx = spark.createDataFrame(
+        [(i, j) for i in range(64) for j in range(64) if i <= j], "i int, j int"
+    )
+    vec = F.col("embedding")
+    exploded = emb.crossJoin(F.broadcast(idx)).select(
+        "i",
+        "j",
+        F.element_at(vec, F.col("i") + 1).cast("double").alias("x"),
+        F.element_at(vec, F.col("j") + 1).cast("double").alias("y"),
+    )
+    moments = exploded.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(30,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(30,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,6)")).cast("double").alias("sxy"),
+    )
+    return moments.select(
+        "i",
+        "j",
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+         / (F.col("n") - 1)).alias("cov"),
+    )
+
+
+@register(
+    "q142_groupwise_regression",
+    # Group-wise least-squares trend without regr_slope/regr_intercept:
+    # those sum doubles in partition order (non-deterministic last
+    # ulp).  Exactness scheme, forced by two engine quirks found while
+    # building this: (a) double→decimal of LARGE values diverges
+    # (Spark shortest-repr BigDecimal vs DuckDB exact-binary, beyond
+    # ~17 significant digits), so x is an integer decimal (seconds
+    # since a fixed 2020-09 base) and y converts at small magnitude;
+    # (b) DuckDB's decimal→double cast DOUBLE-ROUNDS for scale>0 when
+    # the scaled integer exceeds 2^53 (int128→double, then /10^scale)
+    # where Java's BigDecimal.doubleValue rounds once — a last-ulp
+    # difference that catastrophic cancellation in n·Σxy − Σx·Σy
+    # amplifies into the 12th digit.  So the cancellation happens IN
+    # DECIMAL (exact), the numerator is rescaled to an INTEGER decimal
+    # (int→double is correctly rounded in both engines), and only
+    # then does the division go to double.  Explicit CASTs keep every
+    # intermediate inside both engines' 38-digit width.
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 1000000 - 1600000000 AS DECIMAL(10,0)) AS x,
+             CAST(value AS DECIMAL(14,6)) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS DECIMAL(19,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(19,6)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(24,6)) AS sxy,
+             CAST(SUM(x * x) AS DECIMAL(28,0)) AS sxx
+      FROM pts GROUP BY event_type
+    ),
+    d AS (
+      SELECT event_type, n, sx, sy,
+             CAST(CAST(CAST(n AS DECIMAL(8,0)) * sxy - sx * sy AS DECIMAL(31,6))
+                  * 1000000 AS DECIMAL(38,0)) AS numer_i,
+             CAST(CAST(n AS DECIMAL(8,0)) * sxx - sx * sx AS DECIMAL(38,0)) AS denom_i
+      FROM m
+    )
+    SELECT event_type, n,
+           CAST(numer_i AS DOUBLE) / CAST(denom_i AS DOUBLE) / 1000000.0 AS slope,
+           (CAST(sy AS DOUBLE)
+            - CAST(numer_i AS DOUBLE) / CAST(denom_i AS DOUBLE) / 1000000.0
+              * CAST(sx AS DOUBLE)) / n AS intercept
+    FROM d
+    """,
+    doc=(
+        "Per-group least-squares trend (value vs event time): the "
+        "regression-aggregate surface (regr_slope/regr_intercept "
+        "shapes) rebuilt on decimal-exact moment sums because the "
+        "built-ins accumulate doubles in partition order. One "
+        "partial-aggregated shuffle; 5 output rows."
+    ),
+)
+def q142_groupwise_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr("cast(unix_micros(ts) div 1000000 - 1600000000 as decimal(10,0))").alias("x"),
+        F.col("value").cast("decimal(14,6)").alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x")).cast("decimal(19,0)").alias("sx"),
+        F.sum(F.col("y")).cast("decimal(19,6)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(24,6)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(28,0)").alias("sxx"),
+    )
+    n8 = F.col("n").cast("decimal(8,0)")
+    numer_i = (
+        (n8 * F.col("sxy") - F.col("sx") * F.col("sy")).cast("decimal(31,6)")
+        * F.lit(1000000)
+    ).cast("decimal(38,0)")
+    denom_i = (n8 * F.col("sxx") - F.col("sx") * F.col("sx")).cast("decimal(38,0)")
+    slope = numer_i.cast("double") / denom_i.cast("double") / F.lit(1000000.0)
+    return m.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n")
+         ).alias("intercept"),
+    )

@@ -4,6 +4,7 @@ consistency) and determinism, at sf0.001 for speed."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from flink_s3_read_write_spark.queries import registry
@@ -264,3 +265,52 @@ def test_recursive_cte_spine_matches_sequence_plan(spark, sf_dir):
     }
     assert recursive == registered
     assert len(registered) == 84
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """q141's decimal-routed covariance equals np.cov (within decimal
+    rounding) on the sf0.001 embeddings."""
+    import numpy as np
+
+    from flink_s3_read_write_spark.queries import registry
+
+    out = registry()["q141_embedding_covariance"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    x = np.array(
+        [r["embedding"] for r in load_table(spark, "/root/testdata/sf0.001", "embeddings").collect()],
+        dtype=np.float64,
+    )
+    cov = np.cov(x, rowvar=False, ddof=1)
+    assert len(out) == 64 * 65 // 2
+    for r in out:
+        assert r["cov"] == pytest.approx(cov[r["i"], r["j"]], abs=2e-5), (r["i"], r["j"])
+
+
+def test_groupwise_regression_matches_numpy(spark):
+    """q142's decimal-moment slope/intercept equal np.polyfit per group."""
+    import numpy as np
+
+    from flink_s3_read_write_spark.queries import registry
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["event_type"]: r for r in registry()["q142_groupwise_regression"].fn(spark, sf).collect()}
+    ev = load_table(spark, sf, "events").selectExpr(
+        "event_type",
+        "cast(unix_micros(ts) div 1000000 - 1600000000 as double) as x",
+        "value as y",
+    ).collect()
+    groups: dict = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], []).append((r["x"], r["y"]))
+    for et, pts in groups.items():
+        xs = np.array([p[0] for p in pts]); ys = np.array([p[1] for p in pts])
+        slope, intercept = np.polyfit(xs - xs.mean(), ys, 1)  # centered for conditioning
+        # un-center: y = a(x - mx) + b  =>  y = a x + (b - a mx)
+        intercept -= slope * xs.mean()
+        assert out[et]["n"] == len(pts)
+        assert out[et]["slope"] == pytest.approx(slope, rel=1e-4, abs=1e-9)
+        assert out[et]["intercept"] == pytest.approx(intercept, rel=1e-4, abs=1e-3)
