@@ -52,10 +52,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #       (md5 hash engine — DuckDB replays signatures and banding
 #       bit-for-bit), q36/q97 (md5-seeded hyperplanes — DuckDB
 #       replays ANN buckets/candidates and the SemDeDup keep rule),
-#       and q55 (exact counts + sketch-within-bound booleans); plus
-#       the brand-new q135 (salted join under the oracle gate) and
-#       q67, the one remaining stale r01 rows-only ANN query (IVF:
-#       k-means training is not SQL-replayable — justified);
+#       q55 (exact counts + sketch-within-bound booleans), and q67
+#       (IVF k-means is not SQL-replayable, so it emits the q55-style
+#       self-check contract: k-results + mean-recall floor vs the
+#       in-plan exact brute force + decimal-exact cosine mass); plus
+#       the brand-new q135-q142 — every registered query now carries
+#       a full hash-checked oracle, zero rows-only entries left;
 #   1 — queries whose ORACLE changed this round (the MAX_TOKENS cap
 #       mirrored into the shingle CTEs) and the events queries
 #       downstream of the NTZ-normalization rewrite in sources/io.py
