@@ -1,0 +1,138 @@
+"""Streaming throughput micro-bench: the reference's three jobs as
+Structured Streaming, measured end-to-end in rows/sec.
+
+Usage: python tools/stream_bench.py [--lines N] [--files K] [--cpus C]
+
+The reference (Flink 1.19) pins ``env.setParallelism(1)`` on all three
+jobs — a single task slot, so its throughput ceiling is one core of
+map work regardless of hardware.  These twins run the SAME logical
+chains (uppercase; tokenize→filter→rejoin; tokenize→filter→cast→keyed
+avg) as unbounded file-source streams with ``Trigger.AvailableNow``,
+a checkpointed exactly-once sink, and the default multi-core local
+runner — so the printed rows/sec is the architectural delta (parallel
+source splits + whole-stage codegen), not a tuning trick.
+
+Each job's wall clock covers source listing → every micro-batch →
+final sink commit (awaitTermination of an AvailableNow run).  Input is
+generated fresh per run (text lines for job 1, salary-CSV lines for
+jobs 2-3) so numbers are self-contained and reproducible.
+
+Prints ONE JSON line:
+  {"metric": "stream_rows_per_sec", "jobs": {name: {rows, sec,
+   rows_per_sec}}, "lines": N, "files": K, "cpus": C}
+and mirrors it to STREAM_BENCH.json next to the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_s3_read_write_spark.session import build_session
+from flink_s3_read_write_spark.streaming.jobs import (
+    avg_by_key_update_stream,
+    filter_exclude_stream,
+    uppercase_stream,
+)
+
+CITIES = ["Jacksonville"] + [f"City{i:03d}" for i in range(1, 200)]
+
+
+def _write_inputs(root: str, lines: int, files: int) -> tuple[str, str]:
+    """Generate text + salary-CSV input dirs, ``files`` parts each."""
+    text_dir = os.path.join(root, "text_in")
+    csv_dir = os.path.join(root, "csv_in")
+    os.makedirs(text_dir)
+    os.makedirs(csv_dir)
+    per = lines // files
+    n = 0
+    for f in range(files):
+        with open(os.path.join(text_dir, f"part-{f:04d}.txt"), "w") as fh:
+            for _ in range(per):
+                fh.write(f"streaming line number {n} with some payload\n")
+                n += 1
+    n = 0
+    for f in range(files):
+        with open(os.path.join(csv_dir, f"part-{f:04d}.csv"), "w") as fh:
+            if f == 0:
+                fh.write("ID,Name,Age,City,Salary\n")
+            for _ in range(per):
+                city = CITIES[n % len(CITIES)]
+                fh.write(f"{n},Emp{n},{25 + n % 30},{city},{50000 + n % 40000}.0\n")
+                n += 1
+    return text_dir, csv_dir
+
+
+def _run(df, ckpt: str, mode: str = "append") -> float:
+    t0 = time.time()
+    q = (
+        df.writeStream.format("noop")
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return time.time() - t0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lines", type=int, default=2_000_000)
+    ap.add_argument("--files", type=int, default=16)
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None)
+    args = ap.parse_args()
+
+    spark = build_session("stream-bench", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        text_dir, csv_dir = _write_inputs(root, args.lines, args.files)
+        jobs = {
+            "job1_uppercase": (uppercase_stream(spark, text_dir), "append", args.lines),
+            "job2_filter": (filter_exclude_stream(spark, csv_dir), "append", args.lines + 1),
+            "job3_keyed_avg": (
+                avg_by_key_update_stream(spark, csv_dir),
+                "update",
+                args.lines + 1,
+            ),
+        }
+        out = {}
+        for name, (df, mode, rows) in jobs.items():
+            sec = _run(df, os.path.join(root, f"ckpt_{name}"), mode)
+            out[name] = {
+                "rows": rows,
+                "sec": round(sec, 3),
+                "rows_per_sec": round(rows / sec),
+            }
+        cpus = spark.sparkContext.defaultParallelism
+        line = {
+            "metric": "stream_rows_per_sec",
+            "jobs": out,
+            "lines": args.lines,
+            "files": args.files,
+            "cpus": cpus,
+        }
+        sidecar = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "STREAM_BENCH.json",
+        )
+        with open(sidecar, "w") as f:
+            json.dump(line, f, indent=1)
+            f.write("\n")
+        print(json.dumps(line))
+        return 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
