@@ -127,3 +127,16 @@ def test_cdc_duplicate_chunks_finds_planted_dup(spark):
     for r in dups:
         assert r["n_copies"] >= 2
         assert r["first_doc"] == 1
+
+
+def test_cdc_chunks_match_python_twin(spark):
+    """Spark cdc_chunks == the pure-python twin used by the hypothesis
+    properties (tests/test_properties.py) on an already-normalized doc."""
+    from flink_s3_read_write_spark.operators.chunking import cdc_chunks
+    from tests.test_properties import py_cdc_chunks
+
+    words = [f"w{(i * 7919) % 301}" for i in range(500)]
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = sorted(cdc_chunks(docs, modulus=16).collect(), key=lambda r: r["chunk_id"])
+    got = [r["ctext"].split(" ") for r in rows]
+    assert got == py_cdc_chunks(words, modulus=16)

@@ -83,3 +83,62 @@ def test_cross_check_python_twin_vs_catalyst(spark):
     jac = pdf.select("a", "b", D.jaccard_tokens(F.col("a"), F.col("b")).alias("j")).collect()
     for r in jac:
         assert abs(r["j"] - py_jaccard(r["a"], r["b"])) < 1e-12
+
+
+# --- CDC chunking python twin (operators/chunking.cdc_chunks) -----------
+
+def py_cdc_chunks(tokens: list[str], modulus: int = 16) -> list[list[str]]:
+    """Pure-python twin of the md5 token-hash boundary rule."""
+    import hashlib
+
+    chunks: list[list[str]] = []
+    cur: list[str] = []
+    for t in tokens:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        boundary = h % modulus == 0
+        # Spark counts the running sum of boundary flags INCLUSIVE of
+        # the current row, so a boundary token STARTS a new chunk.
+        if boundary and cur:
+            chunks.append(cur)
+            cur = []
+        cur.append(t)
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+word = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(word, max_size=80))
+def test_cdc_partition_properties(tokens):
+    """Chunks partition the token stream (order-preserving, lossless),
+    and a chunk boundary exists exactly before every boundary token
+    that is not stream-initial."""
+    import hashlib
+
+    chunks = py_cdc_chunks(tokens)
+    flat = [t for c in chunks for t in c]
+    assert flat == tokens
+    assert all(c for c in chunks)
+    for ci, c in enumerate(chunks[1:], start=1):
+        h = int(hashlib.md5(c[0].encode()).hexdigest()[:15], 16)
+        assert h % 16 == 0, "every non-initial chunk starts at a boundary token"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(word, min_size=1, max_size=60), st.lists(word, max_size=8))
+def test_cdc_suffix_stability(tokens, prefix):
+    """The CDC property: prepending tokens only perturbs chunks up to
+    the first boundary AFTER the insertion point — every chunk of the
+    original that starts at a boundary token reappears verbatim."""
+    a = py_cdc_chunks(tokens)
+    b = py_cdc_chunks(prefix + tokens)
+    b_set = {tuple(c) for c in b}
+    import hashlib
+
+    for c in a:
+        h = int(hashlib.md5(c[0].encode()).hexdigest()[:15], 16)
+        if h % 16 == 0:  # boundary-started chunks re-sync by construction
+            assert tuple(c) in b_set

@@ -489,3 +489,36 @@ def test_apply_in_pandas_with_state_matches_batch_aggregate(spark, sf_dir, tmp_p
             assert got["total"] == pytest.approx(w["total"], rel=1e-9), k
     finally:
         q.stop()
+
+
+def test_file_sink_exactly_once_across_restart(spark, tmp_path):
+    """The checkpointed file sink's restart contract (jobs.py module
+    docstring): a second run from the SAME checkpoint processes only
+    files that arrived after the first run — batch-1 records appear in
+    the committed output exactly once, never reprocessed.  (The
+    reference never enables checkpointing; on restart its jobs re-read
+    and duplicate.  SURVEY.md §2.2.)"""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_lines(spark, src, [f"alpha{i}" for i in range(5)], "r1")
+
+    def run_once():
+        q = (
+            jobs.uppercase_stream(spark, src)
+            .writeStream.format("text")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    write_lines(spark, src, [f"beta{i}" for i in range(5)], "r2")
+    run_once()
+    # The batch reader honors the sink's _spark_metadata commit log, so
+    # this read sees exactly the committed exactly-once output.
+    got = sorted(r["value"] for r in spark.read.text(out).collect())
+    want = sorted([f"ALPHA{i}" for i in range(5)] + [f"BETA{i}" for i in range(5)])
+    assert got == want
