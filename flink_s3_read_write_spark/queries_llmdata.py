@@ -2695,65 +2695,76 @@ def q140_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q141_embedding_covariance",
     # The PCA/whitening precursor: upper-triangle covariance of the
-    # 64-dim embedding matrix.  Raw second moments and means are
-    # DECIMAL(30,6)-exact (order-independent — bit-identical on any
-    # partitioning/engine), combined into covariance with one double
-    # expression per output row.  The float32 components are cast to
-    # double BEFORE the product on both sides.
+    # 64-dim embedding matrix, over components QUANTIZED to 6 decimal
+    # places (round half away from zero — identical in Spark, DuckDB
+    # and NumPy).  Quantization buys exact-integer moment sums: every
+    # Σx6, Σx6·y6 is a plain int64 (codegen-primitive — the earlier
+    # DECIMAL(30,6) accumulators were BigDecimal-bound, 16 s vs ~2 s
+    # at sf0.1), order-independent, and small enough (|x|<0.6 → sums
+    # ≤ ~7e14 per 1e9 rows headroom) that even the final int→double
+    # casts are EXACT, so the one double expression per cell is
+    # bit-identical everywhere.
     oracle="""
     WITH comp AS (
-      SELECT u.i, CAST(embedding[u.i + 1] AS DOUBLE) AS x,
-             v.j, CAST(embedding[v.j + 1] AS DOUBLE) AS y
-      FROM embeddings, range(0, 64) u(i), range(0, 64) v(j)
-      WHERE u.i <= v.j
+      SELECT vec_id, i,
+             CAST(CASE WHEN x >= 0 THEN floor(x * 1000000 + 0.5)
+                       ELSE -floor(-x * 1000000 + 0.5) END AS BIGINT) AS x6
+      FROM (SELECT vec_id, u.i AS i, CAST(embedding[u.i + 1] AS DOUBLE) AS x
+            FROM embeddings, range(0, 64) u(i)) t
     ),
     moments AS (
-      SELECT i, j,
+      SELECT a.i AS i, b.i AS j,
              COUNT(*) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy
-      FROM comp GROUP BY i, j
+             CAST(SUM(a.x6) AS BIGINT) AS sx,
+             CAST(SUM(b.x6) AS BIGINT) AS sy,
+             CAST(SUM(a.x6 * b.x6) AS BIGINT) AS sxy
+      FROM comp a JOIN comp b ON b.vec_id = a.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
     )
-    SELECT i, j, (sxy - sx * sy / n) / (n - 1) AS cov
+    SELECT i, j,
+           (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+           / (1000000000000.0 * (n - 1)) AS cov
     FROM moments
     """,
     doc=(
         "Embedding covariance matrix (upper triangle, 2080 entries) - "
         "the PCA/whitening/ZCA precursor every embedding pipeline "
-        "needs. Decimal-exact moment sums (order-independent, "
-        "mergeable map-side) finished in double per output cell; at "
-        "100 TB the same plan holds: the shuffle carries dim^2/2 "
-        "partial-aggregated cells per partition, never rows."
+        "needs, over 6-dp-quantized components so the moment sums are "
+        "exact int64s (order-independent, mergeable map-side, "
+        "codegen-primitive). Plan: posexplode to (vec, dim, x6), "
+        "co-partitioned self-join per vector (n x 64 small rows "
+        "through the shuffle, never the 2080-wide pair explosion), "
+        "partial-aggregated cells into the final tiny exchange."
     ),
 )
 def q141_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # 2080-row upper-triangle index table, broadcast (the q137 codebook
-    # pattern): the corpus is scanned once and never shuffled for the
-    # pairing; partial aggregation collapses each partition to <= 2080
-    # cells before the only exchange.
-    idx = spark.createDataFrame(
-        [(i, j) for i in range(64) for j in range(64) if i <= j], "i int, j int"
+    x = F.col("x")
+    x6 = (
+        F.when(x >= 0, F.floor(x * 1000000 + 0.5))
+        .otherwise(-F.floor(-x * 1000000 + 0.5))
+        .cast("long")
     )
-    vec = F.col("embedding")
-    exploded = emb.crossJoin(F.broadcast(idx)).select(
-        "i",
-        "j",
-        F.element_at(vec, F.col("i") + 1).cast("double").alias("x"),
-        F.element_at(vec, F.col("j") + 1).cast("double").alias("y"),
-    )
-    moments = exploded.groupBy("i", "j").agg(
+    comp = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
+    ).select("vec_id", "i", x6.alias("x6"))
+    a = comp.select(F.col("vec_id"), F.col("i").alias("i"), F.col("x6").alias("xa"))
+    b = comp.select(F.col("vec_id"), F.col("i").alias("j"), F.col("x6").alias("xb"))
+    pairs = a.join(b, "vec_id").filter(F.col("i") <= F.col("j"))
+    moments = pairs.groupBy("i", "j").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("x").cast("decimal(30,6)")).cast("double").alias("sx"),
-        F.sum(F.col("y").cast("decimal(30,6)")).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(30,6)")).cast("double").alias("sxy"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
     )
     return moments.select(
         "i",
         "j",
-        ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
-         / (F.col("n") - 1)).alias("cov"),
+        (
+            (F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n"))
+            / (F.lit(1000000000000.0) * (F.col("n") - 1))
+        ).alias("cov"),
     )
 
 

@@ -522,3 +522,24 @@ def test_file_sink_exactly_once_across_restart(spark, tmp_path):
     got = sorted(r["value"] for r in spark.read.text(out).collect())
     want = sorted([f"ALPHA{i}" for i in range(5)] + [f"BETA{i}" for i in range(5)])
     assert got == want
+
+
+def test_stream_bench_smoke(spark, tmp_path, monkeypatch):
+    """tools/stream_bench.py end-to-end on a tiny input: all three jobs
+    report positive rows/sec and the sidecar JSON is written."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(**__import__("os").environ, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "tools/stream_bench.py", "--lines", "20000",
+         "--files", "2", "--out", str(tmp_path / "sb.json")],
+        capture_output=True, text=True, env=env, timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = json.loads(out.stdout.strip().splitlines()[-1])
+    assert set(line["jobs"]) == {"job1_uppercase", "job2_filter", "job3_keyed_avg"}
+    for job in line["jobs"].values():
+        assert job["rows_per_sec"] > 0

@@ -89,6 +89,8 @@ def main() -> int:
     ap.add_argument("--files", type=int, default=16)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None)
+    ap.add_argument("--out", default=None,
+                    help="sidecar JSON path (default: STREAM_BENCH.json at repo root)")
     args = ap.parse_args()
 
     spark = build_session("stream-bench", cpus=args.cpus)
@@ -121,7 +123,7 @@ def main() -> int:
             "files": args.files,
             "cpus": cpus,
         }
-        sidecar = os.path.join(
+        sidecar = args.out or os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "STREAM_BENCH.json",
         )
