@@ -76,6 +76,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q137_pq_ann_topk", "q138_hard_negatives",
     "q139_corpus_token_stats", "q140_cdc_chunk_dedup",
     "q141_embedding_covariance", "q142_groupwise_regression",
+    "q143_gaps_islands_sessions",
     "q67_ann_ivf_topk",
     # tier 1a: oracle text changed this round (token-cap mirror)
     "q32_ngram_jaccard_pairs", "q54_dedup_keep_list",

@@ -2852,3 +2852,68 @@ def q142_groupwise_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n")
          ).alias("intercept"),
     )
+
+
+@register(
+    "q143_gaps_islands_sessions",
+    # The gaps-and-islands formulation of sessionization: a session
+    # break is a > 30-minute gap since the user's previous event, and
+    # the session id is the running count of breaks — the classic SQL
+    # pattern that q52's built-in session_window compiles away.  Both
+    # engines window on (user_id ORDER BY ts, event_id) — a total
+    # order, so lag() and the running sum are deterministic.  Epoch
+    # micros compare exactly; session bounds emitted as epoch micros
+    # (NTZ-safe, the q125 rule).
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
+    ),
+    flagged AS (
+      SELECT user_id, tsu, event_id,
+             CASE WHEN tsu - lag(tsu) OVER w > 1800000000 OR
+                       lag(tsu) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, tsu, event_id,
+             -- CAST: DuckDB's window SUM(int) is HUGEINT (pandas-lossy)
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(tsu) AS session_start_us,
+           MAX(tsu) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    doc=(
+        "Sessionization via gaps-and-islands (30-min inactivity): "
+        "lag() flags session breaks, a running sum numbers sessions, "
+        "one aggregate emits per-session bounds/counts - the classic "
+        "SQL pattern whose built-in twin is q52's session_window. One "
+        "keyed window per user (parallel across users), one aggregate; "
+        "at 100 TB identical shape, partitioned by user."
+    ),
+)
+def q143_gaps_islands_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("tsu"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    prev = F.lag("tsu").over(w)
+    brk = F.when(prev.isNull() | (F.col("tsu") - prev > 1800000000), 1).otherwise(0)
+    flagged = ev.withColumn("brk", brk)
+    wsum = Window.partitionBy("user_id").orderBy("tsu", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    numbered = flagged.withColumn("session_id", F.sum("brk").over(wsum))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("tsu").alias("session_start_us"),
+        F.max("tsu").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
