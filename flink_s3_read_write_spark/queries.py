@@ -56,7 +56,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #       (IVF k-means is not SQL-replayable, so it emits the q55-style
 #       self-check contract: k-results + mean-recall floor vs the
 #       in-plan exact brute force + decimal-exact cosine mass); plus
-#       the brand-new q135-q142 — every registered query now carries
+#       the brand-new q135-q143 — every registered query now carries
 #       a full hash-checked oracle, zero rows-only entries left;
 #   1 — queries whose ORACLE changed this round (the MAX_TOKENS cap
 #       mirrored into the shingle CTEs) and the events queries

@@ -229,3 +229,28 @@ def test_hard_negative_broadcasts_queries(t):
     assert P.has(plan, "BroadcastNestedLoopJoin"), plan
     assert P.has(plan, "WindowGroupLimit"), plan
     assert P.shuffle_exchanges(plan) <= 2
+
+
+def test_q141_covariance_is_long_partial_agg(t, spark, sf_dir):
+    """q141 rewrite contract: moment sums are map-side-combined LONGs
+    (codegen primitives), the per-vector self-join is co-partitioned,
+    and no decimal accumulator appears in the aggregate."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q141_embedding_covariance"].fn(spark, sf_dir))
+    assert P.has(plan, "partial_sum"), plan
+    assert "decimal(30,6)" not in plan, "moment sums must be long, not decimal"
+    # the pair explosion never ships the embedding array: both join
+    # inputs project (vec_id, i, x6) before the exchange
+    assert P.has(plan, "posexplode"), plan
+
+
+def test_q143_sessions_single_user_partitioning(spark, sf_dir):
+    """q143: lag, the running session-number sum, and the final
+    aggregate all share the user_id hash partitioning — one exchange
+    total (plus AQE reads), no per-step reshuffle."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q143_gaps_islands_sessions"].fn(spark, sf_dir))
+    assert P.shuffle_exchanges(plan) <= 2, plan
+    assert P.has(plan, "partial_min"), "session bounds must map-side combine"
