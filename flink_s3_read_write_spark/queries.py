@@ -56,7 +56,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #       (IVF k-means is not SQL-replayable, so it emits the q55-style
 #       self-check contract: k-results + mean-recall floor vs the
 #       in-plan exact brute force + decimal-exact cosine mass); plus
-#       the brand-new q135-q143 — every registered query now carries
+#       the brand-new q135-q144 — every registered query now carries
 #       a full hash-checked oracle, zero rows-only entries left;
 #   1 — queries whose ORACLE changed this round (the MAX_TOKENS cap
 #       mirrored into the shingle CTEs) and the events queries
@@ -76,7 +76,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q137_pq_ann_topk", "q138_hard_negatives",
     "q139_corpus_token_stats", "q140_cdc_chunk_dedup",
     "q141_embedding_covariance", "q142_groupwise_regression",
-    "q143_gaps_islands_sessions",
+    "q143_gaps_islands_sessions", "q144_incremental_dedup",
     "q67_ann_ivf_topk",
     # tier 1a: oracle text changed this round (token-cap mirror)
     "q32_ngram_jaccard_pairs", "q54_dedup_keep_list",

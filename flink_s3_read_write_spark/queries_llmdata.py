@@ -2917,3 +2917,72 @@ def q143_gaps_islands_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tsu").alias("session_end_us"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "q144_incremental_dedup",
+    # The production incremental-crawl pattern: a NEW batch is deduped
+    # against the already-kept corpus WITHOUT re-deduping the corpus —
+    # digest anti-join against the existing keys plus a within-batch
+    # keeper pick.  Here the batch split is deterministic (doc_id % 5):
+    # ids divisible by 5 play the incoming snapshot, the rest the
+    # kept corpus.  Every incoming doc gets a status:
+    # 'dup_of_existing' (digest already in the corpus),
+    # 'dup_in_batch' (first-seen wins inside the batch), or 'new'.
+    # Digest = md5 of the normal form, with q31's multilingual-safety
+    # fallback (empty normal form → per-doc key, never collapsed).
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             COALESCE(nullif({_NORM_SQL.format(c='text')}, ''),
+                      '#' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ),
+    existing AS (SELECT DISTINCT md5(k) AS d FROM keyed WHERE doc_id % 5 <> 0),
+    incoming AS (SELECT doc_id, md5(k) AS d FROM keyed WHERE doc_id % 5 = 0),
+    ranked AS (
+      SELECT i.doc_id, i.d,
+             EXISTS (SELECT 1 FROM existing e WHERE e.d = i.d) AS in_corpus,
+             row_number() OVER (PARTITION BY i.d ORDER BY i.doc_id) AS rn
+      FROM incoming i
+    )
+    SELECT doc_id,
+           CASE WHEN in_corpus THEN 'dup_of_existing'
+                WHEN rn > 1 THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM ranked
+    """,
+    doc=(
+        "Incremental dedup: a new batch (doc_id % 5 = 0) deduped "
+        "against the kept corpus via a digest LEFT SEMI probe plus a "
+        "within-batch min-id keeper - the pattern that avoids "
+        "re-deduping the whole corpus per crawl snapshot. Only "
+        "digests move: the corpus side collapses to distinct md5 keys "
+        "before the join, and at 100 TB that digest set is the "
+        "persisted dedup index a new snapshot probes (bucketed by "
+        "digest, the probe is co-located and the corpus is never "
+        "re-read)."
+    ),
+)
+def q144_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = D.normalize_text(F.col("text"))
+    key = F.coalesce(
+        F.nullif(norm, F.lit("")), F.concat(F.lit("#"), F.col("doc_id").cast("string"))
+    )
+    keyed = docs.select("doc_id", F.md5(key).alias("d"))
+    existing = keyed.filter(F.col("doc_id") % 5 != 0).select("d").distinct()
+    incoming = keyed.filter(F.col("doc_id") % 5 == 0)
+    flagged = incoming.join(
+        existing.withColumn("_hit", F.lit(1)), "d", "left"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("d").orderBy("doc_id")
+    return flagged.select(
+        "doc_id",
+        F.when(F.col("_hit").isNotNull(), "dup_of_existing")
+        .when(F.row_number().over(w) > 1, "dup_in_batch")
+        .otherwise("new")
+        .alias("status"),
+    )
