@@ -142,3 +142,26 @@ def test_hash_split_full_fraction_edges(spark, sf_dir):
     assert all_test == {"test"}
     all_train = {r["split"] for r in hash_split(docs, "doc_id", 0.0).collect()}
     assert all_train == {"train"}
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema evolution: a later batch adds a column; reading the whole
+    directory with mergeSchema unions the schemas and older rows read
+    NULL for the new field — the operational contract for append-only
+    datasets whose producers evolve (at 100 TB a table format carries
+    the merged schema in metadata; parquet footers + mergeSchema is the
+    raw-directory equivalent)."""
+    out = str(tmp_path / "evo")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.mode("append").parquet(out)
+    spark.createDataFrame(
+        [(3, "c", 0.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert dict(merged.dtypes) == {"id": "bigint", "name": "string", "score": "double"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[3]["score"] == 0.5
+    # without mergeSchema the footer actually sampled wins — the test
+    # documents WHY the option matters rather than asserting either
+    # one-footer outcome (file listing order is not a contract)
