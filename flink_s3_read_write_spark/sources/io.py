@@ -308,3 +308,17 @@ def start_text_stream_sink(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     return writer.start()
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row") -> DataFrame:
+    """XML source (Spark 4 native reader): one row per ``row_tag``
+    element, schema inferred from elements/attributes.  Rounds out the
+    text-format source surface (CSV/JSON/text/XML) for feeds that
+    still ship XML (sitemaps, legacy enterprise exports, arXiv dumps).
+    """
+    return spark.read.format("xml").option("rowTag", row_tag).load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """XML sink (Spark 4 native writer), one ``row_tag`` element per row."""
+    df.write.format("xml").option("rowTag", row_tag).mode("overwrite").save(path)

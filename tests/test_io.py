@@ -165,3 +165,18 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     # without mergeSchema the footer actually sampled wins — the test
     # documents WHY the option matters rather than asserting either
     # one-footer outcome (file listing order is not a contract)
+
+
+def test_xml_roundtrip(sample, tmp_path):
+    """Spark 4 native XML: write → read preserves values (schema comes
+    back via inference, so numeric widths may upcast — values are the
+    contract, like the CSV roundtrip)."""
+    out = str(tmp_path / "xml")
+    cols = sample.select("c_custkey", "c_name", "c_acctbal")
+    io.write_xml(cols, out)
+    back = io.read_xml(sample.sparkSession, out).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in cols.collect()
+    )
