@@ -322,3 +322,21 @@ def read_xml(spark: SparkSession, path: str, row_tag: str = "row") -> DataFrame:
 def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
     """XML sink (Spark 4 native writer), one ``row_tag`` element per row."""
     df.write.format("xml").option("rowTag", row_tag).mode("overwrite").save(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file source (``binaryFile`` format): one row per file
+    with (path, modificationTime, length, content: binary) — the
+    ingestion path a multimodal pipeline uses to land raw image/audio
+    bytes next to typed metadata before the mapInPandas decode/feature
+    operators (operators/multimodal.py) take over.  ``glob`` filters
+    by pathname (e.g. ``*.png``).  At 100 TB the listing parallelizes
+    across executors and ``spark.sql.files.maxPartitionBytes`` bounds
+    per-task bytes exactly as for parquet scans.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

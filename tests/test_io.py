@@ -180,3 +180,24 @@ def test_xml_roundtrip(sample, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in cols.collect()
     )
+
+
+def test_binary_file_source_reads_bytes_and_globs(spark, tmp_path):
+    """binaryFile source: content bytes round-trip exactly and the
+    glob filter prunes non-matching files — the multimodal ingestion
+    path (raw media bytes → mapInPandas decoders)."""
+    import os
+
+    d = str(tmp_path / "media")
+    os.makedirs(d)
+    png = bytes.fromhex("89504e470d0a1a0a") + b"payload-a"
+    txt = b"not-an-image"
+    open(os.path.join(d, "a.png"), "wb").write(png)
+    open(os.path.join(d, "b.txt"), "wb").write(txt)
+    rows = io.read_binary_files(spark, d, glob="*.png").collect()
+    assert len(rows) == 1
+    assert rows[0]["path"].endswith("a.png")
+    assert bytes(rows[0]["content"]) == png
+    assert rows[0]["length"] == len(png)
+    both = io.read_binary_files(spark, d).collect()
+    assert len(both) == 2
