@@ -66,7 +66,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #   3 — remaining non-SQL-expressible ops (rows-only) last, so they
 #       never displace a hash-compared query from the window.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # tier 0: new/upgraded oracles + the stale rows-only IVF query
+    # tier 0: brand-new this round, never driver-checked
+    "q145_bpe_merge_rounds",
+    # tier 0b: new/upgraded oracles + the stale rows-only IVF query
     "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
     "q36_ann_lsh_topk", "q97_semdedup",
     "q55_approx_sketches", "q135_salted_skew_join",

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_s3_read_write_spark.operators import bpe as B
 from flink_s3_read_write_spark.operators import dedup as D
 from flink_s3_read_write_spark.operators import multimodal as M
 from flink_s3_read_write_spark.operators import similarity as S
@@ -2986,3 +2987,30 @@ def q144_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("new")
         .alias("status"),
     )
+
+
+@register(
+    "q145_bpe_merge_rounds",
+    # Oracle built programmatically: 3 unrolled merge rounds, each a
+    # pairs→argmax→relational-merge CTE chain (operators/bpe.py has
+    # the fold↔runs/parity equivalence argument).
+    oracle=B.bpe_oracle_sql(_NORM_SQL.format(c="text"), rounds=3),
+    doc=(
+        "BPE tokenizer training, first 3 merge rounds, as one lazy "
+        "relational program (operators/bpe.py): corpus tokenized once "
+        "into a cached (word, freq) vocabulary — the only corpus-"
+        "sized shuffle — then per round a vocabulary-sized adjacent-"
+        "pair count (map-side partial agg), a TakeOrderedAndProject "
+        "argmax whose 1-row winner is broadcast back via crossJoin "
+        "(no driver collect between rounds), and a greedy leftmost "
+        "non-overlapping merge as an F.aggregate fold (Catalyst "
+        "higher-order function, no UDF). Winner order (cnt DESC, l, "
+        "r) is total, counts integer-exact, so DuckDB replays all "
+        "three rounds bit-for-bit. At 100 TB the vocabulary (tens of "
+        "millions of words) stays distributed; rounds never touch "
+        "the corpus again — the standard word-freq BPE factorization."
+    ),
+)
+def q145_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return B.bpe_train_rounds(docs, rounds=3)
