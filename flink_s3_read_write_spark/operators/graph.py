@@ -1,0 +1,100 @@
+"""Iterative graph analytics as unrolled relational rounds.
+
+PageRank (public algorithm, Brin & Page 1998) is the canonical
+Pregel-style workload: per iteration every node divides its rank
+among its neighbours (one join edges⋈ranks) and sums what flows in
+(one aggregate).  Spark expresses each iteration as a join + groupBy;
+the driver never sees per-node state.
+
+Cross-engine exactness: ranks are carried as *integers* at a fixed
+scale S (rank_real = rank_int / S) and every division is an explicit
+integer floor division (`div` in Spark, `//` in DuckDB — identical
+on non-negative operands).  The recurrence
+
+    contrib(u) = r(u) div deg(u)
+    r'(v)      = (15·(S div N)) div 100  +  (85·Σ inflow(v)) div 100
+
+is then a pure integer program: no float summation order, no libm —
+a SQL oracle replays it bit-for-bit, which is how an inherently
+iterative algorithm gets a full hash-checked correctness gate.
+The floored mass leak (≤ deg(u) ulps per node per round) is the
+price of determinism and is identical on both engines.
+
+Scale: each iteration shuffles the edge table once (join on u) and
+the node table once (groupBy v).  At 100 TB the edge table is
+partitioned by u and the per-iteration result is checkpointed
+(lineage truncation, same pattern as dedup.py's connected
+components); here iterations are unrolled in one lazy plan with a
+vocabulary-sized cache per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000_000_000  # 10^15: 85·S < 2^63, ample rank resolution
+
+
+def degree_table(edges: DataFrame) -> DataFrame:
+    """(u, deg) out-degrees. ``edges`` must already contain both
+    directions if the graph is undirected."""
+    return edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+
+
+def pagerank_quantized(
+    edges: DataFrame, iters: int = 3, scale: int = PR_SCALE
+) -> DataFrame:
+    """Integer-quantized PageRank over directed ``edges (u, v)``.
+
+    Returns (u, deg, r) after ``iters`` rounds; r is the scaled
+    integer rank.  Nodes = every u with at least one out-edge (in a
+    both-directions undirected encoding that is every node).
+    """
+    deg = degree_table(edges).cache()
+    n_nodes = F.broadcast(deg.agg(F.count(F.lit(1)).alias("_n")))
+    # base = (15·(S div N)) div 100, a per-graph constant carried as a
+    # column so no driver-side collect is needed.
+    r = deg.crossJoin(n_nodes).select(
+        "u",
+        "deg",
+        F.expr(f"{scale} div _n").alias("r"),
+        F.expr(f"(15 * ({scale} div _n)) div 100").alias("base"),
+    ).cache()
+    for _ in range(iters):
+        contrib = r.select("u", F.expr("r div deg").alias("c"))
+        inflow = (
+            edges.join(contrib, "u")
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.sum("c").alias("infl"))
+        )
+        r = (
+            r.select("u", "deg", "base")
+            .join(inflow, "u", "left")
+            .select(
+                "u",
+                "deg",
+                (
+                    F.col("base")
+                    + F.expr("(85 * coalesce(infl, 0L)) div 100")
+                ).alias("r"),
+                "base",
+            )
+            .cache()
+        )
+    return r.select("u", "deg", "r")
+
+
+def top_ranked(ranks: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k nodes by (rank DESC, node ASC) with their position.
+
+    Sort+limit first (TakeOrderedAndProject — never a global-window
+    single-partition sort of the full node table), then number the k
+    survivors; the order is total so positions are engine-independent.
+    """
+    topk = ranks.orderBy(F.desc("r"), "u").limit(k)
+    w = Window.orderBy(F.desc("r"), "u")
+    return (
+        topk.withColumn("rn", F.row_number().over(w))
+        .select(F.col("u").alias("node"), F.col("r").alias("rank_int"), "rn")
+    )

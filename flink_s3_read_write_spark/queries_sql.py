@@ -1635,3 +1635,83 @@ def q133_grouping_id_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         "total_qty",
     )
+
+
+@register(
+    "q146_pagerank_bipartite",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    e AS (
+      SELECT 'c' || CAST(c AS VARCHAR) AS u, 'p' || CAST(p AS VARCHAR) AS v FROM e0
+      UNION ALL
+      SELECT 'p' || CAST(p AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM e0),
+    deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (
+      SELECT u, deg,
+             (1000000000000000 // n) AS r,
+             ((15 * (1000000000000000 // n)) // 100) AS base
+      FROM deg, nn),
+    i1 AS (
+      SELECT d.u, d.deg, d.base,
+             d.base + (85 * COALESCE(s.infl, 0)) // 100 AS r
+      FROM r0 d LEFT JOIN (
+        SELECT e.v AS u, SUM(c.r // c.deg) AS infl
+        FROM e JOIN r0 c ON c.u = e.u GROUP BY e.v) s USING (u)),
+    i2 AS (
+      SELECT d.u, d.deg, d.base,
+             d.base + (85 * COALESCE(s.infl, 0)) // 100 AS r
+      FROM i1 d LEFT JOIN (
+        SELECT e.v AS u, SUM(c.r // c.deg) AS infl
+        FROM e JOIN i1 c ON c.u = e.u GROUP BY e.v) s USING (u)),
+    i3 AS (
+      SELECT d.u, d.deg, d.base,
+             d.base + (85 * COALESCE(s.infl, 0)) // 100 AS r
+      FROM i2 d LEFT JOIN (
+        SELECT e.v AS u, SUM(c.r // c.deg) AS infl
+        FROM e JOIN i2 c ON c.u = e.u GROUP BY e.v) s USING (u))
+    SELECT node, rank_int, rn FROM (
+      SELECT u AS node, CAST(r AS BIGINT) AS rank_int,
+             ROW_NUMBER() OVER (ORDER BY r DESC, u) AS rn
+      FROM i3) t
+    WHERE rn <= 20
+    """,
+    doc=(
+        "PageRank, 3 unrolled Pregel-style rounds (operators/graph.py) "
+        "over the bipartite customer-part purchase graph "
+        "(orders x lineitem, both directions): per round one "
+        "edges-joins-ranks shuffle + one inflow aggregate. Ranks are "
+        "integer-quantized at scale 10^15 with explicit floor "
+        "divisions (Spark `div` = DuckDB `//` on non-negatives), so "
+        "the inherently iterative algorithm is bit-for-bit "
+        "SQL-replayable - no float summation order, no libm. Top-20 "
+        "via a total-order row_number window. At 100 TB each round "
+        "is edge-partitioned and checkpointed (dedup.py CC pattern); "
+        "node state is N-sized, never driver-side."
+    ),
+)
+def q146_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.operators import graph as G
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    cu = F.concat(F.lit("c"), F.col("c").cast("string"))
+    pu = F.concat(F.lit("p"), F.col("p").cast("string"))
+    # The edge table feeds deg + three per-iteration joins; repartition
+    # by u THEN cache, so the orders⋈lineitem+distinct shuffle runs
+    # once and every iteration's edges⋈contrib join reuses the cached
+    # hash partitioning (only the node-sized contrib side shuffles per
+    # round — the 100 TB plan, where this is a persisted u-bucketed
+    # edge table).  The harness clearCache()s per query.
+    edges = e0.select(cu.alias("u"), pu.alias("v")).unionByName(
+        e0.select(pu.alias("u"), cu.alias("v"))
+    ).repartition("u").cache()
+    ranks = G.pagerank_quantized(edges, iters=3)
+    return G.top_ranked(ranks, k=20)

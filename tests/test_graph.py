@@ -1,0 +1,56 @@
+"""Quantized PageRank (operators/graph.py): the relational rounds
+must reproduce a plain-Python implementation of the identical integer
+recurrence, and ranks must respond to structure (hubs outrank leaves)."""
+
+from __future__ import annotations
+
+from flink_s3_read_write_spark.operators import graph as G
+
+
+def py_pagerank(edges: list[tuple[str, str]], iters: int, scale: int) -> dict[str, int]:
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for u, _ in edges:
+        deg[u] += 1
+    n = len(deg)
+    base = (15 * (scale // n)) // 100
+    r = {u: scale // n for u in deg}
+    for _ in range(iters):
+        infl = defaultdict(int)
+        for u, v in edges:
+            infl[v] += r[u] // deg[u]
+        r = {u: base + (85 * infl.get(u, 0)) // 100 for u in deg}
+    return r
+
+
+# Star + chain + a sink-free cycle, both directions on some edges so
+# every node has out-degree >= 1.
+TOY_EDGES = [
+    ("a", "b"), ("b", "a"),
+    ("a", "c"), ("c", "a"),
+    ("a", "d"), ("d", "a"),
+    ("d", "e"), ("e", "f"), ("f", "d"),
+    ("b", "c"), ("c", "b"),
+]
+
+
+def test_matches_python_integer_reference(spark):
+    df = spark.createDataFrame(TOY_EDGES, "u string, v string")
+    got = {r["u"]: r["r"] for r in G.pagerank_quantized(df, iters=3).collect()}
+    want = py_pagerank(TOY_EDGES, 3, G.PR_SCALE)
+    assert got == want
+
+
+def test_hub_outranks_leaves(spark):
+    df = spark.createDataFrame(TOY_EDGES, "u string, v string")
+    got = {r["u"]: r["r"] for r in G.pagerank_quantized(df, iters=3).collect()}
+    assert got["a"] == max(got.values())
+
+
+def test_top_ranked_total_order(spark):
+    df = spark.createDataFrame(TOY_EDGES, "u string, v string")
+    top = G.top_ranked(G.pagerank_quantized(df, iters=2), k=3).collect()
+    assert [r["rn"] for r in top] == [1, 2, 3]
+    ranks = [r["rank_int"] for r in top]
+    assert ranks == sorted(ranks, reverse=True)
