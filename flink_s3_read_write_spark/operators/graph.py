@@ -85,6 +85,42 @@ def pagerank_quantized(
     return r.select("u", "deg", "r")
 
 
+def bfs_levels(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 3,
+    broadcast_frontier: bool = True,
+) -> DataFrame:
+    """Hop distance from a seed set by unrolled frontier expansion.
+
+    ``seeds`` is a 1-column (u) DataFrame at distance 0.  Each round
+    is one edges⋈reached join + a min-aggregate — the relational BFS
+    step; after k rounds the result holds min(dist) ≤ k for every
+    reachable node.  Pure integer arithmetic, so a SQL oracle replays
+    it exactly.
+
+    ``broadcast_frontier=True`` ships the node-sized reached set to
+    the (much larger) edge table so edges are never shuffled — the
+    right plan while |nodes| ≪ |edges| fits the broadcast budget.  At
+    the scale where even the frontier outgrows broadcast, pass False
+    and pre-partition edges by u (the joins then co-locate), expand
+    only the NEW frontier per round, and checkpoint between rounds
+    (dedup.py CC pattern).
+    """
+    reached = seeds.select("u", F.lit(0).cast("int").alias("dist"))
+    for _ in range(rounds):
+        probe = F.broadcast(reached) if broadcast_frontier else reached
+        nxt = (
+            edges.join(probe, "u")
+            .select(F.col("v").alias("u"), (F.col("dist") + 1).alias("dist"))
+        )
+        # reached feeds BOTH the probe and the union — uncached, round
+        # k would recompute round k-1 twice (2^k blow-up), same issue
+        # as bpe.py's per-round vocabularies.  Node-sized; cache.
+        reached = (
+            reached.unionByName(nxt).groupBy("u").agg(F.min("dist").alias("dist"))
+        ).cache()
+    return reached
+
+
 def top_ranked(ranks: DataFrame, k: int = 20) -> DataFrame:
     """Top-k nodes by (rank DESC, node ASC) with their position.
 

@@ -1715,3 +1715,123 @@ def q146_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition("u").cache()
     ranks = G.pagerank_quantized(edges, iters=3)
     return G.top_ranked(ranks, k=20)
+
+
+@register(
+    "q147_copurchase_pairs",
+    oracle="""
+    WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2),
+    pc AS (SELECT p, COUNT(*) AS n FROM po GROUP BY p),
+    nn AS (SELECT COUNT(DISTINCT o) AS n_orders FROM po)
+    SELECT part_a, part_b, n_ab,
+           CAST(nn.n_orders * n_ab AS DOUBLE) / CAST(ca.n * cb.n AS DOUBLE) AS lift
+    FROM pairs
+    JOIN pc ca ON ca.p = pairs.part_a
+    JOIN pc cb ON cb.p = pairs.part_b, nn
+    WHERE n_ab >= 2
+    """,
+    doc=(
+        "Market-basket mining, the A-priori 2-itemset step: parts "
+        "co-purchased in the same order with support >= 2 and exact "
+        "lift N*n_ab/(n_a*n_b). The within-order self-join is the "
+        "classic bounded fan-out formulation - pair expansion is "
+        "C(basket,2) per order (baskets are small by construction; at "
+        "100 TB hot single items get frequency-capped first, the q124 "
+        "rule), never an all-pairs part x part join. Per-part counts "
+        "broadcast back; lift is one double division of exact "
+        "integers, bit-identical cross-engine."
+    ),
+)
+def q147_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    po = po.cache()  # feeds pairs + per-part counts + order count; one shuffle
+    a = po.select(F.col("o"), F.col("p").alias("part_a"))
+    b = po.select(F.col("o"), F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    pc = po.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    nn = F.broadcast(po.agg(F.countDistinct("o").alias("n_orders")))
+    return (
+        pairs.join(F.broadcast(pc.withColumnRenamed("p", "part_a").withColumnRenamed("n", "n_a")), "part_a")
+        .join(F.broadcast(pc.withColumnRenamed("p", "part_b").withColumnRenamed("n", "n_b")), "part_b")
+        .crossJoin(nn)
+        .select(
+            "part_a", "part_b", "n_ab",
+            ((F.col("n_orders") * F.col("n_ab")).cast("double")
+             / (F.col("n_a") * F.col("n_b")).cast("double")).alias("lift"),
+        )
+    )
+
+
+@register(
+    "q148_bfs_hops",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    e AS (
+      SELECT 'c' || CAST(c AS VARCHAR) AS u, 'p' || CAST(p AS VARCHAR) AS v FROM e0
+      UNION ALL
+      SELECT 'p' || CAST(p AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM e0),
+    d0 AS (SELECT 'c1' AS u, CAST(0 AS INTEGER) AS dist),
+    d1 AS (
+      SELECT u, CAST(MIN(dist) AS INTEGER) AS dist FROM (
+        SELECT u, dist FROM d0
+        UNION ALL
+        SELECT e.v AS u, d.dist + 1 FROM e JOIN d0 d ON d.u = e.u) t
+      GROUP BY u),
+    d2 AS (
+      SELECT u, CAST(MIN(dist) AS INTEGER) AS dist FROM (
+        SELECT u, dist FROM d1
+        UNION ALL
+        SELECT e.v AS u, d.dist + 1 FROM e JOIN d1 d ON d.u = e.u) t
+      GROUP BY u),
+    d3 AS (
+      SELECT u, CAST(MIN(dist) AS INTEGER) AS dist FROM (
+        SELECT u, dist FROM d2
+        UNION ALL
+        SELECT e.v AS u, d.dist + 1 FROM e JOIN d2 d ON d.u = e.u) t
+      GROUP BY u)
+    SELECT u AS node, dist FROM d3
+    """,
+    doc=(
+        "BFS hop distance (<= 3 hops) from customer c1 over the "
+        "bipartite purchase graph: per round one edges-joins-reached "
+        "join + a MIN aggregate (operators/graph.py bfs_levels) - the "
+        "relational frontier-expansion step of connected-component / "
+        "reachability jobs. Integer-exact, SQL-replayable. At 100 TB "
+        "expansion joins only the NEW frontier per round and "
+        "checkpoints between rounds (dedup.py CC pattern)."
+    ),
+)
+def q148_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.operators import graph as G
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    cu = F.concat(F.lit("c"), F.col("c").cast("string"))
+    pu = F.concat(F.lit("p"), F.col("p").cast("string"))
+    # Frontier is broadcast per round (bfs_levels), so edges need no
+    # particular partitioning — just cache the build.
+    edges = e0.select(cu.alias("u"), pu.alias("v")).unionByName(
+        e0.select(pu.alias("u"), cu.alias("v"))
+    ).cache()
+    seeds = edges.sparkSession.createDataFrame([("c1",)], "u string")
+    return G.bfs_levels(edges, seeds, rounds=3).select(
+        F.col("u").alias("node"), "dist"
+    )

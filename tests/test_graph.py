@@ -54,3 +54,23 @@ def test_top_ranked_total_order(spark):
     assert [r["rn"] for r in top] == [1, 2, 3]
     ranks = [r["rank_int"] for r in top]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def py_bfs(edges, seeds, rounds):
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        new = dict(dist)
+        for u, v in edges:
+            if u in dist and dist[u] + 1 < new.get(v, 1 << 30):
+                new[v] = dist[u] + 1
+        dist = new
+    return dist
+
+
+def test_bfs_levels_match_python_reference(spark):
+    df = spark.createDataFrame(TOY_EDGES, "u string, v string")
+    seeds = spark.createDataFrame([("e",)], "u string")
+    got = {
+        r["u"]: r["dist"] for r in G.bfs_levels(df, seeds, rounds=3).collect()
+    }
+    assert got == py_bfs(TOY_EDGES, ["e"], 3)
