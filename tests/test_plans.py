@@ -254,3 +254,39 @@ def test_q143_sessions_single_user_partitioning(spark, sf_dir):
     plan = P.formatted_plan(registry()["q143_gaps_islands_sessions"].fn(spark, sf_dir))
     assert P.shuffle_exchanges(plan) <= 2, plan
     assert P.has(plan, "partial_min"), "session bounds must map-side combine"
+
+
+def test_q145_bpe_rounds_broadcast_winner_and_partial_agg(spark, sf_dir):
+    """q145: pair counts map-side combine (partial_sum of freq), each
+    round's 1-row argmax comes back as a broadcast (never a collect),
+    and the per-round argmax itself is a TakeOrderedAndProject."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q145_bpe_merge_rounds"].fn(spark, sf_dir))
+    assert P.has(plan, "partial_sum"), plan
+    assert P.has(plan, "TakeOrderedAndProject"), plan
+    assert P.count(plan, "BroadcastNestedLoopJoin") >= 3, plan  # one per round
+
+
+def test_q146_pagerank_broadcasts_node_constant(spark, sf_dir):
+    """q146: the node-count scalar joins in as a broadcast, the
+    inflow aggregate map-side combines, and no CartesianProduct ever
+    appears (the only cross join is the broadcast 1-row constant)."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q146_pagerank_bipartite"].fn(spark, sf_dir))
+    assert P.has(plan, "partial_sum"), plan
+    assert not P.has(plan, "CartesianProduct"), plan
+    assert P.count(plan, "BroadcastExchange") + P.count(plan, "BroadcastNestedLoopJoin") >= 1, plan
+
+
+def test_q147_copurchase_joins_are_broadcast(spark, sf_dir):
+    """q147: per-part counts and the order-count scalar attach via
+    broadcast; the only shuffles are the distinct basket collapse and
+    the pair aggregate (both map-side combined)."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q147_copurchase_pairs"].fn(spark, sf_dir))
+    assert P.count(plan, "BroadcastHashJoin") >= 2, plan
+    assert not P.has(plan, "CartesianProduct"), plan
+    assert P.has(plan, "partial_count"), plan
