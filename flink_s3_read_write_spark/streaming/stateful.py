@@ -22,6 +22,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _STATE_SCHEMA = "n bigint, total double, peak double"
@@ -135,3 +136,36 @@ def running_stats_stream_tws(events: DataFrame, key: str = "event_type") -> Data
             timeMode="None",
         )
     )
+
+
+def streaming_ingest_dedup(
+    new_docs: DataFrame,
+    existing_digests: DataFrame,
+    text_col: str = "text",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of the q144 batch incremental dedup: a document
+    stream is deduped against a *persisted* digest index AND within
+    itself.
+
+    Two stages, mirroring the batch semantics exactly:
+
+    1. stream-static LEFT ANTI join on the md5 content digest — docs
+       already in the corpus never enter the stream state (the static
+       side is the dedup index; at 100 TB it is a bucketed digest
+       table and the join is broadcast or co-located, re-read per
+       micro-batch so index refreshes are picked up);
+    2. ``dropDuplicatesWithinWatermark`` on the digest — first
+       occurrence within a batch (and across batches inside the
+       watermark) wins, bounding state by the watermark window
+       instead of stream history.
+
+    ``new_docs`` needs an event-time column ``ts`` for the watermark;
+    ``existing_digests`` is a static 1-column (d) DataFrame.
+    """
+    from flink_s3_read_write_spark.operators.dedup import normalize_text
+
+    digest = F.md5(normalize_text(F.col(text_col)))
+    keyed = new_docs.withColumn("d", digest)
+    fresh = keyed.join(existing_digests, "d", "left_anti")
+    return fresh.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["d"])

@@ -543,3 +543,42 @@ def test_stream_bench_smoke(spark, tmp_path, monkeypatch):
     assert set(line["jobs"]) == {"job1_uppercase", "job2_filter", "job3_keyed_avg"}
     for job in line["jobs"].values():
         assert job["rows_per_sec"] > 0
+
+
+def test_streaming_ingest_dedup_against_static_index(spark, tmp_path):
+    """Streaming twin of q144: new docs stream in, docs whose digest is
+    already in the static corpus index are dropped by a stream-static
+    anti join, and within-stream redeliveries collapse inside the
+    watermark - final statuses match the batch incremental-dedup rule."""
+    from flink_s3_read_write_spark.streaming import stateful
+
+    src = str(tmp_path / "docs_in")
+    schema = "doc_id bigint, ts timestamp, text string"
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    # static index: the already-kept corpus (digests of 'alpha', 'beta')
+    corpus = spark.createDataFrame([("alpha beta gamma",), ("beta",)], "text string")
+    from flink_s3_read_write_spark.operators.dedup import normalize_text
+    existing = corpus.select(F.md5(normalize_text(F.col("text"))).alias("d")).distinct()
+
+    b1 = [
+        (1, t0, "alpha beta gamma"),            # dup of existing -> dropped
+        (2, t0 + timedelta(minutes=1), "delta"),  # new -> kept
+        (3, t0 + timedelta(minutes=2), "delta"),  # dup within batch -> dropped
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stateful.streaming_ingest_dedup(stream, existing)
+    q = out.writeStream.format("memory").queryName("t_ingest").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        b2 = [
+            (4, t0 + timedelta(minutes=3), "delta"),    # redelivery in watermark -> dropped
+            (5, t0 + timedelta(minutes=4), "epsilon"),  # new -> kept
+            (6, t0 + timedelta(minutes=5), "beta"),     # dup of existing -> dropped
+        ]
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        kept = sorted(r["doc_id"] for r in spark.table("t_ingest").collect())
+        assert kept == [2, 5]
+    finally:
+        q.stop()
