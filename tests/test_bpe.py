@@ -106,3 +106,26 @@ def test_plan_is_single_lazy_program(spark):
     docs = spark.read.parquet(f"{SF0001}/documents.parquet")
     plan = B.bpe_train_rounds(docs, rounds=2)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_fold_merge_randomized_batch(spark):
+    # 300 seeded random (word, pair) cases in ONE job: the fold must
+    # equal the greedy reference on arbitrary symbol runs.
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(300):
+        syms = [rng.choice("ab c")[0] for _ in range(rng.randint(0, 12))]
+        syms = [s if s != " " else "c" for s in syms]
+        a, b = rng.choice("abc"), rng.choice("abc")
+        rows.append((i, syms, a, b))
+    df = spark.createDataFrame(rows, "i int, sy array<string>, a string, b string")
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i", B.merge_symbols(F.col("sy"), F.col("a"), F.col("b")).alias("m")
+        ).collect()
+    }
+    for i, syms, a, b in rows:
+        assert got[i] == py_greedy_merge(syms, a, b), (i, syms, a, b)

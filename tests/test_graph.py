@@ -74,3 +74,35 @@ def test_bfs_levels_match_python_reference(spark):
         r["u"]: r["dist"] for r in G.bfs_levels(df, seeds, rounds=3).collect()
     }
     assert got == py_bfs(TOY_EDGES, ["e"], 3)
+
+
+def test_pagerank_randomized_graph(spark):
+    # Seeded random directed graph, every node with >= 1 out-edge;
+    # relational rounds must equal the Python integer recurrence.
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(25)]
+    edges = []
+    for u in nodes:
+        for v in rng.sample(nodes, rng.randint(1, 4)):
+            if v != u:
+                edges.append((u, v))
+    edges = sorted(set(edges))
+    df = spark.createDataFrame(edges, "u string, v string")
+    got = {r["u"]: r["r"] for r in G.pagerank_quantized(df, iters=4).collect()}
+    assert got == py_pagerank(edges, 4, G.PR_SCALE)
+
+
+def test_bfs_randomized_graph(spark):
+    import random
+
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = sorted(
+        {(u, v) for u in nodes for v in rng.sample(nodes, 2) if u != v}
+    )
+    df = spark.createDataFrame(edges, "u string, v string")
+    seeds = spark.createDataFrame([("n0",), ("n7",)], "u string")
+    got = {r["u"]: r["dist"] for r in G.bfs_levels(df, seeds, rounds=4).collect()}
+    assert got == py_bfs(edges, ["n0", "n7"], 4)
