@@ -1835,3 +1835,55 @@ def q148_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.bfs_levels(edges, seeds, rounds=3).select(
         F.col("u").alias("node"), "dist"
     )
+
+
+@register(
+    "q149_sax_motifs",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vi
+      FROM events),
+    w AS (
+      SELECT user_id,
+             list(vi) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS a
+      FROM q),
+    f AS (SELECT user_id, a FROM w WHERE len(a) = 8),
+    s AS (
+      SELECT user_id,
+             a[1] + a[2] AS s1, a[3] + a[4] AS s2,
+             a[5] + a[6] AS s3, a[7] + a[8] AS s4
+      FROM f),
+    sym AS (
+      SELECT user_id,
+             (CASE WHEN s1 < 3000 THEN 'a' WHEN s1 < 7000 THEN 'b'
+                   WHEN s1 < 14000 THEN 'c' ELSE 'd' END) ||
+             (CASE WHEN s2 < 3000 THEN 'a' WHEN s2 < 7000 THEN 'b'
+                   WHEN s2 < 14000 THEN 'c' ELSE 'd' END) ||
+             (CASE WHEN s3 < 3000 THEN 'a' WHEN s3 < 7000 THEN 'b'
+                   WHEN s3 < 14000 THEN 'c' ELSE 'd' END) ||
+             (CASE WHEN s4 < 3000 THEN 'a' WHEN s4 < 7000 THEN 'b'
+                   WHEN s4 < 14000 THEN 'c' ELSE 'd' END) AS word
+      FROM s)
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM sym GROUP BY word HAVING COUNT(*) >= 5
+    """,
+    doc=(
+        "SAX time-series motif discovery (operators/timeseries.py): "
+        "per-user sliding windows of 8 events (one keyed sort, frame-"
+        "ordered collect_list), PAA into 4 integer segment SUMS (no "
+        "mean division), fixed-breakpoint symbolization into 4-letter "
+        "words, then motifs = words recurring >= 5 times - the SAX "
+        "trick that turns quadratic subsequence similarity into ONE "
+        "partial-aggregated word shuffle. Values integer-quantized "
+        "(floor(x*100+0.5), IEEE-identical cross-engine) so the whole "
+        "pipeline is bit-replayable in SQL."
+    ),
+)
+def q149_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    return TS.sax_motifs(TS.sax_words(ev), min_count=5)

@@ -314,3 +314,44 @@ def test_groupwise_regression_matches_numpy(spark):
         assert out[et]["n"] == len(pts)
         assert out[et]["slope"] == pytest.approx(slope, rel=1e-4, abs=1e-9)
         assert out[et]["intercept"] == pytest.approx(intercept, rel=1e-4, abs=1e-3)
+
+
+def test_sax_words_shapes_and_determinism(spark):
+    """SAX words: complete windows only, frame-ordered, symbols follow
+    the fixed breakpoints — checked against a hand-computed series."""
+    from datetime import datetime, timedelta
+
+    from flink_s3_read_write_spark.operators import timeseries as TS
+
+    t0 = datetime(2024, 1, 1)
+    vals = [10.0, 20.0, 40.0, 40.0, 80.0, 80.0, 150.0, 150.0, 5.0]
+    rows = [
+        (1, t0 + timedelta(minutes=i), i, "x", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id bigint, ts timestamp, event_id bigint, "
+        "event_type string, value double, props string",
+    )
+    words = TS.sax_words(df).collect()
+    # 9 points, window 8 -> exactly 2 complete windows
+    assert len(words) == 2
+    got = {r["word"] for r in words}
+    # window 1: sums (3000, 8000, 16000, 30000) -> 'b c d d' with
+    # breakpoints (3000, 7000, 14000); 3000 is NOT < 3000 -> 'b'
+    assert "bcdd" in got
+    # window 2 (shifted by one): sums (6000, 12000, 23000, 15500) -> bcdd? no:
+    # (20+40, 40+80, 80+150, 150+5)*100 = (6000, 12000, 23000, 15500) -> b c d d
+    assert got == {"bcdd"}
+
+
+def test_sax_motif_counts_min_threshold(spark):
+    from flink_s3_read_write_spark.operators import timeseries as TS
+
+    words = spark.createDataFrame(
+        [(1, "aaaa")] * 5 + [(2, "aaaa")] + [(1, "bbbb")] * 3,
+        "user_id bigint, word string",
+    )
+    got = {r["word"]: (r["n_windows"], r["n_users"]) for r in TS.sax_motifs(words, min_count=5).collect()}
+    assert got == {"aaaa": (6, 2)}
