@@ -1887,3 +1887,67 @@ def q149_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return TS.sax_motifs(TS.sax_words(ev), min_count=5)
+
+
+@register(
+    "q150_sax_similarity_probe",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vi
+      FROM events),
+    w AS (
+      SELECT user_id, event_id AS pos,
+             list(vi) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS a
+      FROM q),
+    f AS (SELECT user_id, pos, a FROM w WHERE len(a) = 8),
+    s0 AS (
+      SELECT user_id, pos,
+             a[1] + a[2] AS s1, a[3] + a[4] AS s2,
+             a[5] + a[6] AS s3, a[7] + a[8] AS s4
+      FROM f),
+    s AS (
+      SELECT user_id, pos, s1, s2, s3, s4,
+             (CASE WHEN s1 < 3000 THEN 'a' WHEN s1 < 7000 THEN 'b'
+                   WHEN s1 < 14000 THEN 'c' ELSE 'd' END) ||
+             (CASE WHEN s2 < 3000 THEN 'a' WHEN s2 < 7000 THEN 'b'
+                   WHEN s2 < 14000 THEN 'c' ELSE 'd' END) ||
+             (CASE WHEN s3 < 3000 THEN 'a' WHEN s3 < 7000 THEN 'b'
+                   WHEN s3 < 14000 THEN 'c' ELSE 'd' END) ||
+             (CASE WHEN s4 < 3000 THEN 'a' WHEN s4 < 7000 THEN 'b'
+                   WHEN s4 < 14000 THEN 'c' ELSE 'd' END) AS word
+      FROM s0),
+    qr AS (SELECT * FROM s WHERE user_id = 1 ORDER BY pos LIMIT 1),
+    c AS (
+      SELECT s.user_id, s.pos,
+             (s.s1 - qr.s1) * (s.s1 - qr.s1) + (s.s2 - qr.s2) * (s.s2 - qr.s2)
+           + (s.s3 - qr.s3) * (s.s3 - qr.s3) + (s.s4 - qr.s4) * (s.s4 - qr.s4)
+               AS dist2
+      FROM s JOIN qr ON s.word = qr.word
+      WHERE s.user_id <> qr.user_id OR s.pos <> qr.pos)
+    SELECT user_id, pos, CAST(dist2 AS BIGINT) AS dist2, rn FROM (
+      SELECT user_id, pos, dist2,
+             ROW_NUMBER() OVER (ORDER BY dist2, user_id, pos) AS rn
+      FROM c) t
+    WHERE rn <= 10
+    """,
+    doc=(
+        "Similarity search THROUGH the SAX index (operators/"
+        "timeseries.py): the query window (user 1's earliest) probes "
+        "only windows sharing its 4-letter word - the index prune "
+        "that replaces a full subsequence scan - then an exact "
+        "integer PAA distance ranks candidates, top-10 under a total "
+        "order via sort+limit (TakeOrderedAndProject, never a global "
+        "window). The 1-row query broadcasts; at 100 TB the word is "
+        "the partition key so the probe is partition-pruned, the same "
+        "candidates-then-verify shape as the LSH/IVF/PQ ANN family."
+    ),
+)
+def q150_sax_similarity_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    wins = TS.sax_windows(ev).cache()
+    qrow = wins.filter(F.col("user_id") == 1).orderBy("pos").limit(1)
+    return TS.sax_similarity_probe(wins, qrow, k=10)

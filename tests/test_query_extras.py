@@ -355,3 +355,29 @@ def test_sax_motif_counts_min_threshold(spark):
     )
     got = {r["word"]: (r["n_windows"], r["n_users"]) for r in TS.sax_motifs(words, min_count=5).collect()}
     assert got == {"aaaa": (6, 2)}
+
+
+def test_sax_probe_self_excluded_and_ordered(spark):
+    from datetime import datetime, timedelta
+
+    from flink_s3_read_write_spark.operators import timeseries as TS
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for uid in (1, 2, 3):
+        for i in range(8):
+            rows.append((uid, t0 + timedelta(minutes=i), i, "x", 10.0 + uid, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "user_id bigint, ts timestamp, event_id bigint, "
+        "event_type string, value double, props string",
+    )
+    wins = TS.sax_windows(df)
+    qrow = wins.filter("user_id = 1").orderBy("pos").limit(1)
+    got = TS.sax_similarity_probe(wins, qrow, k=10).collect()
+    # users 2 and 3 share the word (all values land in the 'a'/'b' bands
+    # together); the query's own window must not appear
+    assert all(r["user_id"] != 1 for r in got)
+    dists = [r["dist2"] for r in got]
+    assert dists == sorted(dists)
+    assert [r["rn"] for r in got] == list(range(1, len(got) + 1))
