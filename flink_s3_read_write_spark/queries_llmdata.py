@@ -3014,3 +3014,63 @@ def q144_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q145_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return B.bpe_train_rounds(docs, rounds=3)
+
+
+@register(
+    "q151_hll_sketch_index",
+    # Sketch BYTES are Datasketches-internal, but the mergeable-index
+    # CONTRACT is checkable: per-source estimates and the union-of-
+    # sketches estimate must sit within HLL's published error bound of
+    # the exact distinct counts the oracle recomputes (q55 pattern).
+    oracle="""
+    WITH k AS (SELECT source, md5(text) AS k FROM documents),
+    per AS (
+      SELECT source, CAST(COUNT(DISTINCT k) AS BIGINT) AS exact_distinct,
+             TRUE AS est_ok
+      FROM k GROUP BY source)
+    SELECT source, exact_distinct, est_ok FROM per
+    UNION ALL
+    SELECT 'ALL' AS source, CAST(COUNT(DISTINCT k) AS BIGINT) AS exact_distinct,
+           TRUE AS est_ok
+    FROM k
+    """,
+    doc=(
+        "Mergeable cardinality index (Datasketches HLL, "
+        "hll_sketch_agg / hll_union_agg): one sketch per source - the "
+        "fixed-size binary you persist per partition/day at 100 TB - "
+        "then the GLOBAL distinct estimate comes from unioning "
+        "sketches, never rescanning the corpus. Emits exact distincts "
+        "plus within-bound booleans for every per-source estimate AND "
+        "the union estimate, so the oracle hash-checks the mergeable "
+        "contract itself (q55 self-check pattern)."
+    ),
+)
+def q151_hll_sketch_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("source", F.md5("text").alias("k"))
+    sk = d.groupBy("source").agg(
+        F.hll_sketch_agg("k").alias("sk"),
+        F.countDistinct("k").alias("exact_distinct"),
+    )
+    # sk feeds the per-source rows AND the union row; sources-sized.
+    sk = sk.cache()
+
+    def within(est, exact, rel=0.15):
+        return (F.abs(est - exact) <= rel * exact).alias("est_ok")
+
+    per = sk.select(
+        "source",
+        "exact_distinct",
+        within(F.hll_sketch_estimate("sk"), F.col("exact_distinct")),
+    )
+    glob_exact = F.broadcast(d.agg(F.countDistinct("k").alias("exact_distinct")))
+    glob = (
+        sk.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"))
+        .crossJoin(glob_exact)
+        .select(
+            F.lit("ALL").alias("source"),
+            "exact_distinct",
+            within(F.col("_est"), F.col("exact_distinct")),
+        )
+    )
+    return per.unionByName(glob)

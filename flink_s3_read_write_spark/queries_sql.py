@@ -1951,3 +1951,88 @@ def q150_sax_similarity_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins = TS.sax_windows(ev).cache()
     qrow = wins.filter(F.col("user_id") == 1).orderBy("pos").limit(1)
     return TS.sax_similarity_probe(wins, qrow, k=10)
+
+
+@register(
+    "q152_mad_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vi
+      FROM events),
+    r1 AS (
+      SELECT user_id, event_id, vi,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vi, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM q),
+    med AS (SELECT user_id, vi AS med FROM r1 WHERE rn = (n + 1) // 2),
+    dev AS (
+      SELECT q.user_id, q.event_id, q.vi, m.med, abs(q.vi - m.med) AS d
+      FROM q JOIN med m ON m.user_id = q.user_id),
+    r2 AS (
+      SELECT user_id, event_id, vi, med, d,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM dev),
+    mad AS (SELECT user_id, d AS mad FROM r2 WHERE rn = (n + 1) // 2)
+    SELECT d.user_id, MAX(d.med) AS med, MAX(a.mad) AS mad,
+           CAST(SUM(CASE WHEN abs(d.vi - d.med) > 3 * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           COUNT(*) AS n_events
+    FROM dev d JOIN mad a ON a.user_id = d.user_id
+    GROUP BY d.user_id
+    """,
+    doc=(
+        "Robust per-user outlier detection via median absolute "
+        "deviation: lower-median selected by explicit rank (integer-"
+        "exact, engine-independent - never percentile functions whose "
+        "even-count interpolation differs across engines), MAD as the "
+        "lower-median of absolute deviations, outliers = |x - med| > "
+        "3*MAD. Two keyed window sorts + two keyed joins, all on the "
+        "user_id partitioning; values integer-quantized. The robust "
+        "complement to the z-score (q63) and winsorize (q81) "
+        "normalizers - MAD tolerates 50% contamination where "
+        "mean/stddev break down."
+    ),
+)
+def q152_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vi"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("vi", "event_id")
+    wn = Window.partitionBy("user_id")
+    r1 = q.select(
+        "user_id", "event_id", "vi",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = r1.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "user_id", F.col("vi").alias("med")
+    )
+    dev = q.join(med, "user_id").withColumn("d", F.abs(F.col("vi") - F.col("med")))
+    wd = Window.partitionBy("user_id").orderBy("d", "event_id")
+    r2 = dev.select(
+        "user_id", "d",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = r2.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "user_id", F.col("d").alias("mad")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.abs(F.col("vi") - F.col("med")) > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
