@@ -2036,3 +2036,51 @@ def q152_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "q153_bitmap_distinct_rollup",
+    oracle="""
+    SELECT l_returnflag AS grp, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL' AS grp, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+    FROM lineitem
+    """,
+    doc=(
+        "EXACT mergeable distinct-count index via roaring-style "
+        "bitmaps (bitmap_construct_agg / bitmap_or_agg / bitmap_"
+        "count): int keys are segmented ((k-1) div 32768) and each "
+        "(group, segment) holds a fixed-size bitmap - the per-"
+        "partition index you persist at 100 TB; group counts sum "
+        "bitmap_count over segments and the GLOBAL count just ORs "
+        "bitmaps across groups before counting, never rescanning "
+        "rows. Unlike HLL (q151) the result is exact, so the oracle "
+        "hash-checks values, not bounds - the bitmap tier of the "
+        "cardinality-index family (exact while keys are dense ints; "
+        "HLL takes over for string/sparse keys)."
+    ),
+)
+def q153_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # keys shift to 1-based: bitmap_bit_position is (k-1) mod 32768 and
+    # silently drops non-positive keys (l_partkey starts at 0 here).
+    base = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr("l_partkey div 32768").alias("seg"),
+        F.bitmap_bit_position(F.col("l_partkey") + 1).alias("p"),
+    )
+    bm = base.groupBy("grp", "seg").agg(F.bitmap_construct_agg("p").alias("bm"))
+    bm = bm.cache()  # feeds the per-group rows and the global OR-merge
+    per = (
+        bm.select("grp", "seg", F.bitmap_count("bm").alias("c"))
+        .groupBy("grp")
+        .agg(F.sum("c").alias("n_distinct"))
+    )
+    glob = (
+        bm.groupBy("seg")
+        .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("c"))
+        .agg(F.sum("c").alias("n_distinct"))
+        .select(F.lit("ALL").alias("grp"), "n_distinct")
+    )
+    return per.unionByName(glob)
