@@ -221,6 +221,42 @@ def compact_parquet(
     return n
 
 
+def file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file diagnostics for a table directory: rows per file (one
+    column-pruned scan grouped on ``input_file_name``) joined to bytes
+    per file from the filesystem listing (works for s3a:// too).
+
+    The triage tool behind :func:`compact_parquet`: a healthy table
+    shows few, large, evenly-sized files; thousands of KB-scale rows
+    here mean every downstream scan pays per-object open/list cost."""
+    from pyspark.sql import functions as F
+
+    # input_file_name() and the FS listing render the scheme
+    # differently (file:///p vs file:/p); normalize to a bare path.
+    norm = lambda c: F.regexp_replace(c, "^[a-z0-9.+-]+:/+", "/")
+    rows = (
+        spark.read.parquet(path)
+        .select(norm(F.input_file_name()).alias("file"))
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    it = fs.listFiles(jpath, True)
+    sizes = []
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().toString()
+        if name.endswith(".parquet"):
+            sizes.append((name, int(f.getLen())))
+    sz = spark.createDataFrame(sizes, "file string, bytes long").select(
+        norm(F.col("file")).alias("file"), "bytes"
+    )
+    return rows.join(sz, "file", "outer").select("file", "n_rows", "bytes")
+
+
 def read_jdbc(
     spark: SparkSession, url: str, table: str, *,
     partition_column: str | None = None,

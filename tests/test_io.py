@@ -201,3 +201,22 @@ def test_binary_file_source_reads_bytes_and_globs(spark, tmp_path):
     assert rows[0]["length"] == len(png)
     both = io.read_binary_files(spark, d).collect()
     assert len(both) == 2
+
+
+def test_file_stats_and_compaction_roundtrip(spark, tmp_path):
+    """file_stats reports per-file rows+bytes; compact_parquet folds a
+    many-small-files table into the computed partition count with all
+    rows preserved."""
+    from flink_s3_read_write_spark.sources import io as sio
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    spark.range(0, 10000).repartition(37).write.parquet(src)
+    stats = sio.file_stats(spark, src).collect()
+    assert len(stats) == 37
+    assert sum(r["n_rows"] for r in stats) == 10000
+    assert all(r["bytes"] and r["bytes"] > 0 for r in stats)
+    n = sio.compact_parquet(spark, src, dst, target_file_mb=256)
+    assert n == 1  # tiny table folds into one file
+    assert spark.read.parquet(dst).count() == 10000
+    assert len(sio.file_stats(spark, dst).collect()) == 1
