@@ -70,7 +70,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q145_bpe_merge_rounds", "q146_pagerank_bipartite",
     "q147_copurchase_pairs", "q148_bfs_hops", "q149_sax_motifs",
     "q150_sax_similarity_probe", "q151_hll_sketch_index", "q152_mad_outliers",
-    "q153_bitmap_distinct_rollup",
+    "q153_bitmap_distinct_rollup", "q154_theta_overlap_matrix",
     # tier 0b: new/upgraded oracles + the stale rows-only IVF query
     "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
     "q36_ann_lsh_topk", "q97_semdedup",

@@ -3074,3 +3074,88 @@ def q151_hll_sketch_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per.unionByName(glob)
+
+
+@register(
+    "q154_theta_overlap_matrix",
+    # Theta sketch BYTES are Datasketches-internal, but estimates are
+    # deterministic (fixed default seed, no RNG) and the set-algebra
+    # CONTRACT is checkable: per-pair intersection/union estimates
+    # must sit within bound of the exact overlap the oracle recomputes
+    # (q55/q151 pattern; below ~4k distinct the sketch is in exact
+    # mode and the estimate IS the true count).
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT source, t AS tok FROM (
+        SELECT source,
+               unnest(list_slice(string_split({_NORM_SQL.format(c='text')}, ' '), 1, 10000)) AS t
+        FROM documents) u
+      WHERE t <> ''),
+    cnt AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source),
+    com AS (
+      SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM tok a JOIN tok b ON b.tok = a.tok AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT ca.source AS src_a, cb.source AS src_b,
+           COALESCE(c.n_common, 0) AS n_common,
+           ca.n + cb.n - COALESCE(c.n_common, 0) AS n_union,
+           TRUE AS inter_ok, TRUE AS union_ok
+    FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+    LEFT JOIN com c ON c.src_a = ca.source AND c.src_b = cb.source
+    """,
+    doc=(
+        "Pairwise source-vocabulary overlap via theta sketches "
+        "(Datasketches set algebra: theta_sketch_agg per source, then "
+        "SCALAR theta_intersection / theta_union on the 20-row sketch "
+        "table) - at 100 TB the per-source sketches are the persisted "
+        "index and ALL C(n,2) pair overlaps cost sketch-sized work, "
+        "never re-scanning tokens; the exact twin (the q124-style "
+        "token inverted-index self-join) runs once here to gate the "
+        "estimates: emits exact common/union counts plus within-bound "
+        "booleans the oracle asserts literally TRUE."
+    ),
+)
+def q154_theta_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("source", F.explode(D.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    tok = tok.cache()  # feeds exact counts, exact pairs, and sketches
+    cnt = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select(F.col("source").alias("src_a"), "tok")
+    b = tok.select(F.col("source").alias("src_b"), "tok")
+    com = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sk = tok.groupBy("source").agg(F.theta_sketch_agg("tok").alias("sk"))
+    ska = sk.select(F.col("source").alias("src_a"), F.col("sk").alias("_ska"))
+    skb = sk.select(F.col("source").alias("src_b"), F.col("sk").alias("_skb"))
+    ca = cnt.select(F.col("source").alias("src_a"), F.col("n").alias("_na"))
+    cb = cnt.select(F.col("source").alias("src_b"), F.col("n").alias("_nb"))
+    base = (
+        ca.join(cb, F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(ska), "src_a")
+        .join(F.broadcast(skb), "src_b")
+        .join(com, ["src_a", "src_b"], "left")
+        .na.fill({"n_common": 0})
+    )
+    est_i = F.theta_sketch_estimate(F.theta_intersection("_ska", "_skb"))
+    est_u = F.theta_sketch_estimate(F.theta_union("_ska", "_skb"))
+    n_union = F.col("_na") + F.col("_nb") - F.col("n_common")
+
+    def within(est, exact):
+        return F.abs(est - exact) <= 0.15 * exact + 2
+
+    return base.select(
+        "src_a",
+        "src_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        n_union.alias("n_union"),
+        within(est_i, F.col("n_common")).alias("inter_ok"),
+        within(est_u, n_union).alias("union_ok"),
+    )
