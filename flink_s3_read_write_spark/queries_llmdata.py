@@ -3159,3 +3159,72 @@ def q154_theta_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(est_i, F.col("n_common")).alias("inter_ok"),
         within(est_u, n_union).alias("union_ok"),
     )
+
+
+@register(
+    "q155_kll_quantile_index",
+    # KLL sketch internals are Spark-side, but the mergeable-quantile
+    # CONTRACT is rank-checkable: the p50/p99 read off the MERGED
+    # per-source sketches must sit inside a +/-2.5pp rank window that
+    # the oracle re-verifies from exact comparison counts (q55
+    # pattern, KLL rank guarantee at k=200 is ~1.65% at 99% conf).
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           TRUE AS p50_ok, TRUE AS p99_ok
+    FROM documents
+    """,
+    doc=(
+        "Mergeable quantile index (Datasketches KLL): one doc-length "
+        "sketch per source - the per-partition summary you persist at "
+        "100 TB - then GLOBAL p50/p99 come from kll_sketch_merge over "
+        "the 20 sketches, never a global sort or rescan. The "
+        "estimates are verified in-plan by exact rank counting "
+        "(broadcast the two estimates back over one column-pruned "
+        "scan), emitting within-rank-window booleans the oracle "
+        "asserts TRUE. Completes the sketch-index suite: KLL "
+        "quantiles + HLL approx-distinct (q151) + exact bitmap "
+        "(q153) + theta set algebra (q154)."
+    ),
+)
+def q155_kll_quantile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("source", F.col("n_chars").cast("bigint").alias("x"))
+    per = base.groupBy("source").agg(F.kll_sketch_agg_bigint("x").alias("sk"))
+    # kll_sketch_merge_bigint is a BINARY scalar; fold the (tiny,
+    # n_sources-element) sketch array with a higher-order aggregate —
+    # the same pairwise merge a treeified 100 TB rollup would run.
+    merged = per.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.collect_list("sk").alias("_sks"),
+    ).select(
+        "n_sources",
+        F.expr(
+            "aggregate(slice(_sks, 2, size(_sks) - 1), _sks[0],"
+            " (acc, x) -> kll_sketch_merge_bigint(acc, x))"
+        ).alias("mk"),
+    ).select(
+        "n_sources",
+        F.kll_sketch_get_quantile_bigint(F.col("mk"), F.lit(0.5)).alias("_q50"),
+        F.kll_sketch_get_quantile_bigint(F.col("mk"), F.lit(0.99)).alias("_q99"),
+    )
+    j = base.crossJoin(F.broadcast(merged))
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_sources").alias("n_sources"),
+        F.sum(F.when(F.col("x") < F.col("_q50"), 1).otherwise(0)).alias("_lt50"),
+        F.sum(F.when(F.col("x") <= F.col("_q50"), 1).otherwise(0)).alias("_le50"),
+        F.sum(F.when(F.col("x") < F.col("_q99"), 1).otherwise(0)).alias("_lt99"),
+        F.sum(F.when(F.col("x") <= F.col("_q99"), 1).otherwise(0)).alias("_le99"),
+    )
+    n = F.col("n_docs")
+
+    def rank_ok(lt, le, target, slack=0.025):
+        return (F.col(lt) <= (target + slack) * n) & (F.col(le) >= (target - slack) * n)
+
+    return agg.select(
+        "n_docs",
+        "n_sources",
+        rank_ok("_lt50", "_le50", 0.5).alias("p50_ok"),
+        rank_ok("_lt99", "_le99", 0.99).alias("p99_ok"),
+    )
