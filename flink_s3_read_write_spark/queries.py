@@ -71,7 +71,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q147_copurchase_pairs", "q148_bfs_hops", "q149_sax_motifs",
     "q150_sax_similarity_probe", "q151_hll_sketch_index", "q152_mad_outliers",
     "q153_bitmap_distinct_rollup", "q154_theta_overlap_matrix",
-    "q155_kll_quantile_index",
+    "q155_kll_quantile_index", "q156_incremental_view_maintenance",
     # tier 0b: new/upgraded oracles + the stale rows-only IVF query
     "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
     "q36_ann_lsh_topk", "q97_semdedup",

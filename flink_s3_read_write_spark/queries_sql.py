@@ -2084,3 +2084,54 @@ def q153_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("grp"), "n_distinct")
     )
     return per.unionByName(glob)
+
+
+@register(
+    "q156_incremental_view_maintenance",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS max_ts_us
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "Incremental materialized-view maintenance: the per-type "
+        "aggregate view is NOT recomputed from scratch - a base "
+        "aggregate (event_id % 5 <> 0, standing in for the persisted "
+        "view) and a delta-batch aggregate merge algebraically "
+        "(counts add, decimal sums add, min/max take least/greatest, "
+        "full-outer join + coalesce for groups new to either side). "
+        "The oracle IS the from-scratch aggregate, so the driver "
+        "hash-gates the mergeability of every column - the exactness "
+        "rule (decimal-routed sums) is what makes merged == recomputed "
+        "bit-for-bit. At 100 TB this is the nightly-view pattern: "
+        "the delta is batch-sized, the base is never re-scanned."
+    ),
+)
+def q156_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def part_agg(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("s"),
+            F.min("ts").alias("mn"),
+            F.max("ts").alias("mx"),
+        )
+
+    base = part_agg(ev.filter(F.col("event_id") % 5 != 0))
+    delta = part_agg(ev.filter(F.col("event_id") % 5 == 0))
+    b = base.select("event_type", *[F.col(c).alias(f"b_{c}") for c in ("n", "s", "mn", "mx")])
+    d = delta.select("event_type", *[F.col(c).alias(f"d_{c}") for c in ("n", "s", "mn", "mx")])
+    merged = b.join(d, "event_type", "full_outer")
+    zero = F.lit(0).cast("decimal(30,6)")
+    return merged.select(
+        "event_type",
+        (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n"),
+        (F.coalesce("b_s", zero) + F.coalesce("d_s", zero))
+        .cast("decimal(30,6)").cast("double").alias("sum_value"),
+        F.unix_micros(F.least("b_mn", "d_mn")).alias("min_ts_us"),
+        F.unix_micros(F.greatest("b_mx", "d_mx")).alias("max_ts_us"),
+    )
