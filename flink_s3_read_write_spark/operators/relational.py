@@ -143,3 +143,39 @@ def running_total(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(alias, F.sum(value).over(w))
+
+
+def diff_tables(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot reconciliation: key-level diff of two table versions.
+
+    Emits (key_cols..., status) for every key that is NOT identical
+    across versions: 'added' (only in right), 'removed' (only in
+    left), 'changed' (present in both, any compare column differs).
+    Identical rows produce nothing, so the output is delta-sized.
+
+    Content equality is one md5 digest over the null-tagged string
+    forms of ``compare_cols`` — the full-outer join then carries ONE
+    shuffle of (key, digest) pairs per side, never the full rows; at
+    100 TB both sides collapse to key+digest projections before the
+    join (co-located if the snapshots share bucketing).
+    """
+    def digest(df: DataFrame) -> Column:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in compare_cols
+        ]
+        return F.md5(F.concat_ws("\x01", *parts))
+
+    l = left.select(*key_cols, digest(left).alias("_ld"))
+    r = right.select(*key_cols, digest(right).alias("_rd"))
+    j = l.join(r, key_cols, "full_outer")
+    status = (
+        F.when(F.col("_ld").isNull(), "added")
+        .when(F.col("_rd").isNull(), "removed")
+        .when(F.col("_ld") != F.col("_rd"), "changed")
+    )
+    return j.select(*key_cols, status.alias("status")).filter(F.col("status").isNotNull())

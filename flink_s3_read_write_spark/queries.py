@@ -72,6 +72,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q150_sax_similarity_probe", "q151_hll_sketch_index", "q152_mad_outliers",
     "q153_bitmap_distinct_rollup", "q154_theta_overlap_matrix",
     "q155_kll_quantile_index", "q156_incremental_view_maintenance",
+    "q157_snapshot_diff",
     # tier 0b: new/upgraded oracles + the stale rows-only IVF query
     "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
     "q36_ann_lsh_topk", "q97_semdedup",

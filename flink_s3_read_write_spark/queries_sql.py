@@ -2135,3 +2135,60 @@ def q156_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataF
         F.unix_micros(F.least("b_mn", "d_mn")).alias("min_ts_us"),
         F.unix_micros(F.greatest("b_mx", "d_mx")).alias("max_ts_us"),
     )
+
+
+@register(
+    "q157_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT event_id, event_type, value FROM events WHERE event_id % 7 <> 0),
+    v2 AS (
+      SELECT event_id, event_type,
+             value + (CASE WHEN event_id % 10 = 0 THEN 1.0 ELSE 0.0 END) AS value
+      FROM events WHERE event_id % 3 <> 0),
+    l AS (SELECT event_id,
+                 md5(concat_ws(chr(1),
+                     COALESCE(CAST(event_type AS VARCHAR), chr(0) || 'null'),
+                     COALESCE(CAST(value AS VARCHAR), chr(0) || 'null'))) AS ld
+          FROM v1),
+    r AS (SELECT event_id,
+                 md5(concat_ws(chr(1),
+                     COALESCE(CAST(event_type AS VARCHAR), chr(0) || 'null'),
+                     COALESCE(CAST(value AS VARCHAR), chr(0) || 'null'))) AS rd
+          FROM v2)
+    SELECT COALESCE(l.event_id, r.event_id) AS event_id,
+           CASE WHEN l.ld IS NULL THEN 'added'
+                WHEN r.rd IS NULL THEN 'removed'
+                WHEN l.ld <> r.rd THEN 'changed' END AS status
+    FROM l FULL OUTER JOIN r ON r.event_id = l.event_id
+    WHERE (CASE WHEN l.ld IS NULL THEN 'added'
+                WHEN r.rd IS NULL THEN 'removed'
+                WHEN l.ld <> r.rd THEN 'changed' END) IS NOT NULL
+    """,
+    doc=(
+        "Snapshot reconciliation (operators/relational.py "
+        "diff_tables): two versions of the event log (id%7 vs id%3 "
+        "retention, with a planted value mutation on id%10) diff to "
+        "delta-sized (key, added|removed|changed) rows via ONE "
+        "full-outer join of (key, content-digest) projections - the "
+        "rows themselves never shuffle. Digest strings match cross-"
+        "engine because both sides cast through the same string forms "
+        "(double CAST VARCHAR repr verified identical; the driver "
+        "hash-gate would catch any divergence). The data-platform "
+        "audit op behind CDC validation and backfill verification."
+    ),
+)
+def q157_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.operators.relational import diff_tables
+
+    ev = load_table(spark, sf_dir, "events")
+    v1 = ev.filter(F.col("event_id") % 7 != 0).select("event_id", "event_type", "value")
+    v2 = ev.filter(F.col("event_id") % 3 != 0).select(
+        "event_id",
+        "event_type",
+        (
+            F.col("value")
+            + F.when(F.col("event_id") % 10 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias("value"),
+    )
+    return diff_tables(v1, v2, ["event_id"], ["event_type", "value"])
