@@ -381,3 +381,19 @@ def test_sax_probe_self_excluded_and_ordered(spark):
     dists = [r["dist2"] for r in got]
     assert dists == sorted(dists)
     assert [r["rn"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_diff_tables_null_vs_literal_and_statuses(spark):
+    from flink_s3_read_write_spark.operators.relational import diff_tables
+
+    l = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "x"), (4, "same")], "k int, v string"
+    )
+    r = spark.createDataFrame(
+        [(2, "null"), (3, "y"), (4, "same"), (5, "new")], "k int, v string"
+    )
+    got = {r_["k"]: r_["status"] for r_ in diff_tables(l, r, ["k"], ["v"]).collect()}
+    # k=2: NULL on the left vs the literal string 'null' on the right
+    # must be CHANGED (the null tag keeps them distinct), k=4 identical
+    # -> absent, k=1 removed, k=5 added, k=3 changed.
+    assert got == {1: "removed", 2: "changed", 3: "changed", 5: "added"}
