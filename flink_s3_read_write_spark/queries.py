@@ -45,26 +45,19 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # entries in iteration order with a bounded per-round budget (50 per
 # round), so entries that still lack a hard driver correctness row —
 # or whose code/oracle changed since their last row — must come
-# first.  Tiers going into round 5 (union of CORRECTNESS_r01..r04:
-# zero latest-row FAILs, so the window leads with this round's
-# changes):
-#   0 — upgraded from rows-only to full oracles this round: q33/q34
-#       (md5 hash engine — DuckDB replays signatures and banding
-#       bit-for-bit), q36/q97 (md5-seeded hyperplanes — DuckDB
-#       replays ANN buckets/candidates and the SemDeDup keep rule),
-#       q55 (exact counts + sketch-within-bound booleans), and q67
-#       (IVF k-means is not SQL-replayable, so it emits the q55-style
-#       self-check contract: k-results + mean-recall floor vs the
-#       in-plan exact brute force + decimal-exact cosine mass); plus
-#       the brand-new q135-q144 — every registered query now carries
-#       a full hash-checked oracle, zero rows-only entries left;
-#   1 — queries whose ORACLE changed this round (the MAX_TOKENS cap
-#       mirrored into the shingle CTEs) and the events queries
-#       downstream of the NTZ-normalization rewrite in sources/io.py
-#       — all locally re-verified, fresh driver rows wanted;
-#   2 — everything already green, in stable order;
-#   3 — remaining non-SQL-expressible ops (rows-only) last, so they
-#       never displace a hash-compared query from the window.
+# first.  Tiers going into round 6 (union of CORRECTNESS_r01..r05:
+# zero latest-row FAILs; the local 157/157 sweep is green, so the
+# window leads with what the driver has never seen):
+#   0 — brand-new this round (never driver-checked): the BPE rounds,
+#       the graph family (quantized PageRank / BFS / co-purchase),
+#       the SAX time-series pair, the four-tier sketch-index suite
+#       (HLL / bitmap-exact / theta set algebra / KLL merge), MAD
+#       robust outliers, incremental view maintenance, snapshot diff;
+#   0b — the round-5 oracle upgrades whose first driver rows landed
+#       in r05's window but are worth a re-confirm after this round's
+#       shared-module churn (dedup/similarity/graph caches);
+#   1 — events queries downstream of the NTZ read normalization;
+#   2 — everything already green, in stable order.
 _DRIVER_FIRST: tuple[str, ...] = (
     # tier 0: brand-new this round, never driver-checked
     "q145_bpe_merge_rounds", "q146_pagerank_bipartite",
@@ -73,7 +66,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q153_bitmap_distinct_rollup", "q154_theta_overlap_matrix",
     "q155_kll_quantile_index", "q156_incremental_view_maintenance",
     "q157_snapshot_diff",
-    # tier 0b: new/upgraded oracles + the stale rows-only IVF query
+    # tier 0b: round-5 oracle upgrades worth a re-confirm
     "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
     "q36_ann_lsh_topk", "q97_semdedup",
     "q55_approx_sketches", "q135_salted_skew_join",
