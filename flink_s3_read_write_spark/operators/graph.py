@@ -121,6 +121,64 @@ def bfs_levels(
     return reached
 
 
+def wl_refine(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Weisfeiler-Lehman label refinement (public algorithm — the 1-WL
+    colour refinement behind graph-isomorphism tests and WL kernels).
+
+    Nodes start labelled by degree; each round relabels
+    ``md5(own || '|' || sorted neighbour labels)`` — after k rounds
+    two nodes share a label only if their k-hop neighbourhood trees
+    agree, so the labels are structural fingerprints (graph dedup /
+    similarity at the structure level).
+
+    Relational per round: one edges⋈labels join + a collect_list
+    aggregate; the sort inside ``array_sort`` makes the neighbour
+    multiset canonical, so the md5 is engine-independent and the
+    whole refinement is SQL-replayable.  Per-round caching bounds
+    lineage (bpe.py rule); at 100 TB rounds checkpoint and the join
+    co-locates on the edge partitioning.
+    """
+    lab = degree_table(edges).select("u", F.col("deg").cast("string").alias("lb"))
+    lab = lab.cache()
+    for _ in range(rounds):
+        nb = (
+            edges.join(lab, "u")
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.array_sort(F.collect_list("lb")).alias("_ns"))
+        )
+        lab = (
+            lab.join(nb, "u", "left")
+            .select(
+                "u",
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("lb"),
+                        F.array_join(
+                            F.coalesce("_ns", F.expr("cast(array() as array<string>)")),
+                            ",",
+                        ),
+                    )
+                ).alias("lb"),
+            )
+            .cache()
+        )
+    return lab
+
+
+def wl_class_summary(labels: DataFrame) -> DataFrame:
+    """Structure-class statistics over WL fingerprints: how many
+    distinct structural classes, how many are singletons, the largest
+    class — the one-row profile of a graph's local-structure variety."""
+    classes = labels.groupBy("lb").agg(F.count(F.lit(1)).alias("n"))
+    return classes.agg(
+        F.sum("n").alias("n_nodes"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_singletons"),
+        F.max("n").alias("max_class_size"),
+    )
+
+
 def top_ranked(ranks: DataFrame, k: int = 20) -> DataFrame:
     """Top-k nodes by (rank DESC, node ASC) with their position.
 

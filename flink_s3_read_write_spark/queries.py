@@ -65,7 +65,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q150_sax_similarity_probe", "q151_hll_sketch_index", "q152_mad_outliers",
     "q153_bitmap_distinct_rollup", "q154_theta_overlap_matrix",
     "q155_kll_quantile_index", "q156_incremental_view_maintenance",
-    "q157_snapshot_diff",
+    "q157_snapshot_diff", "q158_wl_graph_fingerprint",
     # tier 0b: round-5 oracle upgrades worth a re-confirm
     "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
     "q36_ann_lsh_topk", "q97_semdedup",

@@ -2192,3 +2192,64 @@ def q157_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
     )
     return diff_tables(v1, v2, ["event_id"], ["event_type", "value"])
+
+
+@register(
+    "q158_wl_graph_fingerprint",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    e AS (
+      SELECT 'c' || CAST(c AS VARCHAR) AS u, 'p' || CAST(p AS VARCHAR) AS v FROM e0
+      UNION ALL
+      SELECT 'p' || CAST(p AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM e0),
+    lab0 AS (
+      SELECT u, CAST(COUNT(*) AS VARCHAR) AS lb FROM e GROUP BY u),
+    nb1 AS (
+      SELECT e.v AS u, array_to_string(list_sort(list(c.lb)), ',') AS ns
+      FROM e JOIN lab0 c ON c.u = e.u GROUP BY e.v),
+    lab1 AS (
+      SELECT l.u, md5(l.lb || '|' || COALESCE(n.ns, '')) AS lb
+      FROM lab0 l LEFT JOIN nb1 n USING (u)),
+    nb2 AS (
+      SELECT e.v AS u, array_to_string(list_sort(list(c.lb)), ',') AS ns
+      FROM e JOIN lab1 c ON c.u = e.u GROUP BY e.v),
+    lab2 AS (
+      SELECT l.u, md5(l.lb || '|' || COALESCE(n.ns, '')) AS lb
+      FROM lab1 l LEFT JOIN nb2 n USING (u)),
+    classes AS (SELECT lb, COUNT(*) AS n FROM lab2 GROUP BY lb)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+           CAST(MAX(n) AS BIGINT) AS max_class_size
+    FROM classes
+    """,
+    doc=(
+        "Weisfeiler-Lehman structural fingerprinting (operators/"
+        "graph.py wl_refine): 2 rounds of colour refinement over the "
+        "purchase graph - per round one edges-joins-labels shuffle + "
+        "a canonical (array_sort) neighbour-multiset aggregate, "
+        "relabelled by md5, so the inherently iterative isomorphism "
+        "refinement is bit-replayable in SQL. Output is the one-row "
+        "structure-class profile (classes / singletons / largest "
+        "class) - the WL-kernel primitive behind graph-level dedup "
+        "and similarity."
+    ),
+)
+def q158_wl_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.operators import graph as G
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    cu = F.concat(F.lit("c"), F.col("c").cast("string"))
+    pu = F.concat(F.lit("p"), F.col("p").cast("string"))
+    edges = e0.select(cu.alias("u"), pu.alias("v")).unionByName(
+        e0.select(pu.alias("u"), cu.alias("v"))
+    ).cache()
+    return G.wl_class_summary(G.wl_refine(edges, rounds=2))

@@ -106,3 +106,22 @@ def test_bfs_randomized_graph(spark):
     seeds = spark.createDataFrame([("n0",), ("n7",)], "u string")
     got = {r["u"]: r["dist"] for r in G.bfs_levels(df, seeds, rounds=4).collect()}
     assert got == py_bfs(edges, ["n0", "n7"], 4)
+
+
+def test_wl_distinguishes_structures_and_is_stable(spark):
+    # Two disjoint components: a 4-cycle (all nodes equivalent) and a
+    # star with 3 leaves (hub vs leaf classes). WL after 2 rounds must
+    # give: one class of 4 (cycle), one hub class of 1, one leaf class
+    # of 3 -> 3 classes, 1 singleton, max size 4.
+    cyc = [("c1", "c2"), ("c2", "c3"), ("c3", "c4"), ("c4", "c1")]
+    cyc = cyc + [(b, a) for a, b in cyc]
+    star = [("h", "l1"), ("h", "l2"), ("h", "l3")]
+    star = star + [(b, a) for a, b in star]
+    df = spark.createDataFrame(cyc + star, "u string, v string")
+    labels = G.wl_refine(df, rounds=2)
+    summary = G.wl_class_summary(labels).collect()[0]
+    assert tuple(summary) == (8, 3, 1, 4)
+    # determinism: a second run yields identical labels
+    again = {r["u"]: r["lb"] for r in G.wl_refine(df, rounds=2).collect()}
+    first = {r["u"]: r["lb"] for r in labels.collect()}
+    assert first == again
