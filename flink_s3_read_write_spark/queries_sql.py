@@ -1761,9 +1761,13 @@ def q147_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pc = po.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
     nn = F.broadcast(po.agg(F.countDistinct("o").alias("n_orders")))
+    # per-part counts attach WITHOUT a forced broadcast: parts are a
+    # genuine dimension (billions at 100 TB), so the planner picks
+    # broadcast at small SF and shuffle join at scale; only the 1-row
+    # order count is hint-broadcast.
     return (
-        pairs.join(F.broadcast(pc.withColumnRenamed("p", "part_a").withColumnRenamed("n", "n_a")), "part_a")
-        .join(F.broadcast(pc.withColumnRenamed("p", "part_b").withColumnRenamed("n", "n_b")), "part_b")
+        pairs.join(pc.withColumnRenamed("p", "part_a").withColumnRenamed("n", "n_a"), "part_a")
+        .join(pc.withColumnRenamed("p", "part_b").withColumnRenamed("n", "n_b"), "part_b")
         .crossJoin(nn)
         .select(
             "part_a", "part_b", "n_ab",
