@@ -2257,3 +2257,237 @@ def q158_wl_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(pu.alias("u"), cu.alias("v"))
     ).cache()
     return G.wl_class_summary(G.wl_refine(edges, rounds=2))
+
+
+@register(
+    "q159_triangle_count",
+    oracle="""
+    WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    edges AS (
+      SELECT a.p AS a, b.p AS b
+      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) t
+      GROUP BY node),
+    oe AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS v,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN db.d ELSE da.d END AS dv
+      FROM edges e
+      JOIN deg da ON da.node = e.a
+      JOIN deg db ON db.node = e.b),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM oe e1
+      JOIN oe e2 ON e2.u = e1.u
+                AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+      JOIN oe e3 ON e3.u = e1.v AND e3.v = e2.v),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+    SELECT agg.n_nodes, ne.n_edges, agg.n_wedges, tri.n_triangles,
+           CASE WHEN agg.n_wedges = 0 THEN 0.0
+                ELSE CAST(3 * tri.n_triangles AS DOUBLE) / CAST(agg.n_wedges AS DOUBLE)
+           END AS global_cc
+    FROM agg, ne, tri
+    """,
+    doc=(
+        "Triangle counting + global clustering coefficient over the "
+        "support->=2 co-purchase part graph (q147's edge set). Uses the "
+        "canonical degree-ordered orientation: every edge points from "
+        "its lower-(deg,id) endpoint to the higher one, so each "
+        "triangle is counted exactly once at its lowest-order apex and "
+        "the wedge join fans out only over OUT-degrees, which the "
+        "orientation bounds by O(sqrt(m)) on any graph - the trick "
+        "that makes relational triangle counting survive power-law "
+        "degree skew at 100 TB (an id-only orientation would square "
+        "the hottest hub instead). Three self-joins on the oriented "
+        "edge list, all key-partitioned; clustering coefficient is one "
+        "double division of exact BIGINTs, bit-identical cross-engine."
+    ),
+)
+def q159_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a = po.select("o", F.col("p").alias("a"))
+    b = po.select("o", F.col("p").alias("b"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("a", "b")
+        .cache()  # feeds degrees + orientation + the closing-edge probe
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oe = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+        .cache()  # probed three times by the wedge + closing joins
+    )
+    e1 = oe.select(F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    e2 = oe.select(F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedge_ord = (F.col("dv1") < F.col("dv2")) | (
+        (F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2"))
+    )
+    closing = oe.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = (
+        e1.join(e2, "u")
+        .filter(wedge_ord)
+        .join(closing, ["v1", "v2"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    summary = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum((F.col("d") * (F.col("d") - F.lit(1)) / F.lit(2)).cast("bigint")).alias(
+            "n_wedges"
+        ),
+    )
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        F.broadcast(summary)
+        .crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes", "n_edges", "n_wedges", "n_triangles",
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(
+                (F.lit(3) * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges").cast("double")
+            )
+            .alias("global_cc"),
+        )
+    )
+
+
+@register(
+    "q160_open_order_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS start_d,
+             CAST(MAX(l.l_shipdate) AS DATE) AS end_d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate),
+    deltas AS (
+      SELECT start_d AS day, CAST(1 AS BIGINT) AS delta FROM iv
+      UNION ALL
+      SELECT CAST(end_d + INTERVAL 1 DAY AS DATE), CAST(-1 AS BIGINT) FROM iv),
+    daily AS (
+      SELECT day, SUM(delta) AS delta FROM deltas GROUP BY day),
+    conc AS (
+      SELECT day,
+             CAST(SUM(delta) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS open_orders
+      FROM daily)
+    SELECT CAST(day AS VARCHAR) AS day, open_orders FROM conc
+    ORDER BY open_orders DESC, day LIMIT 10
+    """,
+    doc=(
+        "Sweep-line interval concurrency: each order is open from "
+        "o_orderdate until its last line ships; find the 10 days with "
+        "the most simultaneously-open orders. The classic two-level "
+        "sweep: intervals become +1/-1 boundary deltas, deltas are "
+        "pre-aggregated BY DAY (the only full-data shuffle, and a "
+        "partial-agg one), and only then does a running-sum window run "
+        "over the distinct-day table - thousands of rows regardless of "
+        "input scale, so the unpartitioned ORDER BY day window is NOT "
+        "a scale hazard (same bounded-domain argument as q101's "
+        "calendar spine). Top-10 via TakeOrderedAndProject."
+    ),
+)
+def q160_open_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("end_ts"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("start_d"),
+            F.col("end_ts").cast("date").alias("end_d"),
+        )
+    )
+    deltas = iv.select(
+        F.col("start_d").alias("day"), F.lit(1).cast("bigint").alias("delta")
+    ).unionByName(
+        iv.select(F.date_add("end_d", 1).alias("day"), F.lit(-1).cast("bigint").alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    conc = daily.select("day", F.sum("delta").over(w).cast("bigint").alias("open_orders"))
+    return (
+        conc.orderBy(F.desc("open_orders"), "day")
+        .limit(10)
+        # dates are pandas-lossy on the comparator fetch path; ship ISO strings
+        .select(F.col("day").cast("string").alias("day"), "open_orders")
+    )
+
+
+@register(
+    "q161_pareto_skyline",
+    oracle="""
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part q
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part p
+      WHERE p.p_retailprice <= q.p_retailprice AND p.p_size >= q.p_size
+        AND (p.p_retailprice < q.p_retailprice OR p.p_size > q.p_size))
+    """,
+    doc=(
+        "Pareto skyline (minimize price, maximize size): parts no "
+        "other part dominates. The oracle states the quadratic "
+        "NOT-EXISTS dominance spec; the Spark plan is the O(n log n) "
+        "sort-based rewrite - collapse to one row per distinct price "
+        "(max size), take the running max of size over strictly "
+        "cheaper prices with a 1-PRECEDING row frame on that "
+        "distinct-price table (bounded domain, so the global-order "
+        "window is safe at scale - same argument as q160), and a part "
+        "survives iff no strictly-cheaper price reaches its size and "
+        "no same-price part strictly exceeds it. Dominance checks are "
+        "exact double/int comparisons - no epsilon, bit-identical "
+        "cross-engine."
+    ),
+)
+def q161_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    g = part.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    g2 = g.select(
+        "p_retailprice", "gmax", F.max("gmax").over(w).alias("cheaper_max")
+    )
+    return (
+        part.join(g2, "p_retailprice")
+        .filter(
+            (F.col("cheaper_max").isNull() | (F.col("cheaper_max") < F.col("p_size")))
+            & (F.col("gmax") <= F.col("p_size"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

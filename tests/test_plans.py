@@ -290,3 +290,41 @@ def test_q147_copurchase_joins_are_broadcast(spark, sf_dir):
     assert P.count(plan, "BroadcastHashJoin") >= 2, plan
     assert not P.has(plan, "CartesianProduct"), plan
     assert P.has(plan, "partial_count"), plan
+
+
+def test_q159_triangle_degree_orientation_no_cartesian(spark, sf_dir):
+    """q159: the wedge + closing joins are keyed hash joins on the
+    cached oriented edge list — no cartesian anywhere, map-side
+    partial counts on the pair aggregate, and the oriented edges are
+    reused from cache (three probes, one materialization)."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q159_triangle_count"].fn(spark, sf_dir))
+    assert not P.has(plan, "CartesianProduct"), plan
+    assert P.has(plan, "partial_count"), plan
+    assert P.count(plan, "InMemoryTableScan") >= 3, plan
+
+
+def test_q160_sweepline_preaggregates_before_window(spark, sf_dir):
+    """q160: boundary deltas are combined per day (partial_sum) BEFORE
+    the running-sum window, so the global-order window only ever sees
+    the distinct-day table; top-10 is TakeOrderedAndProject, not a
+    global sort."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q160_open_order_concurrency"].fn(spark, sf_dir))
+    assert P.has(plan, "partial_sum"), plan
+    assert P.has(plan, "TakeOrderedAndProject"), plan
+    assert not P.has(plan, "CartesianProduct"), plan
+
+
+def test_q161_skyline_prunes_part_scan(spark, sf_dir):
+    """q161: the sort-based skyline rewrite reads only the three part
+    columns it needs and runs zero quadratic joins — the NOT-EXISTS
+    dominance spec lives in the oracle, not the plan."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q161_pareto_skyline"].fn(spark, sf_dir))
+    assert not P.has(plan, "CartesianProduct"), plan
+    for cols in P.read_schemas(plan):
+        assert set(cols) <= {"p_partkey", "p_retailprice", "p_size"}, cols
