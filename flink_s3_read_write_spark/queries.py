@@ -67,7 +67,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q155_kll_quantile_index", "q156_incremental_view_maintenance",
     "q157_snapshot_diff", "q158_wl_graph_fingerprint",
     "q159_triangle_count", "q160_open_order_concurrency",
-    "q161_pareto_skyline",
+    "q161_pareto_skyline", "q162_cms_heavy_hitters",
+    "q163_sorted_neighborhood_pairs", "q164_item_item_cf",
     # tier 0b: round-5 oracle upgrades worth a re-confirm
     "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
     "q36_ann_lsh_topk", "q97_semdedup",

@@ -3228,3 +3228,158 @@ def q155_kll_quantile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_ok("_lt50", "_le50", 0.5).alias("p50_ok"),
         rank_ok("_lt99", "_le99", 0.99).alias("p99_ok"),
     )
+
+
+@register(
+    "q162_cms_heavy_hitters",
+    # The count-min sketch here is md5-derived end-to-end (bucket_i =
+    # 60-bit md5 int mod width), so the oracle replays the ENTIRE
+    # sketch — build, point query, overcount — bit-identically; no
+    # within-bound booleans needed (q33 full-replay pattern, not the
+    # q151 contract pattern).
+    oracle=f"""
+    WITH tok AS (
+      SELECT t AS tok FROM (
+        SELECT unnest(list_slice(string_split({_NORM_SQL.format(c='text')}, ' '),
+                                 1, 10000)) AS t
+        FROM documents) u
+      WHERE t <> ''),
+    cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY tok),
+    n AS (SELECT SUM(exact_cnt) AS n_total FROM cnt),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cells AS (
+      SELECT r,
+             ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || tok), 1, 15))::BIGINT
+               % 512 AS bucket,
+             SUM(exact_cnt) AS cell
+      FROM cnt CROSS JOIN rows_
+      GROUP BY 1, 2),
+    cand AS (SELECT tok, exact_cnt FROM cnt, n WHERE 200 * exact_cnt >= n_total),
+    est AS (
+      SELECT c.tok, c.exact_cnt, CAST(MIN(ce.cell) AS BIGINT) AS cms_est
+      FROM cand c
+      CROSS JOIN rows_ rr
+      JOIN cells ce ON ce.r = rr.r
+        AND ce.bucket = ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || '|' || c.tok),
+                                        1, 15))::BIGINT % 512
+      GROUP BY 1, 2)
+    SELECT tok, exact_cnt, cms_est, cms_est - exact_cnt AS overcount FROM est
+    """,
+    doc=(
+        "Count-min sketch heavy hitters: a depth-4 x width-512 CMS "
+        "over the corpus token stream, built FROM the per-token "
+        "partial aggregate (CMS is additive, so cell(i, h_i(tok)) += "
+        "cnt gives the same counters as streaming one token at a "
+        "time) - the only corpus-sized work is the one token-count "
+        "shuffle; the sketch itself is 2048 cells regardless of "
+        "scale, the fixed-size summary you'd persist per "
+        "partition/day at 100 TB and OR-merge like q151/q153-q155. "
+        "Candidates (exact mass >= 0.5% of N, integer cross-multiplied "
+        "compare) probe the broadcast cell table; cms_est = min over "
+        "the 4 rows, and overcount = est - exact exposes the CMS "
+        "one-sided error (always >= 0). Hashes are md5-derived 60-bit "
+        "ints mod width, bit-identical in DuckDB."
+    ),
+)
+def q162_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.operators.dedup import _md5_h60
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(D.tokens(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    cnt = cnt.cache()  # feeds total mass + cells + candidates
+    n_total = F.broadcast(cnt.agg(F.sum("exact_cnt").alias("n_total")))
+    rows_ = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
+
+    def bucket(r, tok_col):
+        return _md5_h60(F.md5(F.concat(r.cast("string"), F.lit("|"), tok_col))) % 512
+
+    cells = (
+        cnt.select("tok", "exact_cnt", rows_)
+        .select(F.col("r"), bucket(F.col("r"), F.col("tok")).alias("bucket"), "exact_cnt")
+        .groupBy("r", "bucket")
+        .agg(F.sum("exact_cnt").alias("cell"))
+    )
+    cand = (
+        cnt.crossJoin(n_total)
+        .filter(F.lit(200) * F.col("exact_cnt") >= F.col("n_total"))
+        .select("tok", "exact_cnt")
+    )
+    probes = cand.select(
+        "tok", "exact_cnt", rows_
+    ).select("tok", "exact_cnt", "r", bucket(F.col("r"), F.col("tok")).alias("bucket"))
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cell").cast("bigint").alias("cms_est"))
+        .select(
+            "tok", "exact_cnt", "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )
+
+
+@register(
+    "q163_sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, {_NORM_SQL.format(c='text')} AS ntext,
+             list_slice(string_split({_NORM_SQL.format(c='text')}, ' '), 1, 10000) AS toks
+      FROM documents),
+    r AS (
+      SELECT doc_id, ntext, toks, substr(ntext, 1, 8) AS blk,
+             row_number() OVER (PARTITION BY substr(ntext, 1, 8)
+                                ORDER BY ntext, doc_id) AS rn
+      FROM n)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(b.rn - a.rn AS INTEGER) AS gap,
+           CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
+                THEN CAST(len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.toks, b.toks)))
+                ELSE 0.0 END AS jaccard
+    FROM r a JOIN r b ON b.blk = a.blk AND b.rn - a.rn BETWEEN 1 AND 3
+    """,
+    doc=(
+        "Sorted-neighborhood entity-resolution blocking (Hernandez-"
+        "Stolfo merge/purge): docs sort by normalized text WITHIN an "
+        "8-char-prefix block, and only pairs within a sliding window "
+        "of 3 sorted neighbors are compared - candidate count is "
+        "O(n*w) instead of the O(n^2) all-pairs compare, the third "
+        "blocking strategy beside LSH banding (q33/q34) and sign-LSH "
+        "buckets (q97). The window runs PARTITIONED by block (no "
+        "global sort - the multi-pass block-wise SNM variant that "
+        "scales; the classic single-sort SNM is its w=infinity block "
+        "limit), then each neighbor pair gets an exact token-set "
+        "Jaccard. row_number ties broken by (ntext, doc_id) - total "
+        "order, so both engines emit identical pairs."
+    ),
+)
+def q163_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    nt = D.normalize_text(F.col("text"))
+    base = docs.select(
+        "doc_id", "text", nt.alias("ntext"), F.substring(nt, 1, 8).alias("blk")
+    )
+    w = Window.partitionBy("blk").orderBy("ntext", "doc_id")
+    r = base.select("doc_id", "text", "ntext", "blk", F.row_number().over(w).alias("rn"))
+    a = r.select(
+        F.col("blk"), F.col("rn").alias("rn_a"),
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"),
+    )
+    b = r.select(
+        F.col("blk"), F.col("rn").alias("rn_b"),
+        F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter((F.col("rn_b") - F.col("rn_a")).between(1, 3))
+        .select(
+            "id_a", "id_b",
+            (F.col("rn_b") - F.col("rn_a")).cast("int").alias("gap"),
+            D.jaccard_tokens(F.col("text_a"), F.col("text_b")).alias("jaccard"),
+        )
+    )

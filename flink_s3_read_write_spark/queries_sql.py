@@ -2491,3 +2491,94 @@ def q161_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+@register(
+    "q164_item_item_cf",
+    oracle="""
+    WITH up AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    co AS (
+      SELECT a.i AS item_a, b.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM up a JOIN up b ON b.u = a.u AND a.i < b.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+    ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM up GROUP BY i),
+    sim AS (
+      SELECT item_a, item_b, n_ab,
+             CAST(n_ab AS DOUBLE) / sqrt(CAST(ca.n * cb.n AS DOUBLE)) AS cosine
+      FROM co
+      JOIN ic ca ON ca.i = co.item_a
+      JOIN ic cb ON cb.i = co.item_b),
+    sym AS (
+      SELECT item_a AS item, item_b AS nbr, n_ab, cosine FROM sim
+      UNION ALL
+      SELECT item_b, item_a, n_ab, cosine FROM sim),
+    rk AS (
+      SELECT item, nbr, n_ab, cosine,
+             row_number() OVER (PARTITION BY item
+                                ORDER BY cosine DESC, n_ab DESC, nbr) AS rank
+      FROM sym)
+    SELECT item, nbr, n_ab, cosine, CAST(rank AS INTEGER) AS rank
+    FROM rk WHERE rank <= 3
+    """,
+    doc=(
+        "Item-item collaborative filtering: parts bought by the same "
+        "customer co-occur; similarity is co-occurrence cosine "
+        "n_ab/sqrt(n_a*n_b) and each item keeps its top-3 neighbors. "
+        "Same bounded per-basket fan-out as q147 (C(basket,2) per "
+        "customer, frequency-capped hot items at 100 TB), support >= 3 "
+        "prunes the pair table BEFORE the similarity join, per-item "
+        "degree counts attach by planner choice (genuine dimension), "
+        "and the top-3 is a rank window partitioned BY ITEM - "
+        "WindowGroupLimit pushes the limit into the shuffle, never a "
+        "global sort. Tie order (cosine DESC, n_ab DESC, nbr) is "
+        "total; cosine is one double op over exact BIGINTs - "
+        "bit-identical cross-engine."
+    ),
+)
+def q164_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    up = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    up = up.cache()  # feeds the pair self-join + per-item counts
+    a = up.select("u", F.col("i").alias("item_a"))
+    b = up.select("u", F.col("i").alias("item_b"))
+    co = (
+        a.join(b, "u")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ic = up.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
+    sim = (
+        co.join(ic.select(F.col("i").alias("item_a"), F.col("n").alias("n_a")), "item_a")
+        .join(ic.select(F.col("i").alias("item_b"), F.col("n").alias("n_b")), "item_b")
+        .select(
+            "item_a", "item_b", "n_ab",
+            (
+                F.col("n_ab").cast("double")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    sym = sim.select(
+        F.col("item_a").alias("item"), F.col("item_b").alias("nbr"), "n_ab", "cosine"
+    ).unionByName(
+        sim.select(
+            F.col("item_b").alias("item"), F.col("item_a").alias("nbr"), "n_ab", "cosine"
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"), F.desc("n_ab"), "nbr")
+    return (
+        sym.select("item", "nbr", "n_ab", "cosine", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 3)
+        .select("item", "nbr", "n_ab", "cosine", F.col("rank").cast("int").alias("rank"))
+    )

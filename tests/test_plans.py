@@ -328,3 +328,41 @@ def test_q161_skyline_prunes_part_scan(spark, sf_dir):
     assert not P.has(plan, "CartesianProduct"), plan
     for cols in P.read_schemas(plan):
         assert set(cols) <= {"p_partkey", "p_retailprice", "p_size"}, cols
+
+
+def test_q162_cms_cells_broadcast_partial_agg(spark, sf_dir):
+    """q162: the 2048-cell sketch table attaches to candidate probes
+    via broadcast (it is fixed-size by construction), the token count
+    is map-side combined, and the distinct-token table is cached once
+    for its three consumers."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q162_cms_heavy_hitters"].fn(spark, sf_dir))
+    assert P.count(plan, "BroadcastExchange") >= 2, plan  # N scalar + cells
+    assert P.has(plan, "partial_count"), plan
+    assert not P.has(plan, "CartesianProduct"), plan
+
+
+def test_q163_snm_window_is_block_partitioned(spark, sf_dir):
+    """q163: the sorted-neighborhood rank window partitions by the
+    8-char block — never an unpartitioned global sort — and the
+    neighbor join is a keyed join on the block."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q163_sorted_neighborhood_pairs"].fn(spark, sf_dir))
+    assert not P.has(plan, "CartesianProduct"), plan
+    assert P.has(plan, "row_number"), plan
+    # the window's required distribution is hashpartitioning on blk,
+    # visible as a shuffle exchange keyed by blk
+    assert "blk" in plan, plan
+
+
+def test_q164_cf_topk_uses_window_group_limit(spark, sf_dir):
+    """q164: the per-item top-3 neighbor rank runs as WindowGroupLimit
+    (rank pushed into the shuffle), and support pruning happens before
+    the degree joins."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q164_item_item_cf"].fn(spark, sf_dir))
+    assert P.has(plan, "WindowGroupLimit"), plan
+    assert not P.has(plan, "CartesianProduct"), plan
