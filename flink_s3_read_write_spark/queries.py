@@ -69,6 +69,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q159_triangle_count", "q160_open_order_concurrency",
     "q161_pareto_skyline", "q162_cms_heavy_hitters",
     "q163_sorted_neighborhood_pairs", "q164_item_item_cf",
+    "q165_touch_attribution", "q166_ab_test_ztest",
+    "q167_grid_spatial_join",
     # tier 0b: round-5 oracle upgrades worth a re-confirm
     "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
     "q36_ann_lsh_topk", "q97_semdedup",

@@ -3383,3 +3383,111 @@ def q163_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFram
             D.jaccard_tokens(F.col("text_a"), F.col("text_b")).alias("jaccard"),
         )
     )
+
+
+@register(
+    "q167_grid_spatial_join",
+    # Oracle is the brute-force distance join (quadratic spec); the
+    # Spark plan is the grid-bucketed rewrite — same q161 pattern of
+    # checking an O(n) plan against the O(n^2) definition.  All
+    # coordinates and distances are int64 (md5-derived positions on a
+    # 10^6 x 10^6 lattice), so there is no float anywhere.
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             ('0x' || substr(md5('lat|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS x,
+             ('0x' || substr(md5('lon|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS y
+      FROM customer),
+    qp AS (
+      SELECT n_nationkey AS qid,
+             ('0x' || substr(md5('qlat|' || CAST(n_nationkey AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS qx,
+             ('0x' || substr(md5('qlon|' || CAST(n_nationkey AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS qy
+      FROM nation),
+    hits AS (
+      SELECT qp.qid, pts.c_custkey,
+             (pts.x - qp.qx) * (pts.x - qp.qx)
+               + (pts.y - qp.qy) * (pts.y - qp.qy) AS d2
+      FROM qp JOIN pts
+        ON (pts.x - qp.qx) * (pts.x - qp.qx)
+             + (pts.y - qp.qy) * (pts.y - qp.qy) <= 10000000000),
+    agg AS (
+      SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_within,
+             CAST(MIN(d2) AS BIGINT) AS min_d2
+      FROM hits GROUP BY qid),
+    nearest AS (
+      SELECT qid, c_custkey FROM (
+        SELECT qid, c_custkey,
+               row_number() OVER (PARTITION BY qid ORDER BY d2, c_custkey) AS rn
+        FROM hits) t WHERE rn = 1)
+    SELECT a.qid, a.n_within, a.min_d2, CAST(n.c_custkey AS BIGINT) AS nearest_cust
+    FROM agg a JOIN nearest n USING (qid)
+    """,
+    doc=(
+        "Radius spatial join via grid bucketing: customers land on "
+        "deterministic md5-derived lattice positions, each query "
+        "point (one per nation) finds every customer within radius "
+        "r = 100k. Spark buckets points into r-sized grid cells and "
+        "probes only the 3x3 neighborhood of each query's cell - the "
+        "standard spatial-join decomposition (cell size = radius "
+        "guarantees the neighborhood covers the disc), so matching "
+        "cost is density-proportional instead of |queries| x |points|; "
+        "at 100 TB the cell id becomes the partition key and "
+        "neighbor-cell probes prune to 9 partitions. The oracle runs "
+        "the quadratic brute-force spec. Distances are int64 "
+        "squared-lattice - no floats, no epsilon, and the nearest tie "
+        "order (d2, custkey) is total."
+    ),
+)
+def q167_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.operators.dedup import _md5_h60
+
+    R = 100_000
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def coord(tag, key):
+        return _md5_h60(F.md5(F.concat(F.lit(tag), key.cast("string")))) % 1_000_000
+
+    pts = cust.select(
+        "c_custkey",
+        coord("lat|", F.col("c_custkey")).alias("x"),
+        coord("lon|", F.col("c_custkey")).alias("y"),
+    ).select(
+        "c_custkey", "x", "y",
+        F.floor(F.col("x") / R).alias("cx"),
+        F.floor(F.col("y") / R).alias("cy"),
+    )
+    qp = nation.select(
+        F.col("n_nationkey").alias("qid"),
+        coord("qlat|", F.col("n_nationkey")).alias("qx"),
+        coord("qlon|", F.col("n_nationkey")).alias("qy"),
+    )
+    d = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    qp9 = (
+        qp.select("qid", "qx", "qy", d.alias("dx"))
+        .select("qid", "qx", "qy", "dx", d.alias("dy"))
+        .select(
+            "qid", "qx", "qy",
+            (F.floor(F.col("qx") / R) + F.col("dx")).alias("cx"),
+            (F.floor(F.col("qy") / R) + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
+        F.col("y") - F.col("qy")
+    ) * (F.col("y") - F.col("qy"))
+    hits = (
+        pts.join(F.broadcast(qp9), ["cx", "cy"])
+        .select("qid", "c_custkey", d2.alias("d2"))
+        .filter(F.col("d2") <= R * R)
+    )
+    return hits.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_within"),
+        F.min("d2").cast("bigint").alias("min_d2"),
+        F.min_by("c_custkey", F.struct(F.col("d2"), F.col("c_custkey")))
+        .cast("bigint")
+        .alias("nearest_cust"),
+    )

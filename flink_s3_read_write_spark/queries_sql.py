@@ -2582,3 +2582,149 @@ def q164_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("item", "nbr", "n_ab", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register(
+    "q165_touch_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('click', 'view')),
+    j AS (
+      SELECT p.event_id AS pid, t.event_type AS t_type, t.ts AS t_ts,
+             t.event_id AS t_id
+      FROM p LEFT JOIN t ON t.user_id = p.user_id
+        AND t.ts <= p.ts AND t.ts > p.ts - INTERVAL 7 DAY),
+    ranked AS (
+      SELECT pid, t_type,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY t_ts DESC NULLS LAST, t_id DESC NULLS LAST) AS rl,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY t_ts ASC NULLS LAST, t_id ASC NULLS LAST) AS rf
+      FROM j),
+    per AS (
+      SELECT pid,
+             COALESCE(MAX(CASE WHEN rl = 1 THEN t_type END), 'none') AS last_type,
+             COALESCE(MAX(CASE WHEN rf = 1 THEN t_type END), 'none') AS first_type
+      FROM ranked GROUP BY pid)
+    SELECT 'last_touch' AS model, last_type AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM per GROUP BY 2
+    UNION ALL
+    SELECT 'first_touch', first_type, CAST(COUNT(*) AS BIGINT)
+    FROM per GROUP BY 2
+    """,
+    doc=(
+        "Marketing attribution: every purchase credits the click/view "
+        "touch that last (and first) preceded it within a 7-day "
+        "window, 'none' when the window is empty. The per-user range "
+        "join is watermark-bounded (7 days) - the as-of pattern of "
+        "q25, partition-prunable by day at 100 TB - and the arg_max/"
+        "arg_min tie order (ts, event_id) is total, so both engines "
+        "pick identical touches. Purchase-level credit collapses in "
+        "one keyed aggregate; model rollups run on the tiny credited "
+        "table."
+    ),
+)
+def q165_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("u"), F.col("ts").alias("p_ts")
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("u"), F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"), F.col("event_type").alias("t_type"),
+    )
+    j = p.join(
+        t,
+        (p.u == t.u)
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+        "left",
+    )
+    ord_ = F.struct(F.col("t_ts"), F.col("t_id"))
+    per = j.groupBy("pid").agg(
+        F.coalesce(F.max_by("t_type", ord_), F.lit("none")).alias("last_type"),
+        F.coalesce(F.min_by("t_type", ord_), F.lit("none")).alias("first_type"),
+    )
+    per = per.cache()  # tiny credited table feeds both model rollups
+    last = per.groupBy(F.col("last_type").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("last_touch").alias("model"), "touch_type", "n")
+    first = per.groupBy(F.col("first_type").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("first_touch").alias("model"), "touch_type", "n")
+    return last.unionByName(first)
+
+
+@register(
+    "q166_ab_test_ztest",
+    oracle="""
+    WITH x AS (
+      SELECT user_id % 2 AS variant, CAST(value AS DECIMAL(20,6)) AS v
+      FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT COUNT(*) FILTER (variant = 0) AS n_a,
+             COUNT(*) FILTER (variant = 1) AS n_b,
+             SUM(v) FILTER (variant = 0) AS sa,
+             SUM(v) FILTER (variant = 1) AS sb,
+             SUM(v * v) FILTER (variant = 0) AS saa,
+             SUM(v * v) FILTER (variant = 1) AS sbb
+      FROM x)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(CAST(sa AS DOUBLE) / n_a, 9) AS mean_a,
+           round(CAST(sb AS DOUBLE) / n_b, 9) AS mean_b,
+           round((CAST(sb AS DOUBLE) / n_b - CAST(sa AS DOUBLE) / n_a)
+             / sqrt(((n_a * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                       / (CAST(n_a AS DOUBLE) * (n_a - 1))) / n_a
+                  + ((n_b * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                       / (CAST(n_b AS DOUBLE) * (n_b - 1))) / n_b), 9) AS z,
+           abs((CAST(sb AS DOUBLE) / n_b - CAST(sa AS DOUBLE) / n_a)
+             / sqrt(((n_a * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                       / (CAST(n_a AS DOUBLE) * (n_a - 1))) / n_a
+                  + ((n_b * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                       / (CAST(n_b AS DOUBLE) * (n_b - 1))) / n_b)) > 1.96 AS significant
+    FROM m
+    """,
+    doc=(
+        "Two-sample A/B significance (Welch z over purchase values, "
+        "variants split on user_id parity): the q88 decimal-exact "
+        "moment pattern - one flat conditional aggregate (map-side "
+        "combined, no shuffle beyond the 2-moment partial rows) "
+        "carries n/sum/sum-of-squares per arm, then mean, pooled "
+        "standard error, z and the |z|>1.96 verdict finish in double "
+        "on the single result row, rounded to 9 dp where the final "
+        "decimal->double cast is engine-rounded. Mergeable moments "
+        "are how you run experiment readouts over 100 TB of raw "
+        "exposure logs without a per-arm pass."
+    ),
+)
+def q166_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(20,6)")
+    is_a = (F.col("user_id") % 2 == 0)
+    m = ev.filter(F.col("event_type") == "purchase").agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.count(F.when(~is_a, 1)).alias("n_b"),
+        F.sum(F.when(is_a, v)).alias("sa"),
+        F.sum(F.when(~is_a, v)).alias("sb"),
+        F.sum(F.when(is_a, v * v)).alias("saa"),
+        F.sum(F.when(~is_a, v * v)).alias("sbb"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    saa, sbb = F.col("saa").cast("double"), F.col("sbb").cast("double")
+    mean_a, mean_b = sa / n_a, sb / n_b
+    var_a = (n_a * saa - sa * sa) / (n_a.cast("double") * (n_a - 1))
+    var_b = (n_b * sbb - sb * sb) / (n_b.cast("double") * (n_b - 1))
+    z = (mean_b - mean_a) / F.sqrt(var_a / n_a + var_b / n_b)
+    return m.select(
+        n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        F.round(mean_a, 9).alias("mean_a"),
+        F.round(mean_b, 9).alias("mean_b"),
+        F.round(z, 9).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

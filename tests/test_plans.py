@@ -366,3 +366,39 @@ def test_q164_cf_topk_uses_window_group_limit(spark, sf_dir):
     plan = P.formatted_plan(registry()["q164_item_item_cf"].fn(spark, sf_dir))
     assert P.has(plan, "WindowGroupLimit"), plan
     assert not P.has(plan, "CartesianProduct"), plan
+
+
+def test_q165_attribution_single_purchase_aggregate(spark, sf_dir):
+    """q165: the 7-day touch window is a keyed range join (never a
+    cartesian), purchase-level credit collapses in one aggregate, and
+    both model rollups read the tiny credited table from cache."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q165_touch_attribution"].fn(spark, sf_dir))
+    assert not P.has(plan, "CartesianProduct"), plan
+    assert P.count(plan, "InMemoryTableScan") >= 2, plan
+    assert P.has(plan, "max_by"), plan
+
+
+def test_q166_ztest_is_one_flat_partial_aggregate(spark, sf_dir):
+    """q166: the whole z-test is a single flat conditional-moment
+    aggregate — partial rows combine map-side, one exchange, zero
+    joins."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q166_ab_test_ztest"].fn(spark, sf_dir))
+    assert P.has(plan, "partial_count"), plan
+    assert not P.has(plan, "Join"), plan
+    assert P.shuffle_exchanges(plan) <= 1, plan
+
+
+def test_q167_spatial_join_is_cell_keyed_not_quadratic(spark, sf_dir):
+    """q167: the radius join runs as a hash join on grid-cell ids with
+    the 9-cell-expanded query side broadcast — the quadratic
+    distance-predicate spec lives only in the oracle."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q167_grid_spatial_join"].fn(spark, sf_dir))
+    assert not P.has(plan, "CartesianProduct"), plan
+    assert not P.has(plan, "BroadcastNestedLoopJoin"), plan
+    assert P.has(plan, "BroadcastHashJoin"), plan
