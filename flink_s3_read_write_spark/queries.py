@@ -70,7 +70,9 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q161_pareto_skyline", "q162_cms_heavy_hitters",
     "q163_sorted_neighborhood_pairs", "q164_item_item_cf",
     "q165_touch_attribution", "q166_ab_test_ztest",
-    "q167_grid_spatial_join",
+    "q167_grid_spatial_join", "q168_ohlc_bars", "q169_twap",
+    "q170_daily_streaks", "q171_benford_audit",
+    "q172_dq_constraint_suite",
     # tier 0b: round-5 oracle upgrades worth a re-confirm
     "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
     "q36_ann_lsh_topk", "q97_semdedup",

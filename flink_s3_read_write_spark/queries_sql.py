@@ -2728,3 +2728,318 @@ def q166_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 9).alias("z"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+@register(
+    "q168_ohlc_bars",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, ts, event_id, value
+      FROM events),
+    rk AS (
+      SELECT event_type, day, value,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM e)
+    SELECT event_type, day,
+           MAX(CASE WHEN rf = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rl = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM rk GROUP BY event_type, day
+    """,
+    doc=(
+        "OHLC candlestick bars per (event_type, day): open/close are "
+        "the first/last values in (ts, event_id) order - a total "
+        "order, so both engines pick identical rows - and high/low "
+        "are plain min/max (exact double comparisons, no arithmetic). "
+        "One window + one aggregate, both partitioned by the bar key, "
+        "so bars parallelize per key and per day at any scale - the "
+        "standard resample-to-bars primitive for time-series "
+        "feature pipelines."
+    ),
+)
+def q168_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+        "ts", "event_id", "value",
+    )
+    ord_ = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy("event_type", "day").agg(
+        F.min_by("value", ord_).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ord_).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q169_twap",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value, epoch_us(ts) AS ts_us,
+             lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                      ORDER BY epoch_us(ts), event_id) AS nxt_us
+      FROM events),
+    w AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(20,6)) * (nxt_us - ts_us) AS vw,
+             nxt_us - ts_us AS dur
+      FROM e WHERE nxt_us IS NOT NULL)
+    SELECT event_type,
+           round(CAST(SUM(vw) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE), 9) AS twap,
+           CAST(SUM(dur) AS BIGINT) AS total_us
+    FROM w GROUP BY event_type
+    """,
+    doc=(
+        "Time-weighted average value per event_type: each observation "
+        "holds until the next one (lead over a per-key window), "
+        "weighted by its holding duration in integer microseconds. "
+        "Weighted sums route through DECIMAL(20,6) x BIGINT - exact, "
+        "order-independent, mergeable - and only the final "
+        "sum/sum division happens in double (rounded 9 dp), the q88 "
+        "moment discipline applied to irregular time series. Window "
+        "and aggregate both partition by event_type; no global sort."
+    ),
+)
+def q169_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.unix_micros("ts"), F.col("event_id"))
+    e = ev.select(
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("nxt_us"),
+    ).filter(F.col("nxt_us").isNotNull())
+    dur = F.col("nxt_us") - F.col("ts_us")
+    return (
+        e.select(
+            "event_type",
+            (F.col("value").cast("decimal(20,6)") * dur).alias("vw"),
+            dur.alias("dur"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("vw").alias("svw"), F.sum("dur").alias("sdur"))
+        .select(
+            "event_type",
+            F.round(
+                F.col("svw").cast("double") / F.col("sdur").cast("double"), 9
+            ).alias("twap"),
+            F.col("sdur").cast("bigint").alias("total_us"),
+        )
+    )
+
+
+@register(
+    "q170_daily_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    r AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS anchor
+      FROM d),
+    s AS (
+      SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS streak
+      FROM r GROUP BY user_id, anchor)
+    SELECT user_id,
+           CAST(SUM(streak) AS BIGINT) AS n_active_days,
+           CAST(MAX(streak) AS BIGINT) AS max_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM s GROUP BY user_id
+    """,
+    doc=(
+        "Longest consecutive-day activity streak per user - the "
+        "gaps-and-islands date variant (q143 sessionizes by "
+        "inactivity gap; this islands by calendar day): day minus "
+        "row_number is constant within a run of consecutive days, so "
+        "streaks fall out of two per-user aggregates after a per-user "
+        "rank window. Everything partitions by user_id - one shuffle "
+        "for the distinct collapse, windows and aggregates reuse the "
+        "same hash partitioning; all date/int arithmetic, "
+        "bit-identical cross-engine."
+    ),
+)
+def q170_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.select(
+        "user_id", "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    s = r.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("streak"))
+    return s.groupBy("user_id").agg(
+        F.sum("streak").cast("bigint").alias("n_active_days"),
+        F.max("streak").cast("bigint").alias("max_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    )
+
+
+@register(
+    "q171_benford_audit",
+    # Benford expectations are inlined as shared 12-dp literals (NOT
+    # engine log10 calls — libm log is not guaranteed identically
+    # rounded across JVMs/C libraries), so every double op here is the
+    # same literal-seeded arithmetic on both engines.
+    oracle="""
+    WITH digits(digit, p) AS (VALUES
+      (1, 0.301029995664), (2, 0.176091259056), (3, 0.124938736608),
+      (4, 0.096910013008), (5, 0.079181246048), (6, 0.066946789631),
+      (7, 0.057991946978), (8, 0.051152522447), (9, 0.045757490561)),
+    o AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM o GROUP BY digit),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM o)
+    SELECT d.digit, COALESCE(c.n_obs, 0) AS n_obs,
+           round(CAST(d.p AS DOUBLE) * n.n_total, 9) AS n_expected,
+           round(CAST(COALESCE(c.n_obs, 0) AS DOUBLE) / n.n_total, 9) AS frac_obs
+    FROM digits d LEFT JOIN c ON c.digit = d.digit, n
+    """,
+    doc=(
+        "Benford's-law audit of order totals (the classic "
+        "fraud/synthetic-data screen): leading-digit counts vs the "
+        "log-distribution expectation. Expected probabilities are "
+        "shared 12-dp literals rather than engine log10 calls - libm "
+        "transcendentals are the one double op NOT guaranteed "
+        "bit-identical across engines, the same reason the lattice "
+        "distances in q167 stay integer. One conditional-count "
+        "aggregate over a column-pruned scan (map-side combined), "
+        "9-row broadcast of expectations; no cross-row double sums - "
+        "per-digit rows only, so every emitted double is a single "
+        "rounded op."
+    ),
+)
+def q171_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _BENFORD = {
+        1: 0.301029995664, 2: 0.176091259056, 3: 0.124938736608,
+        4: 0.096910013008, 5: 0.079181246048, 6: 0.066946789631,
+        7: 0.057991946978, 8: 0.051152522447, 9: 0.045757490561,
+    }
+    spark_ = spark
+    digits = spark_.createDataFrame(
+        [(d, p) for d, p in _BENFORD.items()], "digit int, p double"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    c = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    n = F.broadcast(o.agg(F.count(F.lit(1)).alias("n_total")))
+    return (
+        F.broadcast(digits)
+        .join(c, "digit", "left")
+        .na.fill({"n_obs": 0})
+        .crossJoin(n)
+        .select(
+            "digit",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.round(F.col("p") * F.col("n_total"), 9).alias("n_expected"),
+            F.round(
+                F.col("n_obs").cast("double") / F.col("n_total"), 9
+            ).alias("frac_obs"),
+        )
+    )
+
+
+@register(
+    "q172_dq_constraint_suite",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_checked,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1) t)
+             AS n_violations
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'discount_in_unit_range',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1)
+    UNION ALL
+    SELECT 'quantity_positive',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'custkey_complete',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL)
+    """,
+    doc=(
+        "Declarative data-quality constraint suite (the Deequ/"
+        "dbt-test shape): primary-key uniqueness, two referential-"
+        "integrity checks (orphan lineitems / orphan orders, left-"
+        "anti joins), range and completeness checks, emitted as one "
+        "(check, n_checked, n_violations) report. Each check is a "
+        "conditional count or anti-join - partial-aggregated, no "
+        "row-level output - so the whole audit is a handful of "
+        "column-pruned scans plus key-partitioned anti-joins; at "
+        "100 TB every check merges per-partition counts, and the "
+        "anti-joins get the same broadcast/shuffle choice as any "
+        "dimension join."
+    ),
+)
+def q172_dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def one(name, n_checked_df, n_viol_df):
+        a = n_checked_df.agg(F.count(F.lit(1)).alias("n_checked"))
+        b = n_viol_df.agg(F.count(F.lit(1)).alias("n_violations"))
+        return (
+            F.broadcast(a)
+            .crossJoin(F.broadcast(b))
+            .select(
+                F.lit(name).alias("check_name"),
+                F.col("n_checked").cast("bigint").alias("n_checked"),
+                F.col("n_violations").cast("bigint").alias("n_violations"),
+            )
+        )
+
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    orphan_li = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+    orphan_o = orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+    bad_disc = li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+    bad_qty = li.filter(F.col("l_quantity") <= 0)
+    null_cust = orders.filter(F.col("o_custkey").isNull())
+    checks = [
+        one("orders_pk_unique", orders, dup_pk),
+        one("lineitem_fk_orders", li, orphan_li),
+        one("orders_fk_customer", orders, orphan_o),
+        one("discount_in_unit_range", li, bad_disc),
+        one("quantity_positive", li, bad_qty),
+        one("custkey_complete", orders, null_cust),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

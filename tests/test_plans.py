@@ -402,3 +402,50 @@ def test_q167_spatial_join_is_cell_keyed_not_quadratic(spark, sf_dir):
     assert not P.has(plan, "CartesianProduct"), plan
     assert not P.has(plan, "BroadcastNestedLoopJoin"), plan
     assert P.has(plan, "BroadcastHashJoin"), plan
+
+
+def test_q168_ohlc_single_keyed_aggregate(spark, sf_dir):
+    """q168: OHLC bars are one hash aggregate keyed by (type, day)
+    with min_by/max_by carrying open/close — no window, no join, one
+    exchange."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q168_ohlc_bars"].fn(spark, sf_dir))
+    assert P.has(plan, "min_by"), plan
+    assert not P.has(plan, "Join"), plan
+    assert P.shuffle_exchanges(plan) <= 1, plan
+
+
+def test_q169_twap_window_partitioned_by_key(spark, sf_dir):
+    """q169: the lead() window and the weighted-sum aggregate share
+    event_type partitioning; the weighted sums are decimal partial
+    aggregates."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q169_twap"].fn(spark, sf_dir))
+    assert P.has(plan, "partial_sum"), plan
+    assert not P.has(plan, "Join"), plan
+
+
+def test_q170_streaks_reuse_user_partitioning(spark, sf_dir):
+    """q170: distinct-collapse, rank window, and both aggregates all
+    key on user_id — Catalyst reuses the hash partitioning instead of
+    re-shuffling per step (at most the initial distinct + one island
+    exchange)."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q170_daily_streaks"].fn(spark, sf_dir))
+    assert not P.has(plan, "Join"), plan
+    assert P.shuffle_exchanges(plan) <= 2, plan
+
+
+def test_q172_dq_checks_are_counts_and_anti_joins(spark, sf_dir):
+    """q172: referential checks run as left-anti hash joins and every
+    check emits only partial-aggregated counts — no row-level
+    violation payload crosses the network."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q172_dq_constraint_suite"].fn(spark, sf_dir))
+    assert P.count(plan, "LeftAnti") >= 2, plan
+    assert P.has(plan, "partial_count"), plan
+    assert not P.has(plan, "CartesianProduct"), plan
