@@ -2316,6 +2316,7 @@ def q158_wl_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q159_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     po = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    po = po.cache()  # both sides of the basket self-join; one distinct shuffle
     a = po.select("o", F.col("p").alias("a"))
     b = po.select("o", F.col("p").alias("b"))
     edges = (
