@@ -72,7 +72,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q165_touch_attribution", "q166_ab_test_ztest",
     "q167_grid_spatial_join", "q168_ohlc_bars", "q169_twap",
     "q170_daily_streaks", "q171_benford_audit",
-    "q172_dq_constraint_suite",
+    "q172_dq_constraint_suite", "q173_zorder_rowgroup_stats",
     # tier 0b: round-5 oracle upgrades worth a re-confirm
     "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
     "q36_ann_lsh_topk", "q97_semdedup",

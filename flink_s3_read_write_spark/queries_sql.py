@@ -3044,3 +3044,69 @@ def q172_dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@register(
+    "q173_zorder_rowgroup_stats",
+    # Morton spreading is pure shift/AND/OR on int64 — the oracle
+    # replays the identical bit arithmetic, which puts the z-order
+    # clustering path (functions/zorder.py, previously property-tested
+    # only) under the exact-hash gate.
+    oracle="""
+    WITH base AS (
+      SELECT l_partkey % 256 AS a, l_suppkey % 256 AS b FROM lineitem),
+    sa AS (
+      SELECT a, b,
+             ((a | (a << 8)) & 16711935) AS xa, ((b | (b << 8)) & 16711935) AS xb
+      FROM base),
+    sb AS (
+      SELECT a, b,
+             ((xa | (xa << 4)) & 252645135) AS xa, ((xb | (xb << 4)) & 252645135) AS xb
+      FROM sa),
+    sc AS (
+      SELECT a, b,
+             ((xa | (xa << 2)) & 858993459) AS xa, ((xb | (xb << 2)) & 858993459) AS xb
+      FROM sb),
+    sd AS (
+      SELECT a, b,
+             ((xa | (xa << 1)) & 1431655765) AS xa, ((xb | (xb << 1)) & 1431655765) AS xb
+      FROM sc),
+    m AS (SELECT a, b, xa | (xb << 1) AS morton FROM sd)
+    SELECT morton >> 10 AS rg, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(a) AS BIGINT) AS min_a, CAST(MAX(a) AS BIGINT) AS max_a,
+           CAST(MIN(b) AS BIGINT) AS min_b, CAST(MAX(b) AS BIGINT) AS max_b
+    FROM m GROUP BY 1
+    """,
+    doc=(
+        "Z-order clustering under the oracle gate: every lineitem "
+        "gets a Morton code interleaving (partkey, suppkey) "
+        "mod 2^8 (functions/zorder.py, pure Catalyst bit arithmetic "
+        "in whole-stage codegen), rows group into 64 fixed-width "
+        "z-ranges (morton >> 10 - no global sort, unlike an ntile "
+        "equi-depth layout), and the output is the per-rowgroup "
+        "min/max footer-stats table on BOTH dimensions - exactly what "
+        "a writer sorted by this key would give parquet, and why "
+        "either-column filters prune row groups at 100 TB "
+        "(tests/test_zorder.py holds the locality property proof). "
+        "One partial-agg shuffle keyed by z-range."
+    ),
+)
+def q173_zorder_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.functions.zorder import zorder2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_partkey") % 256).alias("a"),
+        (F.col("l_suppkey") % 256).alias("b"),
+    )
+    m = base.select("a", "b", zorder2(F.col("a"), F.col("b")).alias("morton"))
+    return (
+        m.groupBy(F.shiftright("morton", 10).alias("rg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("a").cast("bigint").alias("min_a"),
+            F.max("a").cast("bigint").alias("max_a"),
+            F.min("b").cast("bigint").alias("min_b"),
+            F.max("b").cast("bigint").alias("max_b"),
+        )
+    )

@@ -449,3 +449,18 @@ def test_q172_dq_checks_are_counts_and_anti_joins(spark, sf_dir):
     assert P.count(plan, "LeftAnti") >= 2, plan
     assert P.has(plan, "partial_count"), plan
     assert not P.has(plan, "CartesianProduct"), plan
+
+
+def test_q173_zorder_stats_stay_in_codegen(spark, sf_dir):
+    """q173: the Morton interleave is shift/AND/OR inside whole-stage
+    codegen over a two-column pruned scan, finished by one partial
+    aggregate — no window, no join, no global sort."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q173_zorder_rowgroup_stats"].fn(spark, sf_dir))
+    assert P.has(plan, "shiftleft"), plan  # Morton spread as Catalyst exprs
+    assert P.has(plan, "partial_count"), plan
+    assert not P.has(plan, "Join"), plan
+    assert not P.has(plan, "Sort"), plan
+    for cols in P.read_schemas(plan):
+        assert set(cols) <= {"l_partkey", "l_suppkey"}, cols
