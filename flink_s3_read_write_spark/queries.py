@@ -73,6 +73,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q167_grid_spatial_join", "q168_ohlc_bars", "q169_twap",
     "q170_daily_streaks", "q171_benford_audit",
     "q172_dq_constraint_suite", "q173_zorder_rowgroup_stats",
+    "q174_classifier_eval", "q175_quantile_normalize",
     # tier 0b: round-5 oracle upgrades worth a re-confirm
     "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
     "q36_ann_lsh_topk", "q97_semdedup",

@@ -3491,3 +3491,132 @@ def q167_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("nearest_cust"),
     )
+
+
+@register(
+    "q174_classifier_eval",
+    oracle="""
+    WITH s AS (
+      SELECT label % 2 AS act,
+             CASE WHEN list_sum(list_transform(range(0, len(embedding)),
+                    j -> CAST(embedding[j + 1] AS DOUBLE)
+                         * (('0x' || substr(md5('w|' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                            % 17 - 8))) > 0
+                  THEN 1 ELSE 0 END AS pred
+      FROM embeddings),
+    c AS (
+      SELECT
+        CAST(SUM(CASE WHEN pred = 1 AND act = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN pred = 1 AND act = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN pred = 0 AND act = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN pred = 0 AND act = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM s)
+    SELECT tp, fp, fn, tn,
+           round(CAST(tp AS DOUBLE) / (tp + fp), 9) AS precision,
+           round(CAST(tp AS DOUBLE) / (tp + fn), 9) AS recall,
+           round(2.0 * tp / (2.0 * tp + fp + fn), 9) AS f1,
+           round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 9) AS accuracy
+    FROM c
+    """,
+    doc=(
+        "In-engine model evaluation: a deterministic linear probe "
+        "(md5-seeded integer weights, the q102 hash-weight idea on "
+        "dense embeddings) scores every vector with a per-element "
+        "indexed transform + ordered fold - no UDF, no collect - and "
+        "the confusion matrix plus precision/recall/F1/accuracy "
+        "collapse in ONE flat conditional aggregate (map-side "
+        "combined, zero joins). Per-row scoring is embarrassingly "
+        "parallel and the metric rollup is 4 mergeable counters - the "
+        "eval loop of a 100 TB inference sweep is exactly this shape. "
+        "F1 uses the 2tp/(2tp+fp+fn) form to stay a single rounded "
+        "double op."
+    ),
+)
+def q174_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.operators.dedup import _md5_h60
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+
+    def w(j):
+        return (
+            _md5_h60(F.md5(F.concat(F.lit("w|"), j.cast("string")))) % 17 - 8
+        ).cast("double")
+
+    score = F.aggregate(
+        F.transform(e, lambda x, j: x * w(j)), F.lit(0.0), lambda a, x: a + x
+    )
+    s = emb.select(
+        (F.col("label") % 2).alias("act"),
+        F.when(score > 0, 1).otherwise(0).alias("pred"),
+    )
+    c = s.agg(
+        F.sum(F.when((F.col("pred") == 1) & (F.col("act") == 1), 1).otherwise(0))
+        .cast("bigint").alias("tp"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("act") == 0), 1).otherwise(0))
+        .cast("bigint").alias("fp"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("act") == 1), 1).otherwise(0))
+        .cast("bigint").alias("fn"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("act") == 0), 1).otherwise(0))
+        .cast("bigint").alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return c.select(
+        "tp", "fp", "fn", "tn",
+        F.round(tp.cast("double") / (tp + fp), 9).alias("precision"),
+        F.round(tp.cast("double") / (tp + fn), 9).alias("recall"),
+        F.round(F.lit(2.0) * tp / (F.lit(2.0) * tp + fp + fn), 9).alias("f1"),
+        F.round((tp + tn).cast("double") / (tp + fp + fn + tn), 9).alias("accuracy"),
+    )
+
+
+@register(
+    "q175_quantile_normalize",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, t.j AS j, CAST(embedding[t.j + 1] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(0, len(embedding))) AS t(j)),
+    r AS (
+      SELECT vec_id, j,
+             CAST(row_number() OVER (PARTITION BY j ORDER BY x, vec_id) - 1 AS DOUBLE)
+               / (COUNT(*) OVER (PARTITION BY j) - 1) AS q
+      FROM x)
+    SELECT vec_id, list(q ORDER BY j) AS qvec FROM r GROUP BY vec_id
+    """,
+    doc=(
+        "Rank-based quantile normalization per embedding dimension "
+        "(the feature-preprocessing step that makes dimensions "
+        "comparable before clustering/whitening): posexplode to "
+        "(vec, dim, value), a rank window PARTITIONED BY DIMENSION - "
+        "so the 'global sort' each dimension needs runs as d "
+        "independent partition-local sorts that scale out across "
+        "executors - then quantile q = (rank-1)/(n-1) and an ordered "
+        "array_sort(collect) rebuild (collect_list alone is partition-"
+        "order nondeterministic; sorting by the dim index makes the "
+        "rebuilt vector exact). Ranks tie-break by vec_id - total "
+        "order, and q is one double division of exact ints, so both "
+        "engines emit identical vectors."
+    ),
+)
+def q175_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "x"),
+    )
+    wr = Window.partitionBy("j").orderBy("x", "vec_id")
+    wn = Window.partitionBy("j")
+    r = x.select(
+        "vec_id", "j",
+        (
+            (F.row_number().over(wr) - 1).cast("double")
+            / (F.count(F.lit(1)).over(wn) - 1)
+        ).alias("q"),
+    )
+    return r.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "q"))), lambda s: s["q"]
+        ).alias("qvec")
+    )

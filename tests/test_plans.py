@@ -464,3 +464,27 @@ def test_q173_zorder_stats_stay_in_codegen(spark, sf_dir):
     assert not P.has(plan, "Sort"), plan
     for cols in P.read_schemas(plan):
         assert set(cols) <= {"l_partkey", "l_suppkey"}, cols
+
+
+def test_q174_eval_is_flat_aggregate_no_shuffle_of_rows(spark, sf_dir):
+    """q174: scoring is a per-row indexed fold (no join, no window);
+    the confusion matrix is one flat partial aggregate."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q174_classifier_eval"].fn(spark, sf_dir))
+    assert not P.has(plan, "Join"), plan
+    assert not P.has(plan, "Window"), plan
+    assert P.shuffle_exchanges(plan) <= 1, plan
+
+
+def test_q175_rank_windows_partition_by_dimension(spark, sf_dir):
+    """q175: the rank/count windows partition by the dimension index —
+    d independent local sorts, never one global sort — and the vector
+    rebuild groups by vec_id."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q175_quantile_normalize"].fn(spark, sf_dir))
+    assert P.has(plan, "row_number"), plan
+    assert not P.has(plan, "Join"), plan
+    # window ordering must mention the dimension key j
+    assert "j#" in plan, plan
