@@ -74,6 +74,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q170_daily_streaks", "q171_benford_audit",
     "q172_dq_constraint_suite", "q173_zorder_rowgroup_stats",
     "q174_classifier_eval", "q175_quantile_normalize",
+    "q176_rolling_zscore_anomalies", "q177_cusum_changepoint",
+    "q178_autocorrelation",
     # tier 0b: round-5 oracle upgrades worth a re-confirm
     "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
     "q36_ann_lsh_topk", "q97_semdedup",

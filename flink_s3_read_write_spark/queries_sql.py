@@ -2943,8 +2943,10 @@ def q171_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
     n = F.broadcast(o.agg(F.count(F.lit(1)).alias("n_total")))
     return (
-        F.broadcast(digits)
-        .join(c, "digit", "left")
+        # digits is the PRESERVED side of the left join, so the 9-row
+        # aggregated count table is the broadcastable build side
+        digits
+        .join(F.broadcast(c), "digit", "left")
         .na.fill({"n_obs": 0})
         .crossJoin(n)
         .select(
@@ -3109,4 +3111,239 @@ def q173_zorder_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("b").cast("bigint").alias("min_b"),
             F.max("b").cast("bigint").alias("max_b"),
         )
+    )
+
+
+@register(
+    "q176_rolling_zscore_anomalies",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, CAST(value AS DECIMAL(20,6)) AS v,
+             epoch_us(ts) AS ts_us
+      FROM events),
+    w AS (
+      SELECT event_id, event_type, v,
+             COUNT(*) OVER win AS n,
+             SUM(v) OVER win AS sx,
+             SUM(v * v) OVER win AS sxx
+      FROM e
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                     ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)),
+    z AS (
+      SELECT event_id, event_type,
+             round((CAST(v AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+               / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (n - 1))), 9) AS zscore
+      FROM w WHERE n = 50)
+    SELECT event_id, event_type, zscore, abs(zscore) > 3.0 AS is_anomaly
+    FROM z
+    """,
+    doc=(
+        "Rolling z-score anomaly detection: each value scored against "
+        "the trailing-50 window of its event_type. The window carries "
+        "DECIMAL moment sums (count/sum/sum-of-squares) - exact and "
+        "order-independent, the q88 discipline inside a sliding frame "
+        "- and mean/stddev/z finish in double per row (round 9). "
+        "Partitioned by key, ordered by (ts_us, event_id) - total "
+        "order, no global sort; warm-up rows (n<50) are excluded so "
+        "every emitted score has a full window. The trailing-window "
+        "moment pattern is how you stream anomaly scores over 100 TB "
+        "of telemetry without a second pass."
+    ),
+)
+def q176_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "event_type",
+        F.col("value").cast("decimal(20,6)").alias("v"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-49, Window.currentRow)
+    )
+    w = e.select(
+        "event_id", "event_type", "v",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("v").over(win).alias("sx"),
+        F.sum(F.col("v") * F.col("v")).over(win).alias("sxx"),
+    ).filter(F.col("n") == 50)
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    z = F.round(
+        (F.col("v").cast("double") - sx / n)
+        / F.sqrt((n * sxx - sx * sx) / (n.cast("double") * (n - 1))),
+        9,
+    )
+    return w.select(
+        "event_id", "event_type", z.alias("zscore"),
+        (F.abs(z) > 3.0).alias("is_anomaly"),
+    )
+
+
+@register(
+    "q177_cusum_changepoint",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             SUM(CAST(value AS DECIMAL(20,6))) AS s, COUNT(*) AS n
+      FROM events GROUP BY event_type),
+    c AS (
+      SELECT e.event_type, e.event_id, epoch_us(e.ts) AS ts_us,
+             SUM(CAST(e.value AS DECIMAL(20,6))) OVER win
+               - (COUNT(*) OVER win) * (m.s / m.n) AS cusum
+      FROM events e JOIN m ON m.event_type = e.event_type
+      WINDOW win AS (PARTITION BY e.event_type ORDER BY epoch_us(e.ts), e.event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    rk AS (
+      SELECT event_type, event_id, ts_us, cusum,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum) DESC, ts_us, event_id) AS rn
+      FROM c)
+    SELECT event_type, event_id AS change_event_id,
+           round(CAST(cusum AS DOUBLE), 6) AS cusum_peak
+    FROM rk WHERE rn = 1
+    """,
+    doc=(
+        "CUSUM changepoint detection per event_type: the running sum "
+        "of deviations from the series mean peaks (in absolute value) "
+        "at the most likely level-shift point. Deviation accumulation "
+        "is exact: running DECIMAL sum minus running-count x mean, "
+        "where the mean stays the exact rational s/n (DECIMAL "
+        "division) so |cusum| comparisons and the argmax tie order "
+        "((|cusum|) DESC, ts, id) are engine-identical - only the "
+        "final reported peak rounds through double. Per-key windows + "
+        "a WindowGroupLimit argmax; the per-key mean attaches by "
+        "broadcast from a 5-row aggregate."
+    ),
+)
+def q177_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(20,6)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    e = ev.join(F.broadcast(m), "event_type").select(
+        "event_type", "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").cast("decimal(20,6)").alias("v"),
+        (F.col("s") / F.col("n")).alias("mean"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = e.select(
+        "event_type", "event_id", "ts_us",
+        (
+            F.sum("v").over(win) - F.count(F.lit(1)).over(win) * F.col("mean")
+        ).alias("cusum"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "ts_us", "event_id"
+    )
+    return (
+        c.select("event_type", "event_id", "cusum", F.row_number().over(wr).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("event_id").alias("change_event_id"),
+            F.round(F.col("cusum").cast("double"), 6).alias("cusum_peak"),
+        )
+    )
+
+
+@register(
+    "q178_autocorrelation",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(value AS DECIMAL(20,6)) AS v,
+             epoch_us(ts) AS ts_us, event_id
+      FROM events),
+    l AS (
+      SELECT event_type, v,
+             lead(v, 1) OVER win AS v1,
+             lead(v, 2) OVER win AS v2,
+             lead(v, 3) OVER win AS v3
+      FROM e
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+    k AS (
+      SELECT event_type, CAST(lag AS INTEGER) AS lag, v,
+             CASE lag WHEN 1 THEN v1 WHEN 2 THEN v2 ELSE v3 END AS vk
+      FROM l CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) t),
+    p AS (SELECT * FROM k WHERE vk IS NOT NULL),
+    m AS (
+      SELECT event_type, lag, COUNT(*) AS n,
+             SUM(v) AS sx, SUM(vk) AS sy,
+             SUM(v * v) AS sxx, SUM(vk * vk) AS syy, SUM(v * vk) AS sxy
+      FROM p GROUP BY event_type, lag)
+    SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+             AS acf
+    FROM m
+    """,
+    doc=(
+        "Lag-1/2/3 autocorrelation per event_type: lead() windows "
+        "build the lagged pairs in one pass (per-key partitioned, "
+        "total (ts, id) order), a 3-row lag spine expands them, and "
+        "each (key, lag) cell reduces to DECIMAL-exact Pearson "
+        "moments finished in double (round 9) - the q88 moment "
+        "discipline again, so the ACF is order-independent and "
+        "mergeable across partitions. Seasonality/memory diagnostics "
+        "over 100 TB of telemetry cost one window pass + one "
+        "partial-agg shuffle this way."
+    ),
+)
+def q178_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    win = Window.partitionBy("event_type").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    v = F.col("value").cast("decimal(20,6)")
+    l = ev.select(
+        "event_type", v.alias("v"),
+        F.lead(v, 1).over(win).alias("v1"),
+        F.lead(v, 2).over(win).alias("v2"),
+        F.lead(v, 3).over(win).alias("v3"),
+    )
+    lag = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("lag")
+    k = l.select("event_type", "v", "v1", "v2", "v3", lag).select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        "v",
+        F.when(F.col("lag") == 1, F.col("v1"))
+        .when(F.col("lag") == 2, F.col("v2"))
+        .otherwise(F.col("v3"))
+        .alias("vk"),
+    ).filter(F.col("vk").isNotNull())
+    m = k.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum("vk").alias("sy"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+        F.sum(F.col("vk") * F.col("vk")).alias("syy"),
+        F.sum(F.col("v") * F.col("vk")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return m.select(
+        "event_type", "lag", n.cast("bigint").alias("n_pairs"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            9,
+        ).alias("acf"),
     )

@@ -488,3 +488,34 @@ def test_q175_rank_windows_partition_by_dimension(spark, sf_dir):
     assert not P.has(plan, "Join"), plan
     # window ordering must mention the dimension key j
     assert "j#" in plan, plan
+
+
+def test_q176_rolling_window_per_key_no_join(spark, sf_dir):
+    """q176: the trailing-50 moment frame partitions by event_type —
+    no join, no global sort; the only exchange feeds the window."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q176_rolling_zscore_anomalies"].fn(spark, sf_dir))
+    assert not P.has(plan, "Join"), plan
+    assert P.shuffle_exchanges(plan) <= 1, plan
+
+
+def test_q177_cusum_broadcasts_means_and_limits_argmax(spark, sf_dir):
+    """q177: per-key means attach via broadcast from a 5-row
+    aggregate; the per-key argmax runs as a rank window group limit."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q177_cusum_changepoint"].fn(spark, sf_dir))
+    assert P.has(plan, "BroadcastHashJoin"), plan
+    assert P.has(plan, "WindowGroupLimit"), plan
+
+
+def test_q178_acf_single_window_pass_then_partial_agg(spark, sf_dir):
+    """q178: one lead() window pass builds all three lags; the moment
+    reduction is map-side combined; no join anywhere."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q178_autocorrelation"].fn(spark, sf_dir))
+    assert not P.has(plan, "Join"), plan
+    assert P.has(plan, "partial_count"), plan
+    assert P.count(plan, "Window") <= 2, plan
