@@ -75,7 +75,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q172_dq_constraint_suite", "q173_zorder_rowgroup_stats",
     "q174_classifier_eval", "q175_quantile_normalize",
     "q176_rolling_zscore_anomalies", "q177_cusum_changepoint",
-    "q178_autocorrelation",
+    "q178_autocorrelation", "q179_contingency_table",
+    "q180_mom_revenue_growth",
     # tier 0b: round-5 oracle upgrades worth a re-confirm
     "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
     "q36_ann_lsh_topk", "q97_semdedup",

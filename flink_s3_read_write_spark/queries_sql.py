@@ -3347,3 +3347,109 @@ def q178_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("acf"),
     )
+
+
+@register(
+    "q179_contingency_table",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    cell AS (
+      SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY seg, pri),
+    rt AS (SELECT seg, SUM(n) AS nr FROM cell GROUP BY seg),
+    ct AS (SELECT pri, SUM(n) AS nc FROM cell GROUP BY pri),
+    tot AS (SELECT SUM(n) AS nt FROM cell)
+    SELECT cell.seg, cell.pri, cell.n,
+           round(CAST(rt.nr * ct.nc AS DOUBLE) / tot.nt, 9) AS n_expected,
+           round((cell.n - CAST(rt.nr * ct.nc AS DOUBLE) / tot.nt)
+                 * (cell.n - CAST(rt.nr * ct.nc AS DOUBLE) / tot.nt)
+                 / (CAST(rt.nr * ct.nc AS DOUBLE) / tot.nt), 9) AS chi2_cell
+    FROM cell JOIN rt USING (seg) JOIN ct USING (pri), tot
+    """,
+    doc=(
+        "Contingency-table independence analysis (market segment x "
+        "order priority): observed cell counts vs the independence "
+        "expectation nr*nc/N, plus each cell's chi-square "
+        "contribution. One fact-side aggregate (customer attaches by "
+        "broadcast), then margins and expectations all derive from "
+        "the TINY cell table - 25 rows regardless of input scale - so "
+        "the statistical finish costs nothing at 100 TB. Expected "
+        "counts are exact-integer products divided once in double "
+        "(round 9); per-cell rows only, no cross-row double sums "
+        "(the q171 discipline)."
+    ),
+)
+def q179_contingency_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+    )
+    cell = j.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("n"))
+    cell = cell.cache()  # 25 rows; feeds margins + totals + output
+    rt = cell.groupBy("seg").agg(F.sum("n").alias("nr"))
+    ct = cell.groupBy("pri").agg(F.sum("n").alias("nc"))
+    tot = cell.agg(F.sum("n").alias("nt"))
+    exp = (F.col("nr") * F.col("nc")).cast("double") / F.col("nt")
+    return (
+        cell.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "pri")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg", "pri", F.col("n").cast("bigint").alias("n"),
+            F.round(exp, 9).alias("n_expected"),
+            F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, 9).alias("chi2_cell"),
+        )
+    )
+
+
+@register(
+    "q180_mom_revenue_growth",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS rev
+      FROM orders GROUP BY 1),
+    g AS (
+      SELECT CAST(month AS VARCHAR) AS month,
+             CAST(rev AS DOUBLE) AS revenue,
+             lag(rev) OVER (ORDER BY month) AS prev
+      FROM r)
+    SELECT month, round(revenue, 2) AS revenue,
+           round((revenue - CAST(prev AS DOUBLE)) / CAST(prev AS DOUBLE), 9)
+             AS mom_growth
+    FROM g WHERE prev IS NOT NULL
+    """,
+    doc=(
+        "Month-over-month revenue growth: monthly DECIMAL-exact "
+        "revenue, then lag() and a percent delta. The only full-data "
+        "work is the month partial aggregate; the growth window runs "
+        "over the distinct-month table (dozens of rows - the q160 "
+        "bounded-domain argument makes the unpartitioned ORDER BY "
+        "month window safe at any input scale). The growth ratio "
+        "divides the exact decimal sums in double, round 9."
+    ),
+)
+def q180_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(20,2)")).alias("rev"))
+    w = Window.orderBy("month")
+    g = r.select(
+        F.col("month").cast("string").alias("month"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.lag("rev").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    return g.select(
+        "month",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(
+            (F.col("revenue") - F.col("prev").cast("double"))
+            / F.col("prev").cast("double"),
+            9,
+        ).alias("mom_growth"),
+    )

@@ -519,3 +519,25 @@ def test_q178_acf_single_window_pass_then_partial_agg(spark, sf_dir):
     assert not P.has(plan, "Join"), plan
     assert P.has(plan, "partial_count"), plan
     assert P.count(plan, "Window") <= 2, plan
+
+
+def test_q179_margins_derive_from_cached_cell_table(spark, sf_dir):
+    """q179: customer attaches by broadcast; margins/totals/output all
+    read the 25-row cell table from cache rather than re-aggregating
+    the fact join."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q179_contingency_table"].fn(spark, sf_dir))
+    assert P.count(plan, "InMemoryTableScan") >= 3, plan
+    assert P.count(plan, "BroadcastHashJoin") >= 2, plan
+    assert not P.has(plan, "CartesianProduct"), plan
+
+
+def test_q180_growth_window_over_month_aggregate(spark, sf_dir):
+    """q180: the lag window consumes the distinct-month aggregate
+    (partial_sum before the exchange), never row-level orders."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q180_mom_revenue_growth"].fn(spark, sf_dir))
+    assert P.has(plan, "partial_sum"), plan
+    assert not P.has(plan, "Join"), plan
