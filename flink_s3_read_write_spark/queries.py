@@ -86,9 +86,11 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # mining, corpus token stats, content-defined-chunking dedup
     "q137_pq_ann_topk", "q138_hard_negatives",
     "q139_corpus_token_stats", "q140_cdc_chunk_dedup",
-    "q141_embedding_covariance", "q142_groupwise_regression",
-    "q143_gaps_islands_sessions", "q144_incremental_dedup",
+    "q141_embedding_covariance", "q144_incremental_dedup",
     "q67_ann_ivf_topk",
+    # 51+: conventional moment/window shapes with the lowest
+    # divergence risk — first in line for the r06 window
+    "q142_groupwise_regression", "q143_gaps_islands_sessions",
     # tier 1a: oracle text changed this round (token-cap mirror)
     "q32_ngram_jaccard_pairs", "q54_dedup_keep_list",
     "q68_boilerplate_ngrams", "q124_source_overlap",
