@@ -3361,26 +3361,32 @@ def q163_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = load_table(spark, sf_dir, "documents")
     nt = D.normalize_text(F.col("text"))
+    # tokenize ONCE per doc here — each doc lands in up to 2w neighbor
+    # pairs, so computing jaccard from raw text would re-run the regex
+    # normalization + split per pair (6x at w=3)
     base = docs.select(
-        "doc_id", "text", nt.alias("ntext"), F.substring(nt, 1, 8).alias("blk")
+        "doc_id", nt.alias("ntext"), F.substring(nt, 1, 8).alias("blk"),
+        F.array_distinct(D.tokens(F.col("text"))).alias("toks"),
     )
     w = Window.partitionBy("blk").orderBy("ntext", "doc_id")
-    r = base.select("doc_id", "text", "ntext", "blk", F.row_number().over(w).alias("rn"))
+    r = base.select("doc_id", "ntext", "blk", "toks", F.row_number().over(w).alias("rn"))
     a = r.select(
         F.col("blk"), F.col("rn").alias("rn_a"),
-        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"),
+        F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"),
     )
     b = r.select(
         F.col("blk"), F.col("rn").alias("rn_b"),
-        F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"),
+        F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"),
     )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
     return (
         a.join(b, "blk")
         .filter((F.col("rn_b") - F.col("rn_a")).between(1, 3))
         .select(
             "id_a", "id_b",
             (F.col("rn_b") - F.col("rn_a")).cast("int").alias("gap"),
-            D.jaccard_tokens(F.col("text_a"), F.col("text_b")).alias("jaccard"),
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
         )
     )
 
