@@ -76,18 +76,19 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q174_classifier_eval", "q175_quantile_normalize",
     "q176_rolling_zscore_anomalies", "q177_cusum_changepoint",
     "q178_autocorrelation", "q179_contingency_table",
-    "q180_mom_revenue_growth",
+    "q180_mom_revenue_growth", "q181_markov_transitions",
+    "q182_top_user_journeys",
     # tier 0b: round-5 oracle upgrades worth a re-confirm
     "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
     "q36_ann_lsh_topk", "q97_semdedup",
     "q55_approx_sketches", "q135_salted_skew_join",
-    "q136_stratified_split",
+    "q136_stratified_split", "q144_incremental_dedup",
+    "q67_ann_ivf_topk",
     # round-5 additions, never driver-checked: PQ-ANN, hard-negative
     # mining, corpus token stats, content-defined-chunking dedup
     "q137_pq_ann_topk", "q138_hard_negatives",
     "q139_corpus_token_stats", "q140_cdc_chunk_dedup",
-    "q141_embedding_covariance", "q144_incremental_dedup",
-    "q67_ann_ivf_topk",
+    "q141_embedding_covariance",
     # 51+: conventional moment/window shapes with the lowest
     # divergence risk — first in line for the r06 window
     "q142_groupwise_regression", "q143_gaps_islands_sessions",

@@ -3453,3 +3453,106 @@ def q180_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("mom_growth"),
     )
+
+
+@register(
+    "q181_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events),
+    t AS (
+      SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    m AS (SELECT src, SUM(n) AS n_src FROM t GROUP BY src)
+    SELECT t.src, t.dst, t.n,
+           round(CAST(t.n AS DOUBLE) / m.n_src, 9) AS p
+    FROM t JOIN m USING (src)
+    """,
+    doc=(
+        "First-order Markov transition matrix over per-user event "
+        "streams (the clickstream model behind next-action prediction "
+        "and funnel leak analysis): one lead() pass partitioned by "
+        "user builds consecutive pairs, a partial-agg shuffle counts "
+        "the 25 (src, dst) cells, and transition probabilities divide "
+        "exact counts in double (round 9) with the margins attached "
+        "from the tiny per-src aggregate. The window never crosses "
+        "users, so sessions parallelize perfectly at 100 TB; the "
+        "transition matrix is |types|^2 rows regardless of scale."
+    ),
+)
+def q181_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.col("event_id"))
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    t = s.groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = t.cache()  # 25 cells; feeds margins + output
+    m = t.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return (
+        t.join(F.broadcast(m), "src")
+        .select(
+            "src", "dst", F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("n_src"), 9).alias("p"),
+        )
+    )
+
+
+@register(
+    "q182_top_user_journeys",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events),
+    j AS (
+      SELECT user_id,
+             array_to_string(list(event_type ORDER BY rn), '>') AS journey
+      FROM r WHERE rn <= 3 GROUP BY user_id)
+    SELECT journey, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM j GROUP BY journey
+    ORDER BY n_users DESC, journey LIMIT 20
+    """,
+    doc=(
+        "Top user journeys: each user's first three events collapse "
+        "to an ordered path string and the 20 most common paths rank "
+        "out - the Sankey/flow primitive of product analytics. The "
+        "rank window partitions by user (rn <= 3 prunes to three rows "
+        "per user BEFORE the path aggregate), the ordered collect "
+        "sorts by the rank inside each tiny group (never a global "
+        "sort), and the top-20 is TakeOrderedAndProject over the "
+        "bounded path-vocabulary table (at most |types|^3 = 125 "
+        "distinct journeys at any scale)."
+    ),
+)
+def q182_top_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.col("event_id"))
+    r = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    j = r.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("journey")
+    )
+    return (
+        j.groupBy("journey")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "journey")
+        .limit(20)
+    )

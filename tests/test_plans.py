@@ -541,3 +541,25 @@ def test_q180_growth_window_over_month_aggregate(spark, sf_dir):
     plan = P.formatted_plan(registry()["q180_mom_revenue_growth"].fn(spark, sf_dir))
     assert P.has(plan, "partial_sum"), plan
     assert not P.has(plan, "Join"), plan
+
+
+def test_q181_transition_matrix_from_cached_cells(spark, sf_dir):
+    """q181: the lead window partitions by user; margins and output
+    both read the 25-cell transition table from cache; probabilities
+    attach via broadcast."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q181_markov_transitions"].fn(spark, sf_dir))
+    assert P.count(plan, "InMemoryTableScan") >= 2, plan
+    assert P.has(plan, "BroadcastHashJoin"), plan
+
+
+def test_q182_journeys_prune_before_collect_and_use_topk(spark, sf_dir):
+    """q182: rn <= 3 prunes per-user rows before the path aggregate
+    and the final top-20 is TakeOrderedAndProject, not a global
+    sort."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q182_top_user_journeys"].fn(spark, sf_dir))
+    assert P.has(plan, "TakeOrderedAndProject"), plan
+    assert not P.has(plan, "Join"), plan
