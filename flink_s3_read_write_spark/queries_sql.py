@@ -3556,3 +3556,81 @@ def q182_top_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "journey")
         .limit(20)
     )
+
+
+@register(
+    "q183_cohort_ltv_triangle",
+    oracle="""
+    WITH first_o AS (
+      SELECT o_custkey,
+             MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS cohort
+      FROM orders GROUP BY o_custkey),
+    sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM first_o GROUP BY cohort),
+    rev AS (
+      SELECT f.cohort,
+             (12 * (year(o.o_orderdate) - year(f.cohort))
+              + (month(o.o_orderdate) - month(f.cohort))) AS months_since,
+             SUM(CAST(o.o_totalprice AS DECIMAL(20,2))) AS rev
+      FROM orders o JOIN first_o f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort, months_since,
+             SUM(rev) OVER (PARTITION BY cohort ORDER BY months_since
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+      FROM rev)
+    SELECT CAST(cohort AS VARCHAR) AS cohort,
+           CAST(months_since AS INTEGER) AS months_since,
+           sz.cohort_users,
+           round(CAST(cum_rev AS DOUBLE) / sz.cohort_users, 6) AS ltv_per_user
+    FROM cum JOIN sz USING (cohort)
+    WHERE months_since <= 12
+    """,
+    doc=(
+        "Cohort LTV triangle: customers cohort by first-order month, "
+        "and each (cohort, months-since) cell reports cumulative "
+        "revenue per cohort user - the standard lifetime-value "
+        "readout. Revenue accumulates as exact DECIMAL sums; the "
+        "running window partitions by cohort over the bounded "
+        "months-since domain (<= 80 rows per cohort - the q160 "
+        "argument), so the only corpus-scale work is the first-order "
+        "collapse and one (cohort, month) partial aggregate; cohort "
+        "sizes attach from a broadcast-sized table and LTV divides "
+        "exact decimals in double (round 6)."
+    ),
+)
+def q183_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    first_o = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate").cast("date")).alias("cohort")
+    )
+    first_o = first_o.cache()  # feeds cohort sizes + the revenue join
+    sz = first_o.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_users"))
+    rev = (
+        orders.join(first_o, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                F.lit(12) * (F.year("o_orderdate") - F.year("cohort"))
+                + (F.month("o_orderdate") - F.month("cohort"))
+            ).alias("months_since"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(20,2)")).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.select(
+        "cohort", "months_since", F.sum("rev").over(w).alias("cum_rev")
+    ).filter(F.col("months_since") <= 12)
+    return cum.join(F.broadcast(sz), "cohort").select(
+        F.col("cohort").cast("string").alias("cohort"),
+        F.col("months_since").cast("int").alias("months_since"),
+        F.col("cohort_users").cast("bigint").alias("cohort_users"),
+        F.round(
+            F.col("cum_rev").cast("double") / F.col("cohort_users"), 6
+        ).alias("ltv_per_user"),
+    )

@@ -563,3 +563,15 @@ def test_q182_journeys_prune_before_collect_and_use_topk(spark, sf_dir):
     plan = P.formatted_plan(registry()["q182_top_user_journeys"].fn(spark, sf_dir))
     assert P.has(plan, "TakeOrderedAndProject"), plan
     assert not P.has(plan, "Join"), plan
+
+
+def test_q183_ltv_reuses_cached_cohorts_and_broadcasts_sizes(spark, sf_dir):
+    """q183: the first-order collapse is cached (feeds sizes + the
+    revenue join), cohort sizes attach via broadcast, and the running
+    LTV window partitions by cohort."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q183_cohort_ltv_triangle"].fn(spark, sf_dir))
+    assert P.count(plan, "InMemoryTableScan") >= 2, plan
+    assert P.has(plan, "BroadcastHashJoin"), plan
+    assert not P.has(plan, "CartesianProduct"), plan
