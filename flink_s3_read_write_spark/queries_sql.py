@@ -3634,3 +3634,95 @@ def q183_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_rev").cast("double") / F.col("cohort_users"), 6
         ).alias("ltv_per_user"),
     )
+
+
+@register(
+    "q184_fifo_allocation",
+    oracle="""
+    WITH d AS (
+      SELECT l_partkey AS p, CAST(l_quantity AS DECIMAL(20,2)) AS q,
+             SUM(CAST(l_quantity AS DECIMAL(20,2))) OVER win AS hi
+      FROM lineitem WHERE l_linestatus = 'O'
+      WINDOW win AS (PARTITION BY l_partkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (
+      SELECT l_partkey AS p, CAST(l_quantity AS DECIMAL(20,2)) AS q,
+             SUM(CAST(l_quantity AS DECIMAL(20,2))) OVER win AS hi
+      FROM lineitem WHERE l_linestatus = 'F'
+      WINDOW win AS (PARTITION BY l_partkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    m AS (
+      SELECT d.p,
+             least(d.hi, s.hi) - greatest(d.hi - d.q, s.hi - s.q) AS alloc
+      FROM d JOIN s ON s.p = d.p
+        AND d.hi - d.q < s.hi AND s.hi - s.q < d.hi),
+    agg AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS n_matches,
+             CAST(SUM(alloc) AS DOUBLE) AS allocated
+      FROM m GROUP BY p)
+    SELECT p AS partkey, n_matches, allocated
+    FROM agg ORDER BY allocated DESC, partkey LIMIT 20
+    """,
+    doc=(
+        "FIFO lot allocation - the inventory-matching shape (match "
+        "open demand lines against filled supply lots per part, "
+        "oldest first). The relational FIFO trick: each side gets a "
+        "cumulative-quantity interval [hi - q, hi) from a per-part "
+        "ordered running DECIMAL sum, and a demand line consumes "
+        "exactly the supply lots whose intervals overlap - so the "
+        "match is an EQUI-join on the part key plus a range filter, "
+        "never a procedural loop, and per-part fan-out is linear in "
+        "line count (each interval overlaps its neighbors, not the "
+        "whole lot list). Quantities stay decimal-exact through the "
+        "least/greatest allocation arithmetic; orders are total "
+        "((shipdate, orderkey, linenumber)); top-20 via "
+        "TakeOrderedAndProject."
+    ),
+)
+def q184_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    win = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = F.col("l_quantity").cast("decimal(20,2)")
+
+    def side(status, hi, qn):
+        return (
+            li.filter(F.col("l_linestatus") == status)
+            .select(
+                F.col("l_partkey").alias("p"), q.alias(qn),
+                F.sum(q).over(win).alias(hi),
+                "l_shipdate", "l_orderkey", "l_linenumber",
+            )
+            .select("p", qn, hi)
+        )
+
+    d = side("O", "d_hi", "d_q")
+    s = side("F", "s_hi", "s_q")
+    m = d.join(
+        s,
+        (d.p == s.p)
+        & (F.col("d_hi") - F.col("d_q") < F.col("s_hi"))
+        & (F.col("s_hi") - F.col("s_q") < F.col("d_hi")),
+    ).select(
+        d.p.alias("partkey"),
+        (
+            F.least(F.col("d_hi"), F.col("s_hi"))
+            - F.greatest(F.col("d_hi") - F.col("d_q"), F.col("s_hi") - F.col("s_q"))
+        ).alias("alloc"),
+    )
+    return (
+        m.groupBy("partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum("alloc").cast("double").alias("allocated"),
+        )
+        .orderBy(F.desc("allocated"), "partkey")
+        .limit(20)
+    )

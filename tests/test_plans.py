@@ -575,3 +575,15 @@ def test_q183_ltv_reuses_cached_cohorts_and_broadcasts_sizes(spark, sf_dir):
     assert P.count(plan, "InMemoryTableScan") >= 2, plan
     assert P.has(plan, "BroadcastHashJoin"), plan
     assert not P.has(plan, "CartesianProduct"), plan
+
+
+def test_q184_fifo_match_is_equi_join_on_part(spark, sf_dir):
+    """q184: the interval match is a hash/sort-merge join keyed on the
+    part — the range predicate is a post-join filter, never a
+    cartesian or nested-loop over lots."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q184_fifo_allocation"].fn(spark, sf_dir))
+    assert not P.has(plan, "CartesianProduct"), plan
+    assert not P.has(plan, "BroadcastNestedLoopJoin"), plan
+    assert P.has(plan, "TakeOrderedAndProject"), plan
