@@ -78,7 +78,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q178_autocorrelation", "q179_contingency_table",
     "q180_mom_revenue_growth", "q181_markov_transitions",
     "q182_top_user_journeys", "q183_cohort_ltv_triangle",
-    "q184_fifo_allocation",
+    "q184_fifo_allocation", "q185_interevent_latency",
+    "q186_weighted_median",
     # tier 0b: round-5 oracle upgrades worth a re-confirm
     "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
     "q36_ann_lsh_topk", "q97_semdedup",

@@ -3726,3 +3726,138 @@ def q184_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("allocated"), "partkey")
         .limit(20)
     )
+
+
+@register(
+    "q185_interevent_latency",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                                ORDER BY epoch_us(ts), event_id) AS gap_us
+      FROM events),
+    p AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
+    r AS (
+      SELECT event_type, gap_us,
+             row_number() OVER (PARTITION BY event_type ORDER BY gap_us, event_type) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM p)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_us END) AS BIGINT) AS p50_us,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END) AS BIGINT) AS p90_us,
+           CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN gap_us END) AS BIGINT) AS p99_us
+    FROM r GROUP BY event_type
+    """,
+    doc=(
+        "Inter-event waiting-time distribution per event_type: lag() "
+        "gaps in integer microseconds, then DISCRETE p50/p90/p99 "
+        "selected at exact ceil(q*n) ordinals via rank (the q96/q152 "
+        "rule - never percentile interpolation, whose midpoint "
+        "semantics diverge across engines; integer ordinal selection "
+        "is bit-identical). Both windows partition by the series key; "
+        "the ordinal arithmetic (qn + q) // unit = ceil(q*n) stays in "
+        "exact integers. Latency SLO readouts over 100 TB of event "
+        "logs are this exact two-window shape."
+    ),
+)
+def q185_interevent_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wlag = Window.partitionBy("event_type").orderBy(F.unix_micros("ts"), F.col("event_id"))
+    g = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wlag)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("gap_us", "event_type")
+    wn = Window.partitionBy("event_type")
+    r = g.select(
+        "event_type", "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    n, rn = F.col("n"), F.col("rn")
+
+    def at(expr_num):
+        return F.max(F.when(rn == expr_num, F.col("gap_us"))).cast("bigint")
+
+    return r.groupBy("event_type").agg(
+        F.max(n).cast("bigint").alias("n_gaps"),
+        at(F.floor((n + 1) / 2)).alias("p50_us"),
+        at(F.floor((F.lit(9) * n + 9) / 10)).alias("p90_us"),
+        at(F.floor((F.lit(99) * n + 99) / 100)).alias("p99_us"),
+    )
+
+
+@register(
+    "q186_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT o.o_orderkey, c.c_mktsegment AS seg,
+             CAST(o.o_totalprice AS DECIMAL(20,2)) AS price,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey) AS wt
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    r AS (
+      SELECT seg, price, wt,
+             SUM(wt) OVER (PARTITION BY seg ORDER BY price, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(wt) OVER (PARTITION BY seg) AS tw
+      FROM w WHERE wt > 0),
+    med AS (
+      SELECT seg, price,
+             row_number() OVER (PARTITION BY seg ORDER BY cw, price) AS rn
+      FROM r WHERE 2 * cw >= tw)
+    SELECT seg, CAST(price AS DOUBLE) AS weighted_median_price
+    FROM med WHERE rn = 1
+    """,
+    doc=(
+        "Exact weighted (lower) median order price per market "
+        "segment, weighted by line count: the smallest price whose "
+        "cumulative weight reaches half the segment total. The "
+        "crossing test is the integer cross-multiplication 2*cw >= tw "
+        "- no fractions, no interpolation, bit-identical - over a "
+        "per-segment cumulative-weight window with a total (price, "
+        "orderkey) order. Weights come from a per-order line count "
+        "(keyed aggregate, planner-chosen join). Weighted quantiles "
+        "are the curation primitive behind token-budget selection "
+        "thresholds (q83) done exactly."
+    ),
+)
+def q186_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    wt = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("wt")
+    )
+    w = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(wt, "o_orderkey")
+        .select(
+            "o_orderkey",
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice").cast("decimal(20,2)").alias("price"),
+            "wt",
+        )
+        .filter(F.col("wt") > 0)
+    )
+    wc = (
+        Window.partitionBy("seg")
+        .orderBy("price", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("seg")
+    r = w.select(
+        "seg", "price",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(wtot).alias("tw"),
+    ).filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+    rk = Window.partitionBy("seg").orderBy("cw", "price")
+    return (
+        r.select("seg", "price", F.row_number().over(rk).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("seg", F.col("price").cast("double").alias("weighted_median_price"))
+    )

@@ -587,3 +587,27 @@ def test_q184_fifo_match_is_equi_join_on_part(spark, sf_dir):
     assert not P.has(plan, "CartesianProduct"), plan
     assert not P.has(plan, "BroadcastNestedLoopJoin"), plan
     assert P.has(plan, "TakeOrderedAndProject"), plan
+
+
+def test_q185_latency_windows_partition_by_type(spark, sf_dir):
+    """q185: both the lag and rank windows partition by event_type —
+    no join, no global sort; percentile ordinals are rank selections,
+    not percentile_approx."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q185_interevent_latency"].fn(spark, sf_dir))
+    assert not P.has(plan, "Join"), plan
+    assert P.has(plan, "row_number"), plan
+    assert not P.has(plan, "percentile"), plan
+
+
+def test_q186_weighted_median_crossing_is_integer_compare(spark, sf_dir):
+    """q186: the cumulative-weight windows partition by segment, the
+    per-order weights come from a keyed aggregate join, and the
+    crossing test stays in the plan as integer arithmetic."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q186_weighted_median"].fn(spark, sf_dir))
+    assert P.has(plan, "BroadcastHashJoin"), plan
+    assert not P.has(plan, "CartesianProduct"), plan
+    assert P.has(plan, "row_number"), plan
