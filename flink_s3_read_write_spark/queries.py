@@ -79,13 +79,13 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q180_mom_revenue_growth", "q181_markov_transitions",
     "q182_top_user_journeys", "q183_cohort_ltv_triangle",
     "q184_fifo_allocation", "q185_interevent_latency",
-    "q186_weighted_median",
+    "q186_weighted_median", "q187_percent_of_parent",
     # tier 0b: round-5 oracle upgrades worth a re-confirm
     "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
     "q36_ann_lsh_topk", "q97_semdedup",
-    "q55_approx_sketches", "q135_salted_skew_join",
-    "q136_stratified_split", "q144_incremental_dedup",
-    "q67_ann_ivf_topk",
+    "q55_approx_sketches", "q67_ann_ivf_topk",
+    "q144_incremental_dedup", "q135_salted_skew_join",
+    "q136_stratified_split",
     # round-5 additions, never driver-checked: PQ-ANN, hard-negative
     # mining, corpus token stats, content-defined-chunking dedup
     "q137_pq_ann_topk", "q138_hard_negatives",

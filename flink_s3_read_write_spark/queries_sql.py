@@ -3861,3 +3861,69 @@ def q186_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("seg", F.col("price").cast("double").alias("weighted_median_price"))
     )
+
+
+@register(
+    "q187_percent_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(o.o_totalprice AS DECIMAL(20,2))) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT region, nation, rev,
+             SUM(rev) OVER (PARTITION BY region) AS region_rev,
+             SUM(rev) OVER () AS global_rev
+      FROM rev)
+    SELECT region, nation, CAST(rev AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE) / CAST(region_rev AS DOUBLE), 9) AS pct_of_region,
+           round(CAST(rev AS DOUBLE) / CAST(global_rev AS DOUBLE), 9) AS pct_of_global
+    FROM tot
+    """,
+    doc=(
+        "Hierarchical percent-of-parent: nation revenue as a share of "
+        "its region and of the world (the drill-down share readout "
+        "q89's flat ratio_to_report doesn't give). One fact aggregate "
+        "to the 25-row nation grain - dims attach by broadcast - then "
+        "both parent totals are windows OVER THE AGGREGATE, so the "
+        "unpartitioned global-total window reads 25 rows at any input "
+        "scale (q160's bounded-domain rule). Revenue sums stay "
+        "DECIMAL-exact; shares divide the exact sums in double "
+        "(round 9)."
+    ),
+)
+def q187_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(20,2)")).alias("rev"))
+    )
+    wr = Window.partitionBy("region")
+    wg = Window.partitionBy()
+    tot = rev.select(
+        "region", "nation", "rev",
+        F.sum("rev").over(wr).alias("region_rev"),
+        F.sum("rev").over(wg).alias("global_rev"),
+    )
+    return tot.select(
+        "region", "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.col("region_rev").cast("double"), 9
+        ).alias("pct_of_region"),
+        F.round(
+            F.col("rev").cast("double") / F.col("global_rev").cast("double"), 9
+        ).alias("pct_of_global"),
+    )

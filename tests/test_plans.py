@@ -611,3 +611,15 @@ def test_q186_weighted_median_crossing_is_integer_compare(spark, sf_dir):
     assert P.has(plan, "BroadcastHashJoin"), plan
     assert not P.has(plan, "CartesianProduct"), plan
     assert P.has(plan, "row_number"), plan
+
+
+def test_q187_share_windows_run_over_the_aggregate(spark, sf_dir):
+    """q187: dims broadcast onto the fact before ONE aggregate to the
+    nation grain; the parent-total windows consume that 25-row
+    aggregate, never row-level orders."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q187_percent_of_parent"].fn(spark, sf_dir))
+    assert P.count(plan, "BroadcastHashJoin") >= 3, plan
+    assert P.has(plan, "partial_sum"), plan
+    assert not P.has(plan, "CartesianProduct"), plan
