@@ -2570,6 +2570,9 @@ def q164_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+    # both directions of the symmetric expansion read sim — without a
+    # cache the union recomputes the whole pair+degree pipeline twice
+    sim = sim.cache()
     sym = sim.select(
         F.col("item_a").alias("item"), F.col("item_b").alias("nbr"), "n_ab", "cosine"
     ).unionByName(
