@@ -2434,6 +2434,9 @@ def q160_open_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("end_ts").cast("date").alias("end_d"),
         )
     )
+    # both boundary projections read iv — cache so the orders⋈lineitem
+    # interval build runs once, not once per union branch
+    iv = iv.cache()
     deltas = iv.select(
         F.col("start_d").alias("day"), F.lit(1).cast("bigint").alias("delta")
     ).unionByName(
