@@ -80,6 +80,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q182_top_user_journeys", "q183_cohort_ltv_triangle",
     "q184_fifo_allocation", "q185_interevent_latency",
     "q186_weighted_median", "q187_percent_of_parent",
+    "q188_ks_two_sample", "q189_spearman_rank_corr",
     # tier 0b: round-5 oracle upgrades worth a re-confirm
     "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
     "q36_ann_lsh_topk", "q97_semdedup",

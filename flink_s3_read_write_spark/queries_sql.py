@@ -3933,3 +3933,167 @@ def q187_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / F.col("global_rev").cast("double"), 9
         ).alias("pct_of_global"),
     )
+
+
+@register(
+    "q188_ks_two_sample",
+    oracle="""
+    WITH x AS (
+      SELECT n_chars AS v,
+             CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 0 ELSE 1 END AS g
+      FROM documents),
+    n AS (
+      SELECT SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n2
+      FROM x),
+    pv AS (
+      SELECT v,
+             SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c2
+      FROM x GROUP BY v),
+    cum AS (
+      SELECT v,
+             SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS f1,
+             SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS f2
+      FROM pv),
+    d AS (
+      SELECT CAST(MAX(abs(f1 * n.n2 - f2 * n.n1)) AS BIGINT) AS ks_num
+      FROM cum, n)
+    SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2, d.ks_num,
+           round(CAST(d.ks_num AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2), 9) AS ks_stat,
+           CAST(d.ks_num AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2)
+             > 1.36 * sqrt((n.n1 + CAST(n.n2 AS DOUBLE)) / (CAST(n.n1 AS DOUBLE) * n.n2))
+             AS drift_detected
+    FROM d, n
+    """,
+    doc=(
+        "Two-sample Kolmogorov-Smirnov drift test between source "
+        "groups on document length - the nonparametric "
+        "distribution-shift detector (data-drift monitoring without "
+        "assuming a distribution, and without transcendentals: the "
+        "supremum CDF gap max|F1-F2| is computed as the INTEGER "
+        "cross-product max|c1*n2 - c2*n1|, so the statistic's "
+        "numerator is exact and engine-identical; only the final "
+        "normalization and the 1.36*sqrt critical-value compare run "
+        "in double). Per-value counts collapse first (the bounded "
+        "length domain), cumulative CDFs run over that small table "
+        "(q160 argument), one integer max finishes it."
+    ),
+)
+def q188_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = F.when(F.substring("source", 4, 10).cast("int") < 10, 0).otherwise(1)
+    x = docs.select(F.col("n_chars").alias("v"), g.alias("g"))
+    x = x.cache()  # feeds group sizes + per-value counts
+    n = F.broadcast(
+        x.agg(
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n2"),
+        )
+    )
+    pv = x.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = pv.select(F.sum("c1").over(w).alias("f1"), F.sum("c2").over(w).alias("f2"))
+    d = cum.crossJoin(n).agg(
+        F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")))
+        .cast("bigint")
+        .alias("ks_num")
+    )
+    n1d = F.col("n1").cast("double")
+    stat = F.col("ks_num").cast("double") / (n1d * F.col("n2"))
+    crit = F.lit(1.36) * F.sqrt((F.col("n1") + F.col("n2").cast("double")) / (n1d * F.col("n2")))
+    return (
+        F.broadcast(d)
+        .crossJoin(n)
+        .select(
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            "ks_num",
+            F.round(stat, 9).alias("ks_stat"),
+            (stat > crit).alias("drift_detected"),
+        )
+    )
+
+
+@register(
+    "q189_spearman_rank_corr",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS flag,
+             CAST((CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                   AS DECIMAL(20,1))
+               + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1)
+                 / CAST(2 AS DECIMAL(2,1))) AS DECIMAL(20,1)) AS rx,
+             CAST((CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                   AS DECIMAL(20,1))
+               + (COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1)
+                 / CAST(2 AS DECIMAL(2,1))) AS DECIMAL(20,1)) AS ry
+      FROM lineitem),
+    m AS (
+      SELECT flag, COUNT(*) AS n,
+             SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+      FROM r GROUP BY flag)
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+             AS spearman
+    FROM m
+    """,
+    doc=(
+        "Spearman rank correlation (quantity vs price per returnflag) "
+        "- the outlier-robust monotonic-association measure. Average "
+        "ranks for ties come from rank() + (tie_count - 1)/2 kept as "
+        "EXACT DECIMAL(20,1) halves (ties make average ranks .5-"
+        "valued; float ranks would break the exact moment sums), then "
+        "the q88 decimal-moment Pearson runs on the ranks and "
+        "finishes in double (round 9). Both rank windows partition by "
+        "the group key - per-group sorts, no global order."
+    ),
+)
+def q189_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def avg_rank(col):
+        wr = Window.partitionBy("l_returnflag").orderBy(col)
+        wt = Window.partitionBy("l_returnflag", col)
+        return (
+            F.rank().over(wr).cast("decimal(20,1)")
+            + (F.count(F.lit(1)).over(wt) - 1) / F.lit(2).cast("decimal(2,1)")
+        ).cast("decimal(20,1)")
+
+    r = li.select(
+        F.col("l_returnflag").alias("flag"),
+        avg_rank("l_quantity").alias("rx"),
+        avg_rank("l_extendedprice").alias("ry"),
+    )
+    m = r.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return m.select(
+        "flag", n.cast("bigint").alias("n"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            9,
+        ).alias("spearman"),
+    )

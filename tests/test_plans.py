@@ -623,3 +623,26 @@ def test_q187_share_windows_run_over_the_aggregate(spark, sf_dir):
     assert P.count(plan, "BroadcastHashJoin") >= 3, plan
     assert P.has(plan, "partial_sum"), plan
     assert not P.has(plan, "CartesianProduct"), plan
+
+
+def test_q188_ks_cdf_runs_over_value_aggregate(spark, sf_dir):
+    """q188: per-value counts collapse (partial agg) BEFORE the CDF
+    window; group sizes broadcast; the statistic numerator is integer
+    arithmetic in-plan."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q188_ks_two_sample"].fn(spark, sf_dir))
+    assert P.has(plan, "partial_sum"), plan
+    assert P.count(plan, "BroadcastExchange") >= 1, plan
+    assert not P.has(plan, "SortMergeJoin"), plan
+
+
+def test_q189_spearman_rank_windows_partition_by_group(spark, sf_dir):
+    """q189: all four rank/tie windows partition by the returnflag
+    group — per-group sorts only — and the moment reduction is
+    map-side combined."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q189_spearman_rank_corr"].fn(spark, sf_dir))
+    assert P.has(plan, "partial_count"), plan
+    assert not P.has(plan, "Join"), plan
