@@ -59,6 +59,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #   1 — events queries downstream of the NTZ read normalization;
 #   2 — everything already green, in stable order.
 _DRIVER_FIRST: tuple[str, ...] = (
+    # tier -1: the r04 verdict's rotation directive — md5-oracle
+    # upgrades whose last driver rows predate the rewrite (q33/q34/
+    # q36/q67 stale since r01) plus the sketch/semdedup upgrades
+    "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
+    "q36_ann_lsh_topk", "q67_ann_ivf_topk",
+    "q97_semdedup", "q55_approx_sketches",
     # tier 0: brand-new this round, never driver-checked
     "q145_bpe_merge_rounds", "q146_pagerank_bipartite",
     "q147_copurchase_pairs", "q148_bfs_hops", "q149_sax_motifs",
@@ -81,10 +87,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q184_fifo_allocation", "q185_interevent_latency",
     "q186_weighted_median", "q187_percent_of_parent",
     "q188_ks_two_sample", "q189_spearman_rank_corr",
-    # tier 0b: round-5 oracle upgrades worth a re-confirm
-    "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
-    "q36_ann_lsh_topk", "q97_semdedup",
-    "q55_approx_sketches", "q67_ann_ivf_topk",
+    # tier 0b: remaining round-5 oracle upgrades worth a re-confirm
     "q144_incremental_dedup", "q135_salted_skew_join",
     "q136_stratified_split",
     # round-5 additions, never driver-checked: PQ-ANN, hard-negative
