@@ -42,84 +42,56 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # Driver-facing ordering.  The correctness driver consumes registry
-# entries in iteration order with a bounded per-round budget (50 per
-# round), so entries that still lack a hard driver correctness row —
-# or whose code/oracle changed since their last row — must come
-# first.  Tiers going into round 6 (union of CORRECTNESS_r01..r05:
-# zero latest-row FAILs; the local 157/157 sweep is green, so the
-# window leads with what the driver has never seen):
-#   0 — brand-new this round (never driver-checked): the BPE rounds,
-#       the graph family (quantized PageRank / BFS / co-purchase),
-#       the SAX time-series pair, the four-tier sketch-index suite
-#       (HLL / bitmap-exact / theta set algebra / KLL merge), MAD
-#       robust outliers, incremental view maintenance, snapshot diff;
-#   0b — the round-5 oracle upgrades whose first driver rows landed
-#       in r05's window but are worth a re-confirm after this round's
-#       shared-module churn (dedup/similarity/graph caches);
-#   1 — events queries downstream of the NTZ read normalization;
-#   2 — everything already green, in stable order.
-_DRIVER_FIRST: tuple[str, ...] = (
-    # tier -1: the r04 verdict's rotation directive — md5-oracle
-    # upgrades whose last driver rows predate the rewrite (q33/q34/
-    # q36/q67 stale since r01) plus the sketch/semdedup upgrades
-    "q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
-    "q36_ann_lsh_topk", "q67_ann_ivf_topk",
-    "q97_semdedup", "q55_approx_sketches",
-    # tier 0: brand-new this round, never driver-checked
-    "q145_bpe_merge_rounds", "q146_pagerank_bipartite",
-    "q147_copurchase_pairs", "q148_bfs_hops", "q149_sax_motifs",
-    "q150_sax_similarity_probe", "q151_hll_sketch_index", "q152_mad_outliers",
-    "q153_bitmap_distinct_rollup", "q154_theta_overlap_matrix",
-    "q155_kll_quantile_index", "q156_incremental_view_maintenance",
-    "q157_snapshot_diff", "q158_wl_graph_fingerprint",
-    "q159_triangle_count", "q160_open_order_concurrency",
-    "q161_pareto_skyline", "q162_cms_heavy_hitters",
-    "q163_sorted_neighborhood_pairs", "q164_item_item_cf",
-    "q165_touch_attribution", "q166_ab_test_ztest",
-    "q167_grid_spatial_join", "q168_ohlc_bars", "q169_twap",
-    "q170_daily_streaks", "q171_benford_audit",
-    "q172_dq_constraint_suite", "q173_zorder_rowgroup_stats",
-    "q174_classifier_eval", "q175_quantile_normalize",
-    "q176_rolling_zscore_anomalies", "q177_cusum_changepoint",
-    "q178_autocorrelation", "q179_contingency_table",
-    "q180_mom_revenue_growth", "q181_markov_transitions",
-    "q182_top_user_journeys", "q183_cohort_ltv_triangle",
-    "q184_fifo_allocation", "q185_interevent_latency",
-    "q186_weighted_median", "q187_percent_of_parent",
-    "q188_ks_two_sample", "q189_spearman_rank_corr",
-    # tier 0b: remaining round-5 oracle upgrades worth a re-confirm
-    "q144_incremental_dedup", "q135_salted_skew_join",
-    "q136_stratified_split",
-    # round-5 additions, never driver-checked: PQ-ANN, hard-negative
-    # mining, corpus token stats, content-defined-chunking dedup
-    "q137_pq_ann_topk", "q138_hard_negatives",
-    "q139_corpus_token_stats", "q140_cdc_chunk_dedup",
-    "q141_embedding_covariance",
-    # 51+: conventional moment/window shapes with the lowest
-    # divergence risk — first in line for the r06 window
-    "q142_groupwise_regression", "q143_gaps_islands_sessions",
-    # tier 1a: oracle text changed this round (token-cap mirror)
-    "q32_ngram_jaccard_pairs", "q54_dedup_keep_list",
-    "q68_boilerplate_ngrams", "q124_source_overlap",
-    # tier 1b: events queries over the rewritten NTZ read path
-    "q25_asof_join_events", "q93_timestamp_arithmetic",
-    "q125_scd2_intervals", "q131_locf_gapfill",
-    "q50_tumbling_window", "q51_sliding_window", "q52_session_window",
-    "q127_funnel_steps", "q128_retention_cohorts", "q129_event_sequences",
-    "q130_salted_hot_key_agg",
-    # tier 2: green rows worth re-confirming (flagship families +
-    # round-4 first-timers); the rest of the registry follows in
-    # registration order
-    "q116_min_cost_supplier", "q117_late_order_priority",
-    "q118_forecast_revenue", "q119_late_line_priority", "q120_custdist",
-    "q121_top_supplier", "q122_part_promotion_suppliers",
-    "q123_temperature_mix", "q126_quality_keeper_dedup",
-    "q132_ntile_deciles", "q133_grouping_id_labels",
-    "q134_curate_mix_pipeline",
-    "q26_exists_subquery", "q27_correlated_scalar_subquery",
-    "q113_unigram_lm_score", "q115_int8_cosine_pairs",
-    "q87_pretrain_pipeline",
+# entries in iteration order with a bounded per-round budget (~50 per
+# round), so the order is computed FROM the committed
+# CORRECTNESS_r*.json sidecars at import time (the hand-maintained
+# tuple this replaces went stale twice — r04 and r05 — leaving
+# never-checked queries below the budget cutoff).  Tiers:
+#   0 — never driver-checked (no row in any sidecar);
+#   1 — latest driver row is an error or a mismatch;
+#   2 — listed in _TOUCHED_THIS_ROUND (code/oracle edited since the
+#       latest green row — update that tuple when editing a query);
+#   3 — green, oldest-round rows first (natural re-confirm rotation).
+# Ties break by registration order, which is stable.
+_TOUCHED_THIS_ROUND: tuple[str, ...] = (
+    "q175_quantile_normalize",   # array_join serialization fix (r05 err)
+    "q177_cusum_changepoint",    # exact cross-multiplied cusum argmax
+    "q159_triangle_count",       # integer wedge count
 )
+
+
+def _driver_rows() -> dict[str, tuple[int, bool]]:
+    """name -> (latest round with a row, that row passed)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            ok = (
+                not row.get("err")
+                and row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            prev = latest.get(name)
+            if prev is None or rnd >= prev[0]:
+                latest[name] = (rnd, ok)
+    return latest
 
 
 def registry() -> dict[str, Query]:
@@ -132,13 +104,25 @@ def registry() -> dict[str, Query]:
         queries_tpch,
     )
 
-    front = {n: _REGISTRY[n] for n in _DRIVER_FIRST if n in _REGISTRY}
-    mid = {
-        n: q for n, q in _REGISTRY.items()
-        if n not in front and q.oracle is not None
-    }
-    back = {n: q for n, q in _REGISTRY.items() if n not in front and q.oracle is None}
-    return {**front, **mid, **back}
+    rows = _driver_rows()
+    touched = set(_TOUCHED_THIS_ROUND)
+    reg_idx = {n: i for i, n in enumerate(_REGISTRY)}
+
+    def tier(item: tuple[str, Query]) -> tuple[int, int, int]:
+        name, q = item
+        if q.oracle is None:  # rows-only checks go last
+            return (4, 0, reg_idx[name])
+        row = rows.get(name)
+        if row is None:
+            return (0, 0, reg_idx[name])
+        rnd, ok = row
+        if not ok:
+            return (1, rnd, reg_idx[name])
+        if name in touched:
+            return (2, rnd, reg_idx[name])
+        return (3, rnd, reg_idx[name])
+
+    return dict(sorted(_REGISTRY.items(), key=tier))
 
 
 # ---------------------------------------------------------------------------

@@ -3584,10 +3584,13 @@ def q174_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings, unnest(range(0, len(embedding))) AS t(j)),
     r AS (
       SELECT vec_id, j,
-             CAST(row_number() OVER (PARTITION BY j ORDER BY x, vec_id) - 1 AS DOUBLE)
-               / (COUNT(*) OVER (PARTITION BY j) - 1) AS q
+             row_number() OVER (PARTITION BY j ORDER BY x, vec_id) - 1 AS k,
+             COUNT(*) OVER (PARTITION BY j) - 1 AS n1
       FROM x)
-    SELECT vec_id, list(q ORDER BY j) AS qvec FROM r GROUP BY vec_id
+    SELECT vec_id,
+           array_to_string(
+             list((2 * k * 1000000000 + n1) // (2 * n1) ORDER BY j), ',') AS qvec
+    FROM r GROUP BY vec_id
     """,
     doc=(
         "Rank-based quantile normalization per embedding dimension "
@@ -3600,8 +3603,12 @@ def q174_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_sort(collect) rebuild (collect_list alone is partition-"
         "order nondeterministic; sorting by the dim index makes the "
         "rebuilt vector exact). Ranks tie-break by vec_id - total "
-        "order, and q is one double division of exact ints, so both "
-        "engines emit identical vectors."
+        "order. The quantile q=(rank-1)/(n-1) is serialized as an "
+        "integer at 1e-9 resolution via exact integer round-half-up "
+        "(2k*1e9+n1) DIV (2*n1) - no double division anywhere, so "
+        "both engines emit the identical comma-joined string (raw "
+        "array<double> output crashes the external pandas "
+        "canonicalizer: unhashable list - r05 lesson)."
     ),
 )
 def q175_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3616,13 +3623,20 @@ def q175_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     wn = Window.partitionBy("j")
     r = x.select(
         "vec_id", "j",
-        (
-            (F.row_number().over(wr) - 1).cast("double")
-            / (F.count(F.lit(1)).over(wn) - 1)
-        ).alias("q"),
+        (F.row_number().over(wr) - 1).cast("bigint").alias("k"),
+        (F.count(F.lit(1)).over(wn) - 1).cast("bigint").alias("n1"),
+    ).select(
+        "vec_id", "j",
+        # exact integer round-half-up of k/n1 at 1e-9 resolution:
+        # (2*k*1e9 + n1) DIV (2*n1) — identical in DuckDB with `//`.
+        F.expr("(2 * k * 1000000000 + n1) DIV (2 * n1)").alias("q"),
     )
     return r.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "q"))), lambda s: s["q"]
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "q"))),
+                lambda s: s["q"].cast("string"),
+            ),
+            ",",
         ).alias("qvec")
     )

@@ -2289,7 +2289,7 @@ def q158_wl_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN oe e3 ON e3.u = e1.v AND e3.v = e2.v),
     agg AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-             CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+             CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
       FROM deg),
     ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
     SELECT agg.n_nodes, ne.n_edges, agg.n_wedges, tri.n_triangles,
@@ -2363,9 +2363,10 @@ def q159_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     summary = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.sum((F.col("d") * (F.col("d") - F.lit(1)) / F.lit(2)).cast("bigint")).alias(
-            "n_wedges"
-        ),
+        # integer wedge count: d*(d-1) is even, shiftright keeps the whole
+        # pipeline in BIGINT (double '/' is exact only below 2^53, which a
+        # power-law hub's degree can exceed at scale).
+        F.sum(F.shiftright(F.col("d") * (F.col("d") - F.lit(1)), 1)).alias("n_wedges"),
     )
     ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
@@ -3194,74 +3195,92 @@ def q176_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "q177_cusum_changepoint",
     oracle="""
-    WITH m AS (
-      SELECT event_type,
-             SUM(CAST(value AS DECIMAL(20,6))) AS s, COUNT(*) AS n
-      FROM events GROUP BY event_type),
+    WITH v AS (
+      SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+             CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS v6
+      FROM events),
+    m AS (
+      SELECT event_type, CAST(SUM(v6) AS BIGINT) AS s6, COUNT(*) AS n
+      FROM v GROUP BY event_type),
     c AS (
-      SELECT e.event_type, e.event_id, epoch_us(e.ts) AS ts_us,
-             SUM(CAST(e.value AS DECIMAL(20,6))) OVER win
-               - (COUNT(*) OVER win) * (m.s / m.n) AS cusum
-      FROM events e JOIN m ON m.event_type = e.event_type
-      WINDOW win AS (PARTITION BY e.event_type ORDER BY epoch_us(e.ts), e.event_id
+      SELECT e.event_type, e.event_id, e.ts_us, m.n,
+             CAST(m.n AS DECIMAL(18,0))
+               * CAST(SUM(e.v6) OVER win AS DECIMAL(19,0))
+               - CAST(COUNT(*) OVER win AS DECIMAL(18,0))
+                 * CAST(m.s6 AS DECIMAL(19,0)) AS num
+      FROM v e JOIN m ON m.event_type = e.event_type
+      WINDOW win AS (PARTITION BY e.event_type ORDER BY e.ts_us, e.event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
     rk AS (
-      SELECT event_type, event_id, ts_us, cusum,
+      SELECT event_type, event_id, num, n,
              row_number() OVER (PARTITION BY event_type
-                                ORDER BY abs(cusum) DESC, ts_us, event_id) AS rn
+                                ORDER BY abs(num) DESC, ts_us, event_id) AS rn
       FROM c)
     SELECT event_type, event_id AS change_event_id,
-           round(CAST(cusum AS DOUBLE), 6) AS cusum_peak
+           round(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+             AS cusum_peak
     FROM rk WHERE rn = 1
     """,
     doc=(
         "CUSUM changepoint detection per event_type: the running sum "
         "of deviations from the series mean peaks (in absolute value) "
         "at the most likely level-shift point. Deviation accumulation "
-        "is exact: running DECIMAL sum minus running-count x mean, "
-        "where the mean stays the exact rational s/n (DECIMAL "
-        "division) so |cusum| comparisons and the argmax tie order "
-        "((|cusum|) DESC, ts, id) are engine-identical - only the "
-        "final reported peak rounds through double. Per-key windows + "
-        "a WindowGroupLimit argmax; the per-key mean attaches by "
-        "broadcast from a 5-row aggregate."
+        "is EXACT by cross-multiplication: cusum_i = rs_i - i*(s/n) is "
+        "ranked as n*rs_i - i*s over integer micro-units (value scaled "
+        "x1e6 to BIGINT, products in DECIMAL(37,0), difference in "
+        "DECIMAL(38,0)) - no division before the argmax, so |cusum| "
+        "comparisons and the tie order (abs DESC, ts, id) are engine-"
+        "identical at any scale (a DECIMAL-vs-DOUBLE mean quotient "
+        "would let near-tied peaks pick different rows). Only the "
+        "final reported peak divides through double, after the argmax. "
+        "Per-key windows + a WindowGroupLimit argmax; the per-key "
+        "(sum, count) attaches by broadcast from a 5-row aggregate."
     ),
 )
 def q177_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    m = ev.groupBy("event_type").agg(
-        F.sum(F.col("value").cast("decimal(20,6)")).alias("s"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    e = ev.join(F.broadcast(m), "event_type").select(
+    v = ev.select(
         "event_type", "event_id",
         F.unix_micros("ts").alias("ts_us"),
-        F.col("value").cast("decimal(20,6)").alias("v"),
-        (F.col("s") / F.col("n")).alias("mean"),
+        (F.col("value").cast("decimal(20,6)") * 1000000).cast("bigint").alias("v6"),
     )
+    m = v.groupBy("event_type").agg(
+        F.sum("v6").alias("s6"), F.count(F.lit(1)).alias("n")
+    )
+    e = v.join(F.broadcast(m), "event_type")
     win = (
         Window.partitionBy("event_type")
         .orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c = e.select(
-        "event_type", "event_id", "ts_us",
+        "event_type", "event_id", "ts_us", "n",
         (
-            F.sum("v").over(win) - F.count(F.lit(1)).over(win) * F.col("mean")
-        ).alias("cusum"),
+            F.col("n").cast("decimal(18,0)")
+            * F.sum("v6").over(win).cast("decimal(19,0)")
+            - F.count(F.lit(1)).over(win).cast("decimal(18,0)")
+            * F.col("s6").cast("decimal(19,0)")
+        ).alias("num"),
     )
     wr = Window.partitionBy("event_type").orderBy(
-        F.abs(F.col("cusum")).desc(), "ts_us", "event_id"
+        F.abs(F.col("num")).desc(), "ts_us", "event_id"
     )
     return (
-        c.select("event_type", "event_id", "cusum", F.row_number().over(wr).alias("rn"))
+        c.select(
+            "event_type", "event_id", "num", "n",
+            F.row_number().over(wr).alias("rn"),
+        )
         .filter(F.col("rn") == 1)
         .select(
             "event_type",
             F.col("event_id").alias("change_event_id"),
-            F.round(F.col("cusum").cast("double"), 6).alias("cusum_peak"),
+            F.round(
+                F.col("num").cast("double")
+                / (F.col("n").cast("double") * F.lit(1000000.0)),
+                6,
+            ).alias("cusum_peak"),
         )
     )
 

@@ -77,12 +77,17 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = q.fn(spark, args.sf)
+            # array/struct/map top-level columns crash the DRIVER's pandas
+            # canonicalizer ("unhashable type: 'list'") even though our own
+            # hash JSON-serializes them — reject locally so local green
+            # means driver green (q175 r05 lesson).
             wide_dec = [f"{c}:{t}" for c, t in sdf.dtypes
                         if t == "date"
+                        or t.startswith(("array<", "struct<", "map<"))
                         or (t.startswith("decimal(") and int(t[8:].split(",")[0]) > 18)]
             if wide_dec:
-                print(f"FAIL  {name}: pandas-lossy Spark column(s): {wide_dec} "
-                      f"(cast to bigint/double/string before returning)")
+                print(f"FAIL  {name}: pandas-lossy/unhashable Spark column(s): {wide_dec} "
+                      f"(cast to bigint/double/string, array_join arrays, before returning)")
                 failures += 1
                 continue
             if args.pandas:
@@ -113,6 +118,7 @@ def main() -> int:
                 f"{c}:{t}"
                 for c, t in zip(ocols, res.types)
                 if "HUGEINT" in str(t) or "UBIGINT" in str(t) or str(t) == "DATE"
+                or "[]" in str(t) or "STRUCT" in str(t) or "MAP(" in str(t)
                 or (str(t).startswith("DECIMAL") and int(str(t).split("(")[1].split(",")[0]) > 18)
             ]
             if risky:
