@@ -115,22 +115,50 @@ def read_raw_csv_lines(spark: SparkSession, path: str, *, streaming: bool = Fals
     return read_text_lines(spark, path, streaming=streaming)
 
 
+def _estimate_text_row_bytes(df: DataFrame, sample_rows: int = 10_000) -> float:
+    """Average on-disk bytes per line (+1 for the newline) from a
+    bounded prefix sample.  One small job over ``limit(sample_rows)``
+    — never a full scan, so the estimate stays O(sample) even when
+    ``df`` is 100 TB.  Uses the first column (text sinks are single-
+    column by contract)."""
+    row = (
+        df.limit(sample_rows)
+        .agg(F.avg(F.length(F.col(df.columns[0])) + 1).alias("b"))
+        .collect()[0]
+    )
+    return float(row["b"] or 1.0)
+
+
 def write_text(
     df: DataFrame,
     path: str,
     *,
     single_file: bool = False,
     max_records_per_file: int | None = None,
+    max_part_bytes: int | None = None,
     mode: str = "overwrite",
 ) -> None:
     """A12 batch sink: newline-delimited text parts.
 
     ``single_file`` reproduces the reference's ``setParallelism(1)``
     output shape (``S3ReadWriteExample.java:19``); default is one part
-    per partition, which is the scalable path.  ``max_records_per_file``
-    stands in for ``withMaxPartSize`` (record-count, not bytes).
+    per partition, which is the scalable path.
+
+    ``max_part_bytes`` is the byte-size rolling policy of the
+    reference's ``withMaxPartSize`` (128 MB at
+    ``S3ReadWriteExample.java:36``, 1 GB at
+    ``S3FlinkFilterJacksonville.java:46``).  Spark's writer rolls on
+    record count only, so the byte cap is converted to
+    ``maxRecordsPerFile`` via a sampled average row size — parts land
+    within sampling error (±~20%) of the byte target, matching the
+    reference's best-effort roll (Flink, too, only checks the size
+    cap at record boundaries).  ``max_records_per_file`` passes a
+    record cap through directly and wins if both are given.
     """
     out = df.coalesce(1) if single_file else df
+    if max_records_per_file is None and max_part_bytes is not None:
+        avg = _estimate_text_row_bytes(out)
+        max_records_per_file = max(1, int(max_part_bytes / avg))
     writer = out.write.mode(mode)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
@@ -272,10 +300,10 @@ def read_jdbc(
     ``num_partitions`` range-bounded queries in parallel.  Requires the
     driver jar on the classpath (not bundled in this environment —
     fails with a clear error otherwise)."""
+    if partition_column is not None and (lower_bound is None or upper_bound is None):
+        raise ValueError("partitioned JDBC read needs lower_bound and upper_bound")
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
-        if lower_bound is None or upper_bound is None:
-            raise ValueError("partitioned JDBC read needs lower_bound and upper_bound")
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("numPartitions", num_partitions)
@@ -287,9 +315,47 @@ def read_jdbc(
     return reader.load()
 
 
+def write_jdbc(
+    df: DataFrame, url: str, table: str, *,
+    mode: str = "overwrite",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC sink.  Each task opens its own connection and writes its
+    partition — parallelism is the frame's partition count, so
+    ``repartition(n)`` first to bound connection fan-in against the
+    target database at scale."""
+    writer = df.write.format("jdbc").mode(mode).option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def kafka_options(
+    bootstrap_servers: str, topic: str, *,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = True,
+) -> dict[str, str]:
+    """The Kafka source option set, assembled separately so it is
+    unit-testable without a broker or the spark-sql-kafka jar.
+    ``max_offsets_per_trigger`` bounds per-micro-batch intake — the
+    backpressure knob that keeps a 1000-executor streaming job from
+    swallowing a week of backlog in one batch after downtime."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def read_kafka(
     spark: SparkSession, bootstrap_servers: str, topic: str, *,
     streaming: bool = True, starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """Kafka source (key/value binary + topic/partition/offset/ts).
 
@@ -298,13 +364,14 @@ def read_kafka(
     returned frame is the raw Kafka schema; parse ``value`` with
     ``from_json``/``from_csv`` downstream."""
     reader = spark.readStream if streaming else spark.read
-    return (
-        reader.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
+    reader = reader.format("kafka")
+    for k, v in kafka_options(
+        bootstrap_servers, topic,
+        starting_offsets=starting_offsets,
+        max_offsets_per_trigger=max_offsets_per_trigger,
+    ).items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 def write_csv(df: DataFrame, path: str, *, header: bool = True, mode: str = "overwrite") -> None:

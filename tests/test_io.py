@@ -5,6 +5,7 @@ analogue), and the streaming text sink commits through a checkpoint."""
 from __future__ import annotations
 
 import glob
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -70,6 +71,29 @@ def test_rolling_sink_caps_records_per_file(sample, tmp_path):
     counts = [sum(1 for _ in open(p)) for p in parts]
     assert max(counts) <= 50
     assert sum(counts) == sample.count()
+
+
+def test_rolling_sink_byte_target(spark, tmp_path):
+    """A12 withMaxPartSize fidelity: the byte cap (128 MB / 1 GB in the
+    reference, S3ReadWriteExample.java:36) converts to a record cap via
+    sampled average row size; full parts land within ±20% of the byte
+    target."""
+    # 5000 fixed-width 40-byte lines (39 chars + \n) = 200 kB total
+    lines = spark.range(5000).select(
+        F.concat(F.lit("row-"), F.lpad(F.col("id").cast("string"), 35, "0")).alias("value")
+    )
+    target = 20_000  # 20 kB parts -> ~10 full parts
+    io.write_text(lines.coalesce(1), str(tmp_path / "b"), max_part_bytes=target)
+    parts = sorted(glob.glob(str(tmp_path / "b" / "part-*")))
+    sizes = [os.path.getsize(p) for p in parts]
+    assert sum(sizes) == 5000 * 40
+    # every part within the cap (+20% sampling tolerance)...
+    assert max(sizes) <= target * 1.2
+    # ...and every FULL part (all but the task's last remainder part)
+    # is within -20% of the target, i.e. rolling really is byte-driven
+    for s in sizes[:-1]:
+        assert s >= target * 0.8
+    assert len(sizes) >= 8  # ~200kB / 20kB
 
 
 def test_single_file_mode(sample, tmp_path):
@@ -220,3 +244,63 @@ def test_file_stats_and_compaction_roundtrip(spark, tmp_path):
     assert n == 1  # tiny table folds into one file
     assert spark.read.parquet(dst).count() == 10000
     assert len(sio.file_stats(spark, dst).collect()) == 1
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """Real JDBC round-trip against embedded Derby (bundled with
+    Spark): write_jdbc out, read_jdbc back — plain and partitioned
+    (the partitioned path issues range-bounded queries in parallel,
+    the only acceptable shape at scale)."""
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    df = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("v"),
+    )
+    io.write_jdbc(df, url, "t1", properties=props)
+    back = io.read_jdbc(spark, url, "t1", properties=props)
+    assert back.count() == 100
+    assert sorted(back.columns) == ["K", "V"] or sorted(c.lower() for c in back.columns) == ["k", "v"]
+    part = io.read_jdbc(
+        spark, url, "t1",
+        partition_column="k", num_partitions=4, lower_bound=0, upper_bound=100,
+        properties=props,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 100
+    assert part.agg(F.sum(F.col("k").cast("bigint")).alias("s")).first()["s"] == 4950
+
+
+def test_read_jdbc_partition_bounds_required():
+    with pytest.raises(ValueError):
+        io.read_jdbc(None, "jdbc:derby:x", "t", partition_column="k")
+
+
+def test_kafka_options_assembly():
+    """No broker/jar in this container: pin the exact option set the
+    Kafka source submits so the plumbing can't silently rot."""
+    opts = io.kafka_options("b1:9092,b2:9092", "events")
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "true",
+    }
+    opts = io.kafka_options(
+        "b:9092", "t", starting_offsets="latest",
+        max_offsets_per_trigger=50_000, fail_on_data_loss=False,
+    )
+    assert opts["maxOffsetsPerTrigger"] == "50000"
+    assert opts["startingOffsets"] == "latest"
+    assert opts["failOnDataLoss"] == "false"
+
+
+def test_read_kafka_fails_clearly_without_package(spark):
+    """The kafka jar is absent here; the source must fail with the
+    data-source-not-found error, not something cryptic."""
+    import py4j.protocol
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises((AnalysisException, py4j.protocol.Py4JJavaError)) as ei:
+        io.read_kafka(spark, "b:9092", "t", streaming=False)
+    assert "kafka" in str(ei.value).lower()
