@@ -3282,7 +3282,7 @@ def q155_kll_quantile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q162_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_s3_read_write_spark.operators.dedup import _md5_h60
+    from flink_s3_read_write_spark.operators import cms
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(D.tokens(F.col("text"))).alias("tok")).filter(
@@ -3291,33 +3291,15 @@ def q162_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
     cnt = cnt.cache()  # feeds total mass + cells + candidates
     n_total = F.broadcast(cnt.agg(F.sum("exact_cnt").alias("n_total")))
-    rows_ = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
-
-    def bucket(r, tok_col):
-        return _md5_h60(F.md5(F.concat(r.cast("string"), F.lit("|"), tok_col))) % 512
-
-    cells = (
-        cnt.select("tok", "exact_cnt", rows_)
-        .select(F.col("r"), bucket(F.col("r"), F.col("tok")).alias("bucket"), "exact_cnt")
-        .groupBy("r", "bucket")
-        .agg(F.sum("exact_cnt").alias("cell"))
-    )
+    cells = cms.cms_cells_from_counts(cnt)
     cand = (
         cnt.crossJoin(n_total)
         .filter(F.lit(200) * F.col("exact_cnt") >= F.col("n_total"))
         .select("tok", "exact_cnt")
     )
-    probes = cand.select(
-        "tok", "exact_cnt", rows_
-    ).select("tok", "exact_cnt", "r", bucket(F.col("r"), F.col("tok")).alias("bucket"))
-    return (
-        probes.join(F.broadcast(cells), ["r", "bucket"])
-        .groupBy("tok", "exact_cnt")
-        .agg(F.min("cell").cast("bigint").alias("cms_est"))
-        .select(
-            "tok", "exact_cnt", "cms_est",
-            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
-        )
+    return cms.cms_point_query(cand, cells).select(
+        "tok", "exact_cnt", "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
     )
 
 

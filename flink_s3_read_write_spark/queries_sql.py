@@ -1704,15 +1704,27 @@ def q146_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cu = F.concat(F.lit("c"), F.col("c").cast("string"))
     pu = F.concat(F.lit("p"), F.col("p").cast("string"))
-    # The edge table feeds deg + three per-iteration joins; repartition
-    # by u THEN cache, so the orders⋈lineitem+distinct shuffle runs
-    # once and every iteration's edges⋈contrib join reuses the cached
+    # The edge table feeds deg + three per-iteration joins; both
+    # directions come from ONE pass over e0 (explode of the two
+    # orientations — a union of two selects would compute the
+    # orders⋈lineitem+distinct twice), then repartition by u THEN
+    # cache, so every iteration's edges⋈contrib join reuses the cached
     # hash partitioning (only the node-sized contrib side shuffles per
     # round — the 100 TB plan, where this is a persisted u-bucketed
     # edge table).  The harness clearCache()s per query.
-    edges = e0.select(cu.alias("u"), pu.alias("v")).unionByName(
-        e0.select(pu.alias("u"), cu.alias("v"))
-    ).repartition("u").cache()
+    edges = (
+        e0.select(
+            F.explode(
+                F.array(
+                    F.struct(cu.alias("u"), pu.alias("v")),
+                    F.struct(pu.alias("u"), cu.alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .repartition("u")
+        .cache()
+    )
     ranks = G.pagerank_quantized(edges, iters=3)
     return G.top_ranked(ranks, k=20)
 
@@ -2253,9 +2265,24 @@ def q158_wl_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cu = F.concat(F.lit("c"), F.col("c").cast("string"))
     pu = F.concat(F.lit("p"), F.col("p").cast("string"))
-    edges = e0.select(cu.alias("u"), pu.alias("v")).unionByName(
-        e0.select(pu.alias("u"), cu.alias("v"))
-    ).cache()
+    # One pass over e0 for both orientations (explode, not a 2-branch
+    # union that would run the orders⋈lineitem distinct twice), hash-
+    # partitioned by u and cached: the degree seed and BOTH refinement
+    # rounds join on u, so they all reuse one edge shuffle and only
+    # the node-sized label table moves per round.
+    edges = (
+        e0.select(
+            F.explode(
+                F.array(
+                    F.struct(cu.alias("u"), pu.alias("v")),
+                    F.struct(pu.alias("u"), cu.alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .repartition("u")
+        .cache()
+    )
     return G.wl_class_summary(G.wl_refine(edges, rounds=2))
 
 

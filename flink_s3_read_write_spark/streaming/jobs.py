@@ -134,6 +134,47 @@ def windowed_counts_stream(
     )
 
 
+def cms_cells_stream(spark: SparkSession, in_path: str) -> DataFrame:
+    """Streaming count-min sketch build: unbounded text source →
+    whitespace tokens → the (r, bucket) cell grid as an update-mode
+    aggregate.
+
+    The aggregate's state is depth×width cells (2048) REGARDLESS of
+    how many tokens stream through — the sketch is the state, which
+    is exactly why CMS (not an exact token count, whose state grows
+    with the vocabulary) is the streaming-native frequency summary.
+    CMS additivity makes the final state equal the batch build over
+    the same lines (equivalence test in tests/test_streaming.py).
+    """
+    from flink_s3_read_write_spark.operators.cms import cms_cells_from_tokens
+
+    lines = read_text_lines(spark, in_path, streaming=True)
+    tok = lines.select(
+        F.explode(F.split(F.trim(F.col("value")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return cms_cells_from_tokens(tok)
+
+
+def moments_by_key_stream(events: DataFrame, key: str = "event_type") -> DataFrame:
+    """Streaming twin of the batch moment aggregates (q176/q88
+    discipline): per-key (n, sum, sum-of-squares) carried as exact
+    DECIMAL partials in an unwindowed update-mode aggregate.
+
+    Moments are the *mergeable* form of mean/stddev/z-score — each
+    micro-batch folds in map-side partials, state is one row per key,
+    and mean/std finish per emission, so a 100 TB/day telemetry
+    stream keeps anomaly baselines with key-count-bounded state.
+    Final state equals the batch aggregate over the same input
+    (equivalence test).
+    """
+    v = F.col("value").cast("decimal(20,6)")
+    return events.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("decimal(30,6)").alias("sx"),
+        F.sum(v * v).cast("decimal(38,6)").alias("sxx"),
+    )
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

@@ -582,3 +582,90 @@ def test_streaming_ingest_dedup_against_static_index(spark, tmp_path):
         assert kept == [2, 5]
     finally:
         q.stop()
+
+
+def test_cms_stream_final_state_matches_batch(spark, sf_dir, tmp_path):
+    """CMS additivity end-to-end: stream the documents' text through
+    the update-mode cms_cells_stream in two file batches; the final
+    (r, bucket) -> cell state must equal the batch build from exact
+    token counts over the same lines — the property that lets per-
+    day/per-partition sketches merge by cell-wise add at 100 TB."""
+    from flink_s3_read_write_spark.operators import cms
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.regexp_replace("text", r"[\r\n]+", " ").alias("value")
+    )
+    src = str(tmp_path / "cms_in")
+    # two appends -> at least two micro-batches worth of files
+    docs.limit(200).coalesce(1).write.mode("append").text(src)
+    docs.limit(400).coalesce(1).write.mode("append").text(src)
+
+    q = jobs.start_memory_sink(
+        jobs.cms_cells_stream(spark, src), "t_cms", "update"
+    )
+    try:
+        q.processAllAvailable()
+        # update mode re-emits changed cells per batch: last write wins
+        final = spark.sql(
+            """SELECT r, bucket, cell FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY r, bucket ORDER BY _mono DESC) AS rn
+                 FROM (SELECT *, monotonically_increasing_id() AS _mono
+                       FROM t_cms))
+               WHERE rn = 1"""
+        )
+        got = {(r["r"], r["bucket"]): r["cell"] for r in final.collect()}
+    finally:
+        q.stop()
+
+    lines = spark.read.text(src)
+    tok = lines.select(
+        F.explode(F.split(F.trim(F.col("value")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    want = {
+        (r["r"], r["bucket"]): r["cell"]
+        for r in cms.cms_cells_from_counts(cnt).collect()
+    }
+    assert got == want
+    assert len(want) > 100  # non-vacuous grid coverage
+    assert len(want) <= 4 * 512  # state bound: never exceeds the grid
+
+
+def test_moments_stream_final_state_matches_batch(spark, sf_dir, tmp_path):
+    """Per-key moment aggregate: streaming update-mode final state ==
+    the same moments_by_key_stream expression evaluated in batch
+    (batch/streaming unification on one function), on the real events
+    table split across two micro-batch files."""
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "mom_in")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = jobs.moments_by_key_stream(jobs.events_stream(spark, src))
+    q = jobs.start_memory_sink(stream, "t_mom", "update")
+    try:
+        q.processAllAvailable()
+        final = spark.sql(
+            """SELECT event_type, n, sx, sxx FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY event_type ORDER BY _mono DESC) AS rn
+                 FROM (SELECT *, monotonically_increasing_id() AS _mono
+                       FROM t_mom))
+               WHERE rn = 1"""
+        )
+        got = {r["event_type"]: (r["n"], r["sx"], r["sxx"]) for r in final.collect()}
+    finally:
+        q.stop()
+
+    want = {
+        r["event_type"]: (r["n"], r["sx"], r["sxx"])
+        for r in jobs.moments_by_key_stream(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    assert got == want
+    assert len(want) >= 3
