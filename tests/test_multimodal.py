@@ -126,7 +126,10 @@ def test_jpeg_dimensions_header_parse():
         + b"\xff\xd9"                                 # EOI
     )
     assert jpeg_dimensions(jpeg) == (w, h, ncomp)
-    assert _decode_image_real(jpeg) == (w, h, ncomp)  # routes via JPEG branch
+    # the full-decode path must NOT trust headers: a JPEG without an
+    # entropy-coded scan is undecodable and fails loudly
+    with pytest.raises(ValueError, match="no SOS"):
+        _decode_image_real(jpeg)
 
     with pytest.raises(ValueError):
         jpeg_dimensions(b"\x89PNG not a jpeg")
