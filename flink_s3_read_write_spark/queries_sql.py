@@ -2374,7 +2374,11 @@ def q159_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
             F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
         )
-        .cache()  # probed three times by the wedge + closing joins
+        # probed three times (wedge e1⋈e2 on u, closing probe); hash-
+        # partition by u before caching so the wedge self-join reads
+        # both sides co-located with zero extra exchange
+        .repartition("u")
+        .cache()
     )
     e1 = oe.select(F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1"))
     e2 = oe.select(F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2"))
@@ -2579,7 +2583,9 @@ def q164_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
     )
-    up = up.cache()  # feeds the pair self-join + per-item counts
+    # feeds the pair self-join (both sides on u) + per-item counts;
+    # partition by u first so the self-join reads both sides co-located
+    up = up.repartition("u").cache()
     a = up.select("u", F.col("i").alias("item_a"))
     b = up.select("u", F.col("i").alias("item_b"))
     co = (
@@ -2601,16 +2607,23 @@ def q164_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    # both directions of the symmetric expansion read sim — without a
-    # cache the union recomputes the whole pair+degree pipeline twice
-    sim = sim.cache()
+    # symmetric expansion in ONE pass: explode both orientations per
+    # row (a 2-branch union would either recompute the whole
+    # pair+degree pipeline twice or force a cache materialization)
     sym = sim.select(
-        F.col("item_a").alias("item"), F.col("item_b").alias("nbr"), "n_ab", "cosine"
-    ).unionByName(
-        sim.select(
-            F.col("item_b").alias("item"), F.col("item_a").alias("nbr"), "n_ab", "cosine"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("item"), F.col("item_b").alias("nbr"),
+                    F.col("n_ab"), F.col("cosine"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("item"), F.col("item_a").alias("nbr"),
+                    F.col("n_ab"), F.col("cosine"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.item", "e.nbr", "e.n_ab", "e.cosine")
     w = Window.partitionBy("item").orderBy(F.desc("cosine"), F.desc("n_ab"), "nbr")
     return (
         sym.select("item", "nbr", "n_ab", "cosine", F.row_number().over(w).alias("rank"))
