@@ -175,6 +175,39 @@ def moments_by_key_stream(events: DataFrame, key: str = "event_type") -> DataFra
     )
 
 
+def ohlc_bars_stream(
+    events: DataFrame, width: str = "1 day", delay: str = "1 hour"
+) -> DataFrame:
+    """Streaming OHLC candle bars: per (event_type, event-time window)
+    open/high/low/close/volume, the market-data reduction of q168 as a
+    watermarked tumbling-window aggregate.
+
+    ``min_by``/``max_by`` over (ts, event_id) give the first/last
+    value with a TOTAL tie order, so emissions are deterministic;
+    high/low/count are plain mergeable aggregates.  In append mode a
+    bar emits once, when the watermark passes its window end —
+    finalized candles only, which is what a downstream ticker store
+    wants; state for closed windows is purged (bounded memory on an
+    unbounded feed).  Final state equals the batch q168 shape over
+    the same input (equivalence test)."""
+    ord_ = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(
+            F.min_by("value", ord_).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("bar_start"),
+            "event_type", "open", "high", "low", "close", "n",
+        )
+    )
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

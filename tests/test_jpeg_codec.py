@@ -264,3 +264,36 @@ def test_real_feature_on_jpeg_bytes():
     assert feat.shape == (8,)
     assert abs(feat[0] - 100 / 255) < 0.01  # mean channel value
     assert abs(feat[1]) < 0.01              # std of a constant image
+
+
+def test_jpeg_property_random_images_match_idct_reference():
+    """Property test: arbitrary 8-multiple grayscale images round-trip
+    through encode->decode to exactly the IDCT-of-quantized-coefficients
+    reference — huffman coding, byte stuffing, category/EXTEND signs,
+    ZRL runs and EOB all exercised on adversarial noise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        arrays(
+            np.uint8,
+            st.sampled_from([(8, 8), (8, 16), (16, 16), (24, 8)]),
+            elements=st.integers(0, 255),
+        )
+    )
+    def prop(px):
+        w, h, c, got = M.decode_jpeg(encode_jpeg_gray(px))
+        assert (w, h, c) == (px.shape[1], px.shape[0], 1)
+        ref = np.empty(px.shape, dtype=np.float64)
+        for y in range(0, px.shape[0], 8):
+            for x in range(0, px.shape[1], 8):
+                coef = np.round(
+                    _fdct_block(px[y : y + 8, x : x + 8].astype(np.float64) - 128.0)
+                )
+                ref[y : y + 8, x : x + 8] = M._DCT_C.T @ coef @ M._DCT_C + 128.0
+        ref = np.clip(np.round(ref), 0, 255).astype(np.uint8)
+        assert np.array_equal(got[:, :, 0], ref)
+
+    prop()

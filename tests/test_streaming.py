@@ -669,3 +669,33 @@ def test_moments_stream_final_state_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(want) >= 3
+
+
+def test_ohlc_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Append-mode OHLC candles: every bar the stream finalizes must
+    equal the batch evaluation of the same ohlc_bars_stream expression
+    bit-for-bit, and all bars safely behind the final watermark must
+    have been emitted (q168's market-data shape, streaming-first)."""
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ohlc_in")
+    ev.coalesce(1).write.parquet(src)
+
+    batch = {tuple(r) for r in jobs.ohlc_bars_stream(ev).collect()}
+
+    q = jobs.start_memory_sink(
+        jobs.ohlc_bars_stream(jobs.events_stream(spark, src)), "t_ohlc", "append"
+    )
+    try:
+        q.processAllAvailable()
+        emitted = {tuple(r) for r in spark.table("t_ohlc").collect()}
+    finally:
+        q.stop()
+
+    assert emitted <= batch  # no invented bars
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    safe = max_ts - timedelta(hours=1, minutes=5)  # watermark + margin
+    must_emit = {r for r in batch if r[0] + timedelta(days=1) < safe}
+    assert must_emit <= emitted
+    assert len(must_emit) > 5  # non-vacuous
