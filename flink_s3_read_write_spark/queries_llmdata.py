@@ -3622,3 +3622,57 @@ def q175_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("qvec")
     )
+
+
+@register(
+    "q192_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t AS tok FROM (
+        SELECT doc_id,
+               unnest(list_slice(string_split({_NORM_SQL.format(c='text')}, ' '),
+                                 1, 10000)) AS t
+        FROM documents) u
+      WHERE t <> ''),
+    post AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             md5(array_to_string(list_sort(list(doc_id)), ',')) AS posting_digest,
+             CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+             CAST(MAX(doc_id) AS BIGINT) AS max_doc
+      FROM tok GROUP BY tok)
+    SELECT tok, n_docs, posting_digest, min_doc, max_doc
+    FROM post WHERE n_docs >= 20
+    """,
+    doc=(
+        "Inverted-index build (the search/retrieval core): distinct "
+        "(token, doc) postings -> one groupBy token producing document "
+        "frequency + a digest of the SORTED posting list (sort_array "
+        "makes the digest partition-order independent - a raw "
+        "collect_list digest would be nondeterministic). df >= 20 "
+        "bounds the emitted dictionary to the useful head. At 100 TB "
+        "this is the textbook build: the posting shuffle partitions "
+        "by token (skew-capped for stopwords like q130), postings "
+        "stay arrays-in-parquet segments, and per-segment indexes "
+        "merge by list concat - no driver-side state anywhere."
+    ),
+)
+def q192_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", F.explode(D.tokens(F.col("text"))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    return (
+        tok.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))))
+            .alias("posting_digest"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 20)
+    )

@@ -4156,3 +4156,271 @@ def q189_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("spearman"),
     )
+
+
+@register(
+    "q190_fuzzy_string_join",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey AS k, c_name AS nm, substring(c_name, 1, 16) AS blk
+      FROM customer),
+    pairs AS (
+      SELECT a.k AS custkey_a, b.k AS custkey_b,
+             CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+      FROM c a JOIN c b ON b.blk = a.blk AND a.k < b.k)
+    SELECT custkey_a, custkey_b, dist FROM pairs WHERE dist <= 1
+    """,
+    doc=(
+        "Fuzzy string (similarity) join: customer-name pairs within "
+        "edit distance 1, the record-linkage primitive Spark has no "
+        "built-in operator for. Composed as blocking -> equi-join -> "
+        "verify: a prefix block key collapses the candidate space "
+        "from O(n^2) to per-block C(b,2) (the q-gram/prefix-filter "
+        "family - at 100 TB the block key is length + first q-gram "
+        "and hot blocks are frequency-capped like q33's LSH buckets), "
+        "then the exact levenshtein() verify runs only inside blocks. "
+        "Identical edit-distance semantics in DuckDB makes the whole "
+        "join hash-replayable. No cross join anywhere in the plan."
+    ),
+)
+def q190_fuzzy_string_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    c = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("nm"),
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    a = c.select(F.col("k").alias("custkey_a"), F.col("nm").alias("nm_a"), "blk")
+    b = c.select(F.col("k").alias("custkey_b"), F.col("nm").alias("nm_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .select(
+            "custkey_a", "custkey_b",
+            F.levenshtein("nm_a", "nm_b").cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+    )
+
+
+@register(
+    "q191_linear_interpolation",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, epoch_us(ts) AS t_us, event_id,
+             CAST(value AS DOUBLE) AS v, 0 AS grid_last
+      FROM events),
+    bounds AS (
+      SELECT event_type,
+             ((MIN(t_us) + 3599999999) // 3600000000) * 3600000000 AS t0,
+             (MAX(t_us) // 3600000000) * 3600000000 AS t1
+      FROM obs GROUP BY event_type),
+    grid AS (
+      SELECT event_type, unnest(generate_series(t0, t1, 3600000000)) AS t_us,
+             CAST(NULL AS BIGINT) AS event_id,
+             CAST(NULL AS DOUBLE) AS v, 1 AS grid_last
+      FROM bounds WHERE t0 <= t1),
+    u AS (
+      SELECT * FROM obs UNION ALL SELECT * FROM grid),
+    f AS (
+      SELECT event_type, t_us, grid_last,
+             last_value(v IGNORE NULLS) OVER w_prev AS vp,
+             last_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS)
+               OVER w_prev AS tp,
+             first_value(v IGNORE NULLS) OVER w_next AS vn,
+             first_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS)
+               OVER w_next AS tn
+      FROM u
+      WINDOW
+        w_prev AS (PARTITION BY event_type
+                   ORDER BY t_us, grid_last, event_id NULLS LAST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY event_type
+                   ORDER BY t_us, grid_last, event_id NULLS LAST
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, t_us AS grid_us,
+           round(CASE WHEN tn = tp THEN vp
+                      ELSE vp + (vn - vp) * (CAST(t_us - tp AS DOUBLE)
+                                             / CAST(tn - tp AS DOUBLE)) END, 9)
+             AS interp_value
+    FROM f
+    WHERE grid_last = 1 AND vp IS NOT NULL AND vn IS NOT NULL
+    """,
+    doc=(
+        "Linear-interpolation resampling of an irregular series onto "
+        "an hourly grid (the step LOCF/q131 can't do: values BETWEEN "
+        "observations). Union the observations with the per-key grid "
+        "points, then one window pass per direction - last IGNORE "
+        "NULLS looking back, and the SAME running frame over the "
+        "REVERSED order looking forward (Spark's unbounded-following "
+        "frame rescans to partition end per row, O(n^2); the reverse "
+        "running frame covers the identical current..following row "
+        "set in O(n) - 43s -> 1.2s at sf0.1) - gives each grid point "
+        "its bracketing observations with NO range join (a grid x "
+        "segments theta-join would be O(grid*n) without an interval "
+        "index; the union+window is the asof.py trick twice). Tie "
+        "order (t, "
+        "obs-before-grid, event_id) is total, so an observation "
+        "exactly on a grid point resolves to itself (factor 0). "
+        "Interp arithmetic is one shared double expression over exact "
+        "integer micros - engine-identical."
+    ),
+)
+def q191_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    step = 3_600_000_000
+    obs = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+        F.lit(0).alias("grid_last"),
+    )
+    bounds = obs.groupBy("event_type").agg(
+        (((F.min("t_us") + (step - 1)) / step).cast("bigint") * step).alias("t0"),
+        ((F.max("t_us") / step).cast("bigint") * step).alias("t1"),
+    )
+    grid = (
+        bounds.filter(F.col("t0") <= F.col("t1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("t0", "t1", F.lit(step))).alias("t_us"),
+        )
+        .select(
+            "event_type", "t_us",
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(None).cast("double").alias("v"),
+            F.lit(1).alias("grid_last"),
+        )
+    )
+    u = obs.unionByName(grid)
+    # Both directions as RUNNING frames: Spark's unbounded-FOLLOWING
+    # frame with first(ignorenulls) rescans current-row→partition-end
+    # per row (O(n²) per key — measured 43 s vs 3 s at sf0.1); the
+    # reverse-ordered running last() is the same row set
+    # (current..following) in O(n).
+    fwd = [F.col("t_us"), F.col("grid_last"), F.col("event_id").asc_nulls_last()]
+    rev = [
+        F.col("t_us").desc(),
+        F.col("grid_last").desc(),
+        F.col("event_id").desc_nulls_first(),
+    ]
+    wp = (
+        Window.partitionBy("event_type").orderBy(*fwd)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type").orderBy(*rev)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t_obs = F.when(F.col("v").isNotNull(), F.col("t_us"))
+    f = u.select(
+        "event_type", "t_us", "grid_last",
+        F.last("v", ignorenulls=True).over(wp).alias("vp"),
+        F.last(t_obs, ignorenulls=True).over(wp).alias("tp"),
+        F.last("v", ignorenulls=True).over(wn).alias("vn"),
+        F.last(t_obs, ignorenulls=True).over(wn).alias("tn"),
+    )
+    frac = (F.col("t_us") - F.col("tp")).cast("double") / (
+        F.col("tn") - F.col("tp")
+    ).cast("double")
+    return (
+        f.filter(
+            (F.col("grid_last") == 1)
+            & F.col("vp").isNotNull()
+            & F.col("vn").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.col("t_us").alias("grid_us"),
+            F.round(
+                F.when(F.col("tn") == F.col("tp"), F.col("vp")).otherwise(
+                    F.col("vp") + (F.col("vn") - F.col("vp")) * frac
+                ),
+                9,
+            ).alias("interp_value"),
+        )
+    )
+
+
+@register(
+    "q193_deterministic_sample",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY md5(CAST(o_orderkey AS VARCHAR)),
+                                         o_orderkey) AS rn
+      FROM orders)
+    SELECT o_orderpriority, o_orderkey, CAST(rn AS INTEGER) AS rn
+    FROM r WHERE rn <= 5
+    """,
+    doc=(
+        "Deterministic per-group sampling: 5 orders per priority by "
+        "md5-hash rank - the reproducible alternative to RAND() "
+        "sampling (same rows on every run, every engine, any "
+        "partitioning; append-stable for rows that stay). A hash "
+        "order is a uniform order, so this IS a uniform sample, and "
+        "WindowGroupLimit pushes the per-group limit below the "
+        "shuffle - no global sort, no driver collect. The md5 rank "
+        "replays exactly in DuckDB (fixed-width lowercase hex)."
+    ),
+)
+def q193_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderpriority", "o_orderkey", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 5)
+        .select("o_orderpriority", "o_orderkey", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@register(
+    "q194_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2),
+    r AS (
+      SELECT l_returnflag, qty, n,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, qty) AS rn
+      FROM c)
+    SELECT l_returnflag, qty AS mode_qty, n AS mode_count FROM r WHERE rn = 1
+    """,
+    doc=(
+        "Deterministic per-group mode (most frequent value, smallest "
+        "value on ties). Built-in mode() is tie-nondeterministic in "
+        "both engines, so the operator is count-aggregate + argmax "
+        "window with a TOTAL tie order (n DESC, value) - exact, "
+        "engine-identical, and two shuffles (value count, then "
+        "WindowGroupLimit argmax over group-count-sized input)."
+    ),
+)
+def q194_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), "qty")
+    return (
+        c.select("l_returnflag", "qty", "n", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("n").alias("mode_count"),
+        )
+    )

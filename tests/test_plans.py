@@ -646,3 +646,47 @@ def test_q189_spearman_rank_windows_partition_by_group(spark, sf_dir):
     plan = P.formatted_plan(registry()["q189_spearman_rank_corr"].fn(spark, sf_dir))
     assert P.has(plan, "partial_count"), plan
     assert not P.has(plan, "Join"), plan
+
+
+def test_q190_fuzzy_join_is_blocked_equi_join(spark, sf_dir):
+    """q190: the fuzzy join must run as a hash/SMJ EQUI-join on the
+    block key with levenshtein only as a post-join filter — never a
+    cartesian/BNL join over all name pairs."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q190_fuzzy_string_join"].fn(spark, sf_dir))
+    assert not P.has(plan, "CartesianProduct"), plan
+    assert not P.has(plan, "BroadcastNestedLoopJoin"), plan
+    assert P.has(plan, "levenshtein"), plan
+
+
+def test_q191_interp_windows_are_running_frames(spark, sf_dir):
+    """q191: both direction windows must be running (unbounded
+    PRECEDING..current) frames — an unbounded-FOLLOWING frame makes
+    Spark rescan to partition end per row, O(n²) per key."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q191_linear_interpolation"].fn(spark, sf_dir))
+    assert "unboundedfollowing" not in plan.lower(), plan
+    assert plan.lower().count("unboundedpreceding") >= 2, plan
+    assert not P.has(plan, "CartesianProduct"), plan
+
+
+def test_q193_sample_uses_window_group_limit(spark, sf_dir):
+    """q193: the per-group hash-rank sample pushes the limit below the
+    shuffle (WindowGroupLimit) — no full per-group materialization."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q193_deterministic_sample"].fn(spark, sf_dir))
+    assert P.has(plan, "WindowGroupLimit"), plan
+
+
+def test_q192_inverted_index_single_token_shuffle_after_distinct(spark, sf_dir):
+    """q192: distinct postings collapse before the per-token aggregate;
+    the posting digest is computed over sort_array (partition-order
+    independent), never a bare collect_list concat."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q192_inverted_index"].fn(spark, sf_dir))
+    assert P.has(plan, "sort_array"), plan
+    assert not P.has(plan, "Join"), plan
