@@ -56,7 +56,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "q175_quantile_normalize",   # array_join serialization fix (r05 err)
     "q177_cusum_changepoint",    # exact cross-multiplied cusum argmax
-    "q159_triangle_count",       # integer wedge count
+    "q159_triangle_count",       # integer wedge count + co-located wedge join
+    "q162_cms_heavy_hitters",    # refactored onto operators/cms.py
+    "q164_item_item_cf",         # explode symmetric expansion, u-partitioned
+    "q146_pagerank_bipartite",   # one-pass edge build (explode)
+    "q158_wl_graph_fingerprint", # one-pass edge build, u-partitioned cache
 )
 
 
