@@ -607,6 +607,93 @@ def resize_images(df: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFr
     return imgs.mapInPandas(batches, RESIZED_SCHEMA)
 
 
+VIDEO_META_SCHEMA = (
+    "doc_id bigint, brand string, duration_ms bigint, n_tracks int, parse_error string"
+)
+
+
+def mp4_metadata(buf: bytes) -> dict:
+    """Real ISO BMFF (MP4/MOV) metadata parse, stdlib-only: walk the
+    box tree to ``ftyp`` (major brand) and ``moov/mvhd`` (timescale +
+    duration, both v0 and v1 layouts), counting ``trak`` boxes.  No
+    codec decode — this is the container-level metadata a curation
+    pipeline filters on (duration caps, track sanity) before paying
+    for any frame decode.  Raises ``ValueError`` on corrupt boxes or
+    missing ``moov`` (e.g. fragmented streams)."""
+    def boxes(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size, typ = struct.unpack(">I4s", buf[pos : pos + 8])
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                size = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
+                hdr = 16
+            elif size == 0:  # to end of enclosing box
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("corrupt MP4: box overruns its parent")
+            yield typ, pos + hdr, pos + size
+            pos += size
+
+    brand, timescale, duration, n_tracks = None, None, None, 0
+    for typ, s, e in boxes(0, len(buf)):
+        if typ == b"ftyp":
+            brand = buf[s : s + 4].decode("ascii", "replace")
+        elif typ == b"moov":
+            for t2, s2, _e2 in boxes(s, e):
+                if t2 == b"mvhd":
+                    ver = buf[s2]
+                    if ver == 1:
+                        timescale, duration = struct.unpack(
+                            ">IQ", buf[s2 + 20 : s2 + 32]
+                        )
+                    else:
+                        timescale, duration = struct.unpack(
+                            ">II", buf[s2 + 12 : s2 + 20]
+                        )
+                elif t2 == b"trak":
+                    n_tracks += 1
+    if timescale is None:
+        raise ValueError("no moov/mvhd box (not an MP4, or fragmented stream)")
+    return {
+        "brand": brand,
+        "timescale": timescale,
+        "duration": duration,
+        "duration_ms": (duration * 1000) // timescale if timescale else 0,
+        "n_tracks": n_tracks,
+    }
+
+
+def video_metadata(df: DataFrame) -> DataFrame:
+    """Container-metadata extraction over video rows: real MP4 box
+    parse per row (Arrow batches, numpy/stdlib only); rows whose bytes
+    aren't a parseable MP4 carry the error in ``parse_error`` instead
+    of failing the batch — at 100 TB a poison row must never kill the
+    task, it gets quarantined by a downstream filter."""
+    vids = df.filter(F.col("meta.media_type") == "video/mp4")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "brand": [], "duration_ms": [],
+                    "n_tracks": [], "parse_error": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    m = mp4_metadata(bytes(content))
+                    rows["brand"].append(m["brand"])
+                    rows["duration_ms"].append(m["duration_ms"])
+                    rows["n_tracks"].append(m["n_tracks"])
+                    rows["parse_error"].append(None)
+                except ValueError as exc:
+                    rows["brand"].append(None)
+                    rows["duration_ms"].append(None)
+                    rows["n_tracks"].append(None)
+                    rows["parse_error"].append(str(exc))
+            yield pd.DataFrame(rows)
+
+    return vids.mapInPandas(batches, VIDEO_META_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 4) -> DataFrame:
     """Frame-sampling plumbing for video rows: N frame records per
     media row (explode), each with a deterministic digest standing in

@@ -135,3 +135,59 @@ def test_jpeg_dimensions_header_parse():
         jpeg_dimensions(b"\x89PNG not a jpeg")
     with pytest.raises(ValueError):
         jpeg_dimensions(jpeg[:8])  # truncated before SOF
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    import struct as _s
+
+    return _s.pack(">I", len(payload) + 8) + typ + payload
+
+
+def _minimal_mp4(duration: int = 30000, timescale: int = 1000, tracks: int = 2,
+                 v1: bool = False) -> bytes:
+    import struct as _s
+
+    if v1:
+        mvhd = (b"\x01" + b"\x00" * 3 + b"\x00" * 16
+                + _s.pack(">IQ", timescale, duration) + b"\x00" * 80)
+    else:
+        mvhd = (b"\x00" * 4 + b"\x00" * 8
+                + _s.pack(">II", timescale, duration) + b"\x00" * 80)
+    moov = _box(b"mvhd", mvhd) + b"".join(
+        _box(b"trak", _box(b"tkhd", b"\x00" * 84)) for _ in range(tracks)
+    )
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + _box(b"moov", moov)
+
+
+def test_mp4_metadata_real_parse():
+    """Real ISO BMFF box walk: brand, v0+v1 mvhd duration, trak count."""
+    m = M.mp4_metadata(_minimal_mp4())
+    assert m["brand"] == "isom"
+    assert m["duration_ms"] == 30000 and m["timescale"] == 1000
+    assert m["n_tracks"] == 2
+    m1 = M.mp4_metadata(_minimal_mp4(duration=90_000, timescale=600, tracks=1, v1=True))
+    assert m1["duration_ms"] == 150_000  # 90000/600 s
+    assert m1["n_tracks"] == 1
+    with pytest.raises(ValueError, match="moov"):
+        M.mp4_metadata(_box(b"ftyp", b"isom\x00\x00\x02\x00"))
+    with pytest.raises(ValueError, match="corrupt"):
+        M.mp4_metadata(b"\x00\x00\xff\xffftyp")  # box overruns buffer
+
+
+def test_video_metadata_operator_quarantines_poison_rows(spark):
+    """Spark-side: real MP4 rows parse; garbage rows land in
+    parse_error instead of failing the Arrow batch."""
+    good = _minimal_mp4()
+    rows = [
+        (1, bytearray(good), {"media_type": "video/mp4", "n_bytes": len(good)}),
+        (2, bytearray(b"not a video"), {"media_type": "video/mp4", "n_bytes": 11}),
+        (3, bytearray(b"x"), {"media_type": "image/png", "n_bytes": 1}),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, content binary, meta struct<media_type:string,n_bytes:int>"
+    )
+    got = {r["doc_id"]: r for r in M.video_metadata(df).collect()}
+    assert set(got) == {1, 2}  # the PNG row is filtered out, not parsed
+    assert got[1]["brand"] == "isom" and got[1]["duration_ms"] == 30000
+    assert got[1]["n_tracks"] == 2 and got[1]["parse_error"] is None
+    assert got[2]["brand"] is None and got[2]["parse_error"]
