@@ -530,6 +530,38 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
+def wav_pcm(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Real RIFF/WAVE container parse, stdlib-only: chunk walk to
+    ``fmt `` (must be format 1 = integer PCM, 16-bit) and ``data``,
+    returning (sample_rate, n_channels, int16 sample array — channels
+    interleaved).  Word-aligned chunk skipping per the RIFF spec, so
+    files with LIST/INFO/fact chunks parse correctly.  Raises
+    ``ValueError`` on non-WAV bytes or unsupported encodings (float/
+    ADPCM/24-bit) — callers quarantine those rows."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV: missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _bps, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV encoding (format={audio_fmt}, bits={bits}); "
+            "16-bit integer PCM only"
+        )
+    data = data[: len(data) - (len(data) % 2)]
+    return rate, n_ch, np.frombuffer(data, dtype="<i2")
+
+
 def audio_features(df: DataFrame, frame_len: int = 256) -> DataFrame:
     """Audio feature extraction over raw PCM bytes — fully real (no
     codec library needed): the binary column is interpreted as
@@ -548,8 +580,12 @@ def audio_features(df: DataFrame, frame_len: int = 256) -> DataFrame:
                                     "peak", "zero_crossing_rate", "frame_rms")}
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 buf = bytes(content)
-                buf = buf[: len(buf) - (len(buf) % 2)]
-                pcm = np.frombuffer(buf, dtype="<i2").astype(np.float64) / 32768.0
+                if buf[:4] == b"RIFF":  # real WAV container: unwrap
+                    _rate, _ch, pcm16 = wav_pcm(buf)
+                else:  # headerless bytes: interpret as raw int16 PCM
+                    buf = buf[: len(buf) - (len(buf) % 2)]
+                    pcm16 = np.frombuffer(buf, dtype="<i2")
+                pcm = pcm16.astype(np.float64) / 32768.0
                 n = len(pcm)
                 if n == 0:
                     pcm = np.zeros(1)

@@ -191,3 +191,45 @@ def test_video_metadata_operator_quarantines_poison_rows(spark):
     assert got[1]["brand"] == "isom" and got[1]["duration_ms"] == 30000
     assert got[1]["n_tracks"] == 2 and got[1]["parse_error"] is None
     assert got[2]["brand"] is None and got[2]["parse_error"]
+
+
+def test_wav_container_parse_and_features(spark):
+    """A REAL WAV file (written by stdlib `wave`, with an extra LIST
+    chunk to exercise word-aligned chunk skipping) unwraps to the same
+    features as its raw-PCM twin."""
+    import io as _io
+    import struct as _s
+    import wave
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    pcm = (rng.randn(1000) * 3000).astype("<i2")
+    bio = _io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(pcm.tobytes())
+    wav_bytes = bio.getvalue()
+    # splice an odd-sized LIST chunk after the header to test alignment
+    list_chunk = b"LIST" + _s.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = wav_bytes[:12] + list_chunk + wav_bytes[12:]
+    spliced = spliced[:4] + _s.pack("<I", len(spliced) - 8) + spliced[8:]
+
+    rate, n_ch, got = M.wav_pcm(spliced)
+    assert (rate, n_ch) == (16000, 1)
+    assert np.array_equal(got, pcm)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        M.wav_pcm(b"not audio at all")
+
+    df = spark.createDataFrame(
+        [(1, bytearray(spliced), ("audio/wav", len(spliced))),
+         (2, bytearray(pcm.tobytes()), ("audio/wav", 2000))],
+        "doc_id long, content binary, meta struct<media_type string, n_bytes int>",
+    )
+    out = {r["doc_id"]: r for r in M.audio_features(df, frame_len=256).collect()}
+    assert out[1]["n_samples"] == 1000
+    assert out[1]["rms"] == pytest.approx(out[2]["rms"], rel=1e-12)
+    assert out[1]["frame_rms"] == out[2]["frame_rms"]
