@@ -38,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from flink_s3_read_write_spark.session import build_session
 from flink_s3_read_write_spark.streaming.jobs import (
     avg_by_key_update_stream,
+    cms_cells_stream,
     filter_exclude_stream,
     uppercase_stream,
 )
@@ -105,6 +106,14 @@ def main() -> int:
                 avg_by_key_update_stream(spark, csv_dir),
                 "update",
                 args.lines + 1,
+            ),
+            # extension op: CMS sketch build over the token stream —
+            # bounded 4x512-cell state regardless of input volume
+            # (rows here = input LINES; each fans out to ~6 tokens)
+            "ext_cms_sketch": (
+                cms_cells_stream(spark, text_dir),
+                "update",
+                args.lines,
             ),
         }
         out = {}
