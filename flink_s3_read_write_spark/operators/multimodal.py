@@ -504,11 +504,12 @@ def image_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     numpy, never row-at-a-time pickling.
     """
     decode = _fake_decode if fake else _decode_image_real
+    feature = _fake_feature if fake else _real_feature
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             dims = [decode(b) for b in pdf["content"]]
-            feats = [_fake_feature(b) for b in pdf["content"]]
+            feats = [feature(b) for b in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -615,12 +616,17 @@ RESIZED_SCHEMA = (
 )
 
 
-def resize_images(df: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFrame:
-    """Resize plumbing: decode dims → scale to ``target`` → emit a
-    deterministic digest standing in for the resized pixel buffer.
-    Real resize would swap ``_fake_decode``/digest for PIL ops; the
-    Spark-side contract (binary in, fixed-dim record out, Arrow
-    batching, image-type filter) is the tested part."""
+def resize_images(
+    df: DataFrame, target: tuple[int, int] = (224, 224), *, fake: bool = True
+) -> DataFrame:
+    """Resize via ``mapInPandas``: decode → nearest-neighbor resample
+    to ``target`` → emit the resized buffer's digest.
+
+    ``fake=False`` is the REAL path for PNG/JPEG bytes: full pixel
+    decode (:func:`decode_image`) + :func:`resize_pixels` (pure NumPy
+    index maps), digesting the actual resized pixel array.  The
+    default fake path keeps the Spark-side contract testable on
+    synthetic non-image bytes (digest stands in for pixels)."""
     tw, th = target
     imgs = df.filter(F.col("meta.media_type") == "image/png")
 
@@ -629,15 +635,22 @@ def resize_images(df: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFr
             rows = {k: [] for k in
                     ("doc_id", "width", "height", "target_w", "target_h", "resized_digest")}
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                w, h, _c = _fake_decode(content)
+                if fake:
+                    w, h, _c = _fake_decode(content)
+                    digest = hashlib.md5(
+                        bytes(content) + f"{tw}x{th}".encode()
+                    ).hexdigest()
+                else:
+                    w, h, _c, px = decode_image(bytes(content))
+                    digest = hashlib.md5(
+                        resize_pixels(px, tw, th).tobytes()
+                    ).hexdigest()
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["target_w"].append(tw)
                 rows["target_h"].append(th)
-                rows["resized_digest"].append(
-                    hashlib.md5(content + f"{tw}x{th}".encode()).hexdigest()
-                )
+                rows["resized_digest"].append(digest)
             yield pd.DataFrame(rows)
 
     return imgs.mapInPandas(batches, RESIZED_SCHEMA)

@@ -233,3 +233,44 @@ def test_wav_container_parse_and_features(spark):
     assert out[1]["n_samples"] == 1000
     assert out[1]["rms"] == pytest.approx(out[2]["rms"], rel=1e-12)
     assert out[1]["frame_rms"] == out[2]["frame_rms"]
+
+
+def test_real_image_pipeline_png_and_jpeg(spark):
+    """The REAL decode path end-to-end in Spark: PNG and baseline-JPEG
+    bytes flow through image_features(fake=False) (decoded dims + real
+    per-channel mean/std features) and resize_images(fake=False)
+    (actual nearest-neighbor pixel resample digests)."""
+    import numpy as np
+
+    from tests.test_jpeg_codec import encode_jpeg_gray
+
+    png_px = np.zeros((16, 8, 3), dtype=np.uint8)
+    png_px[:, :, 0] = 200  # red-ish
+    png = M.encode_png(png_px)
+    jpg_px = np.full((8, 8), 100, dtype=np.uint8)
+    jpg = encode_jpeg_gray(jpg_px)
+    df = spark.createDataFrame(
+        [(1, bytearray(png), ("image/png", len(png))),
+         (2, bytearray(jpg), ("image/png", len(jpg)))],
+        "doc_id long, content binary, meta struct<media_type string, n_bytes int>",
+    )
+    out = {r["doc_id"]: r for r in M.image_features(df, fake=False).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (8, 16, 3)
+    assert (out[2]["width"], out[2]["height"], out[2]["channels"]) == (8, 8, 1)
+    assert out[1]["feature"][0] == pytest.approx(200 / 255, abs=1e-6)  # R mean
+    assert out[1]["feature"][1] == pytest.approx(0.0, abs=1e-6)        # G mean
+    assert out[2]["feature"][0] == pytest.approx(100 / 255, abs=1e-6)
+
+    rz = {r["doc_id"]: r for r in M.resize_images(df, (4, 4), fake=False).collect()}
+    import hashlib as _h
+
+    want_png = _h.md5(
+        M.resize_pixels(
+            M.decode_image(png)[3], 4, 4
+        ).tobytes()
+    ).hexdigest()
+    assert rz[1]["resized_digest"] == want_png
+    assert (rz[1]["width"], rz[1]["height"]) == (8, 16)
+    assert rz[2]["resized_digest"] == _h.md5(
+        M.resize_pixels(M.decode_image(jpg)[3], 4, 4).tobytes()
+    ).hexdigest()
