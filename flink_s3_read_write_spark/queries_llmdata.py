@@ -3676,3 +3676,134 @@ def q192_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 20)
     )
+
+
+@register(
+    "q195_prefix_filter_ssjoin",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_slice(string_split({_NORM_SQL.format(c='text')}, ' '),
+                        1, 10000) AS w
+      FROM documents),
+    tok AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS tok
+      FROM w, unnest(range(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 3),
+    freq AS (SELECT tok, COUNT(*) AS f FROM tok GROUP BY tok),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    ranked AS (
+      SELECT t.doc_id, t.tok, s.n,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY fq.f, t.tok) AS rn
+      FROM tok t JOIN freq fq ON fq.tok = t.tok JOIN sz s ON s.doc_id = t.doc_id),
+    pref AS (
+      SELECT doc_id, tok, n FROM ranked
+      WHERE rn <= n - (4 * n + 4) // 5 + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON b.tok = a.tok AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.i AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           round(CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE), 9)
+             AS jaccard
+    FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+                 JOIN sz sb ON sb.doc_id = i.doc_b
+    WHERE 9 * i.i >= 4 * (sa.n + sb.n)
+    """,
+    doc=(
+        "EXACT set-similarity join (Jaccard >= 0.8) via prefix "
+        "filtering (Chaudhuri et al. ICDE'06 / ppjoin family) - the "
+        "zero-false-negative complement to MinHash-LSH (q33): order "
+        "each doc's distinct tokens by GLOBAL frequency ascending "
+        "(rare first, total tie order (f, tok)), keep the first "
+        "n - ceil(t*n) + 1 tokens (integer (4n+4)//5 arithmetic, exact "
+        "both engines); two sets can reach Jaccard t only if their "
+        "prefixes share a token, so the candidate join is an "
+        "equi-join on RARE tokens - bucket sizes are bounded by "
+        "construction (the frequency order concentrates join keys on "
+        "the thin tail; stopwords never become join keys). Verify is "
+        "the exact intersection count with the integer cross-"
+        "multiplied threshold 9i >= 4(na+nb) - division only in the "
+        "reported jaccard. At 100 TB: freq table broadcast, prefix "
+        "explode is O(corpus tokens), candidates partition by token."
+    ),
+)
+def q195_prefix_filter_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    # 3-word shingle SETS, not token sets: the corpus vocabulary is
+    # tiny (~31 tokens) so token prefixes can't discriminate; shingle
+    # space is combinatorial, which is why practical SSJoin/dedup
+    # operates on shingles (same representation as q32/q33).
+    words = docs.select("doc_id", D.tokens(F.col("text")).alias("w"))
+    n = F.size("w")
+    grams = F.transform(
+        F.sequence(F.lit(0), n - F.lit(3)),
+        lambda i: F.array_join(F.slice("w", i + 1, F.lit(3)), " "),
+    )
+    tok = words.select(
+        "doc_id",
+        F.explode(
+            F.when(n >= 3, F.array_distinct(grams)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("tok"),
+    )
+    tok = tok.cache()  # feeds freq, sizes, prefixes AND the verify join
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        tok.join(freq, "tok")
+        .join(F.broadcast(sz), "doc_id")
+        .select(
+            "doc_id", "tok", "n",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("f", "tok"))
+            .alias("rn"),
+        )
+    )
+    pref = ranked.filter(
+        F.col("rn") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
+    ).select("doc_id", "tok")
+    a = pref.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.lit(9) * F.col("i") >= F.lit(4) * (F.col("n_a") + F.col("n_b")))
+        .select(
+            "doc_a", "doc_b",
+            F.col("i").cast("bigint").alias("n_common"),
+            F.col("n_a").cast("bigint"), F.col("n_b").cast("bigint"),
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("i")).cast("double"),
+                9,
+            ).alias("jaccard"),
+        )
+    )

@@ -690,3 +690,16 @@ def test_q192_inverted_index_single_token_shuffle_after_distinct(spark, sf_dir):
     plan = P.formatted_plan(registry()["q192_inverted_index"].fn(spark, sf_dir))
     assert P.has(plan, "sort_array"), plan
     assert not P.has(plan, "Join"), plan
+
+
+def test_q195_ssjoin_prefix_equijoin_no_cartesian(spark, sf_dir):
+    """q195: candidate generation must be an equi-join on the prefix
+    shingle and verify an equi-join on (doc, shingle) — the exact
+    SSJoin never degrades to a cartesian/BNL pair enumeration; doc
+    sizes attach by broadcast."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q195_prefix_filter_ssjoin"].fn(spark, sf_dir))
+    assert not P.has(plan, "CartesianProduct"), plan
+    assert not P.has(plan, "BroadcastNestedLoopJoin"), plan
+    assert P.count(plan, "BroadcastExchange") >= 2, plan
