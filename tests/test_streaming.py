@@ -540,7 +540,9 @@ def test_stream_bench_smoke(spark, tmp_path, monkeypatch):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     line = json.loads(out.stdout.strip().splitlines()[-1])
-    assert set(line["jobs"]) == {"job1_uppercase", "job2_filter", "job3_keyed_avg"}
+    assert set(line["jobs"]) == {
+        "job1_uppercase", "job2_filter", "job3_keyed_avg", "ext_cms_sketch"
+    }
     for job in line["jobs"].values():
         assert job["rows_per_sec"] > 0
 
