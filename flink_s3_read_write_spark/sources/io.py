@@ -209,11 +209,27 @@ def read_csv(
 
 
 def read_json(
-    spark: SparkSession, path: str, schema: str | None = None, *, streaming: bool = False
+    spark: SparkSession, path: str, schema: str | None = None, *,
+    streaming: bool = False, corrupt_col: str | None = None,
 ) -> DataFrame:
-    """Newline-delimited JSON source; explicit schema avoids inference."""
+    """Newline-delimited JSON source; explicit schema avoids inference.
+
+    ``corrupt_col`` turns on quarantine-don't-crash semantics for a
+    100 TB lake: malformed lines land whole in that string column
+    (PERMISSIVE mode) with every schema field NULL, instead of
+    failing the task or being silently dropped — downstream filters
+    split clean rows from a dead-letter sink.  Requires ``schema``
+    (the corrupt column must be part of the declared schema)."""
     reader = spark.readStream if streaming else spark.read
     r = reader.format("json")
+    if corrupt_col is not None:
+        if not schema:
+            raise ValueError("corrupt_col requires an explicit schema")
+        schema = f"{schema}, {corrupt_col} string"
+        r = (
+            r.option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+        )
     if schema:
         r = r.schema(schema)
     return r.load(path)

@@ -304,3 +304,24 @@ def test_read_kafka_fails_clearly_without_package(spark):
     with pytest.raises((AnalysisException, py4j.protocol.Py4JJavaError)) as ei:
         io.read_kafka(spark, "b:9092", "t", streaming=False)
     assert "kafka" in str(ei.value).lower()
+
+
+def test_json_corrupt_record_quarantine(spark, tmp_path):
+    """PERMISSIVE JSON: malformed lines land whole in the corrupt
+    column (schema fields NULL) instead of failing the scan or being
+    dropped — the dead-letter split for a 100 TB lake."""
+    p = str(tmp_path / "j")
+    os.makedirs(p)
+    with open(os.path.join(p, "part-0.json"), "w") as fh:
+        fh.write('{"k": 1, "v": "ok"}\n')
+        fh.write('{"k": broken!!\n')
+        fh.write('{"k": 3, "v": "fine"}\n')
+    df = io.read_json(spark, p, "k bigint, v string", corrupt_col="_bad")
+    rows = df.collect()
+    assert len(rows) == 3
+    good = {r["k"]: r["v"] for r in rows if r["_bad"] is None}
+    assert good == {1: "ok", 3: "fine"}
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert len(bad) == 1 and bad[0]["k"] is None and "broken" in bad[0]["_bad"]
+    with pytest.raises(ValueError, match="schema"):
+        io.read_json(spark, p, None, corrupt_col="_bad")
