@@ -193,14 +193,25 @@ def read_csv(
     *,
     header: bool = True,
     streaming: bool = False,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Typed CSV source (quoting/escaping per RFC — the *schema-full*
     path; the reference's split(',') path is ``read_raw_csv_lines``).
     With an explicit schema the reader skips inference (mandatory for
     streaming, and the scalable choice in batch: inference scans data).
+    ``corrupt_col`` enables the same PERMISSIVE dead-letter quarantine
+    as :func:`read_json` (requires ``schema``).
     """
     reader = spark.readStream if streaming else spark.read
     r = reader.format("csv").option("header", header)
+    if corrupt_col is not None:
+        if not schema:
+            raise ValueError("corrupt_col requires an explicit schema")
+        schema = f"{schema}, {corrupt_col} string"
+        r = (
+            r.option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+        )
     if schema:
         r = r.schema(schema)
     elif not streaming:

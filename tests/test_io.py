@@ -325,3 +325,19 @@ def test_json_corrupt_record_quarantine(spark, tmp_path):
     assert len(bad) == 1 and bad[0]["k"] is None and "broken" in bad[0]["_bad"]
     with pytest.raises(ValueError, match="schema"):
         io.read_json(spark, p, None, corrupt_col="_bad")
+
+
+def test_csv_corrupt_record_quarantine(spark, tmp_path):
+    """Same dead-letter contract for CSV: a row whose value can't cast
+    to the declared type quarantines whole, clean rows parse."""
+    p = str(tmp_path / "c")
+    os.makedirs(p)
+    with open(os.path.join(p, "part-0.csv"), "w") as fh:
+        fh.write("k,v\n1,ok\nnot_a_number,broken\n3,fine\n")
+    df = io.read_csv(spark, p, "k bigint, v string", corrupt_col="_bad")
+    rows = df.collect()
+    assert len(rows) == 3
+    good = {r["k"]: r["v"] for r in rows if r["_bad"] is None}
+    assert good == {1: "ok", 3: "fine"}
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert len(bad) == 1 and "not_a_number" in bad[0]["_bad"]
