@@ -701,3 +701,49 @@ def test_ohlc_stream_matches_batch(spark, sf_dir, tmp_path):
     must_emit = {r for r in batch if r[0] + timedelta(days=1) < safe}
     assert must_emit <= emitted
     assert len(must_emit) > 5  # non-vacuous
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir, tmp_path):
+    """The 100 TB streaming-state story: the same update-mode moment
+    aggregate runs on the RocksDB state store provider (bundled
+    rocksdbjni — state spills off-heap/on-disk instead of living in
+    executor heap like the default HDFSBackedStateStore) and reaches
+    the identical final state."""
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "rocks_in")
+    ev.coalesce(1).write.parquet(src)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = jobs.moments_by_key_stream(jobs.events_stream(spark, src))
+        q = jobs.start_memory_sink(stream, "t_rocks", "update")
+        try:
+            q.processAllAvailable()
+            final = spark.sql(
+                """SELECT event_type, n, sx, sxx FROM (
+                     SELECT *, row_number() OVER (
+                       PARTITION BY event_type ORDER BY _mono DESC) AS rn
+                     FROM (SELECT *, monotonically_increasing_id() AS _mono
+                           FROM t_rocks))
+                   WHERE rn = 1"""
+            )
+            got = {r["event_type"]: (r["n"], r["sx"], r["sxx"])
+                   for r in final.collect()}
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    want = {r["event_type"]: (r["n"], r["sx"], r["sxx"])
+            for r in jobs.moments_by_key_stream(ev).collect()}
+    assert got == want and len(want) >= 3
