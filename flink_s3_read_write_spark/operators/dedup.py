@@ -490,9 +490,19 @@ def connected_components(
     (id, cluster_id) for every vertex appearing in any edge, where
     cluster_id = min vertex id of its component.
     """
+    # Both orientations from ONE pass over ``pairs`` — a 2-branch
+    # union would compute the (expensive: LSH + verify) pair pipeline
+    # twice before this cache even fills.
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .cache()
     )
