@@ -61,6 +61,8 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "q164_item_item_cf",         # explode symmetric expansion, u-partitioned
     "q146_pagerank_bipartite",   # one-pass edge build (explode)
     "q158_wl_graph_fingerprint", # one-pass edge build, u-partitioned cache
+    "q54_dedup_keep_list",       # one-pass CC edge orientation
+    "q126_quality_keeper_dedup", # shares connected_components
 )
 
 
