@@ -63,6 +63,7 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "q158_wl_graph_fingerprint", # one-pass edge build, u-partitioned cache
     "q54_dedup_keep_list",       # one-pass CC edge orientation
     "q126_quality_keeper_dedup", # shares connected_components
+    "q148_bfs_hops",             # one-pass edge build (explode)
 )
 
 

@@ -1843,10 +1843,21 @@ def q148_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = F.concat(F.lit("c"), F.col("c").cast("string"))
     pu = F.concat(F.lit("p"), F.col("p").cast("string"))
     # Frontier is broadcast per round (bfs_levels), so edges need no
-    # particular partitioning — just cache the build.
-    edges = e0.select(cu.alias("u"), pu.alias("v")).unionByName(
-        e0.select(pu.alias("u"), cu.alias("v"))
-    ).cache()
+    # particular partitioning — one explode pass for both orientations
+    # (a 2-branch union would run the orders⋈lineitem distinct twice),
+    # then cache the build.
+    edges = (
+        e0.select(
+            F.explode(
+                F.array(
+                    F.struct(cu.alias("u"), pu.alias("v")),
+                    F.struct(pu.alias("u"), cu.alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .cache()
+    )
     seeds = edges.sparkSession.createDataFrame([("c1",)], "u string")
     return G.bfs_levels(edges, seeds, rounds=3).select(
         F.col("u").alias("node"), "dist"
