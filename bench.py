@@ -23,7 +23,7 @@ stable statistic; sub-threshold queries are not repeated so the extra
 wall cost stays bounded by the slow tail.  The storage cache is
 cleared between runs and between queries, so per-query ``.cache()``
 fills are charged to every run of their own query and never leak into
-the next one's timing (or accumulate across the 135-query sweep).
+the next one's timing (or accumulate across the full-registry sweep).
 """
 
 from __future__ import annotations
