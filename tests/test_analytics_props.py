@@ -168,3 +168,156 @@ def test_snm_identical_docs_in_same_block_are_candidates(spark):
     )
     got = {(r["id_a"], r["id_b"]): r["j"] for r in pairs}
     assert got[(1, 2)] == 1.0
+
+
+def test_prefix_filter_ssjoin_no_false_negatives(spark):
+    """The prefix-filter guarantee: on adversarial random set data,
+    EVERY pair with Jaccard >= t shares a token in its
+    (n - ceil(t*n) + 1)-prefix under the global-frequency order —
+    candidates ⊇ true pairs, and the verified output EQUALS the brute
+    force. (q195's algorithm, threshold 0.8, distilled to sets.)"""
+    import itertools
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(13)
+    vocab = [f"s{i}" for i in range(40)]
+    docs = {}
+    for d in range(60):
+        base = rng.sample(vocab, rng.randint(5, 12))
+        docs[d] = set(base)
+    # plant near-dup pairs: copy with small edits
+    for d in range(60, 75):
+        src = docs[rng.randrange(60)]
+        dup = set(src)
+        if rng.random() < 0.7 and len(dup) > 5:
+            dup.discard(next(iter(dup)))
+        docs[d] = dup
+
+    brute = {}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        i = len(docs[a] & docs[b])
+        na, nb = len(docs[a]), len(docs[b])
+        if 9 * i >= 4 * (na + nb):  # jaccard >= 0.8, integer form
+            brute[(a, b)] = i
+
+    rows = [(d, t) for d, toks in docs.items() for t in toks]
+    tok = spark.createDataFrame(rows, "doc_id int, tok string")
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        tok.join(freq, "tok").join(sz, "doc_id")
+        .select("doc_id", "tok", "n",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("f", "tok")).alias("rn"))
+    )
+    pref = ranked.filter(
+        F.col("rn") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
+    ).select("doc_id", "tok")
+    a = pref.select(F.col("doc_id").alias("da"), "tok")
+    b = pref.select(F.col("doc_id").alias("db"), "tok")
+    cand = (a.join(b, "tok").filter(F.col("da") < F.col("db"))
+            .select("da", "db").distinct())
+    cand_set = {(r["da"], r["db"]) for r in cand.collect()}
+    assert set(brute) <= cand_set, "prefix filter dropped a true pair"
+
+    ta = tok.select(F.col("doc_id").alias("da"), "tok")
+    tb = tok.select(F.col("doc_id").alias("db"), "tok")
+    inter = (cand.join(ta, "da").join(tb, ["db", "tok"])
+             .groupBy("da", "db").agg(F.count(F.lit(1)).alias("i")))
+    sa = sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    got = {
+        (r["da"], r["db"]): r["i"]
+        for r in inter.join(sa, "da").join(sb, "db")
+        .filter(F.lit(9) * F.col("i") >= F.lit(4) * (F.col("na") + F.col("nb")))
+        .collect()
+    }
+    assert got == brute
+    assert len(brute) >= 10  # non-vacuous: the planted dups exist
+
+
+def test_linear_interpolation_matches_numpy(spark):
+    """q191's bracketing windows against np.interp on random irregular
+    series (with a duplicate-timestamp tie to pin the tie order)."""
+    import numpy as np
+
+    from flink_s3_read_write_spark.queries import registry  # noqa: F401  (import side effects)
+
+    rng = np.random.RandomState(5)
+    ts = np.sort(rng.choice(np.arange(0, 500_000, 7), size=40, replace=False))
+    vals = np.round(rng.randn(40) * 10, 6)
+    step = 10_000
+    rows = [(int(t), float(v), i) for i, (t, v) in enumerate(zip(ts, vals))]
+    obs = spark.createDataFrame(rows, "t_us long, v double, event_id long")
+
+    from pyspark.sql import Window
+
+    grid_ts = np.arange(
+        ((int(ts.min()) + step - 1) // step) * step,
+        (int(ts.max()) // step) * step + 1,
+        step,
+    )
+    grid = spark.createDataFrame([(int(t),) for t in grid_ts], "t_us long").select(
+        "t_us",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(1).alias("g"),
+    )
+    u = obs.select("t_us", "event_id", "v", F.lit(0).alias("g")).unionByName(grid)
+    fwd = [F.col("t_us"), F.col("g"), F.col("event_id").asc_nulls_last()]
+    rev = [F.col("t_us").desc(), F.col("g").desc(), F.col("event_id").desc_nulls_first()]
+    wp = Window.orderBy(*fwd).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = Window.orderBy(*rev).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t_obs = F.when(F.col("v").isNotNull(), F.col("t_us"))
+    f = u.select(
+        "t_us", "g",
+        F.last("v", True).over(wp).alias("vp"),
+        F.last(t_obs, True).over(wp).alias("tp"),
+        F.last("v", True).over(wn).alias("vn"),
+        F.last(t_obs, True).over(wn).alias("tn"),
+    ).filter((F.col("g") == 1) & F.col("vp").isNotNull() & F.col("vn").isNotNull())
+    frac = (F.col("t_us") - F.col("tp")).cast("double") / (
+        F.col("tn") - F.col("tp")).cast("double")
+    got = {
+        r["t_us"]: r["iv"]
+        for r in f.select(
+            "t_us",
+            F.when(F.col("tn") == F.col("tp"), F.col("vp"))
+            .otherwise(F.col("vp") + (F.col("vn") - F.col("vp")) * frac)
+            .alias("iv"),
+        ).collect()
+    }
+    want = np.interp(grid_ts.astype(float), ts.astype(float), vals)
+    assert set(got) == set(int(t) for t in grid_ts)
+    for t, w in zip(grid_ts, want):
+        assert abs(got[int(t)] - w) < 1e-9, (t, got[int(t)], w)
+
+
+def test_fuzzy_join_blocking_complete_for_block_local_pairs(spark):
+    """q190's contract: within a block, verified output equals brute-
+    force levenshtein<=1 over all pairs (blocking loses only pairs in
+    different blocks, by design)."""
+    import itertools
+
+    names = [f"Customer#0000{i:05d}" for i in range(150)]
+    df = spark.createDataFrame([(i, n) for i, n in enumerate(names)], "k int, nm string")
+    blk = df.select("k", "nm", F.substring("nm", 1, 16).alias("blk"))
+    a = blk.select(F.col("k").alias("ka"), F.col("nm").alias("na"), "blk")
+    b = blk.select(F.col("k").alias("kb"), F.col("nm").alias("nb"), "blk")
+    got = {
+        (r["ka"], r["kb"])
+        for r in a.join(b, "blk").filter(F.col("ka") < F.col("kb"))
+        .filter(F.levenshtein("na", "nb") <= 1).collect()
+    }
+
+    def lev_le1(x, y):  # same length here: count substitutions
+        return sum(c != d for c, d in zip(x, y)) <= 1
+
+    want = {
+        (i, j)
+        for i, j in itertools.combinations(range(len(names)), 2)
+        if names[i][:16] == names[j][:16] and lev_le1(names[i], names[j])
+    }
+    assert got == want and len(want) > 100
