@@ -67,6 +67,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--single-file", action="store_true",
                     help="one output part (the reference's setParallelism(1) shape)")
     ap.add_argument("--max-records-per-file", type=int, default=None)
+    ap.add_argument("--max-part-bytes", type=int, default=None,
+                    help="byte-size part rolling (the reference's "
+                         "withMaxPartSize: 128MB/1GB), converted via "
+                         "sampled average row size")
     ap.add_argument("--trigger-seconds", type=int, default=60)
     ap.add_argument("--s3", action="store_true", help="apply the S3A/magic-committer profile")
     args = ap.parse_args(argv)
@@ -117,6 +121,7 @@ def main(argv: list[str] | None = None) -> int:
         df, args.out_path,
         single_file=args.single_file,
         max_records_per_file=args.max_records_per_file,
+        max_part_bytes=args.max_part_bytes,
     )
     return 0
 

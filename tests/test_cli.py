@@ -63,3 +63,18 @@ def test_cli_query_runs_registry_entry(spark, tmp_path, capsys):
     ])
     assert rc == 0
     assert spark.read.parquet(out).count() == 4
+
+
+def test_cli_byte_rolling(spark, tmp_path):
+    """--max-part-bytes rolls batch output at the byte target, the
+    CLI face of the reference's withMaxPartSize."""
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    write_input(spark, src, [f"line-{i:05d}-{'x' * 30}" for i in range(2000)])
+    assert main(["uppercase", "--in", src, "--out", out,
+                 "--max-part-bytes", "20000"]) == 0
+    import os as _os
+
+    sizes = [_os.path.getsize(p) for p in sorted(glob.glob(out + "/part-*"))]
+    assert sum(sizes) == 2000 * 42  # 41 chars + newline
+    assert max(sizes) <= 24000
+    assert len(sizes) >= 3
