@@ -4435,3 +4435,150 @@ def q194_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+@register(
+    "q196_rfm_segmentation",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+    rfm AS (
+      SELECT o.o_custkey AS custkey,
+             date_diff('day', MAX(CAST(o.o_orderdate AS DATE)), mx.d0) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS monetary
+      FROM orders o, mx GROUP BY o.o_custkey, mx.d0),
+    scored AS (
+      SELECT custkey, recency_days, frequency, monetary,
+             ntile(5) OVER (ORDER BY recency_days, custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, custkey) AS m_score
+      FROM rfm)
+    SELECT CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(AVG(monetary), 6) AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "RFM customer segmentation (recency / frequency / monetary "
+        "quintiles) - the classic BI cohorting operator: one orders "
+        "aggregate per customer, three ntile(5) windows with TOTAL "
+        "tie orders (metric, custkey - bare ntile over ties is "
+        "engine-nondeterministic), then the segment-level rollup. "
+        "Monetary sums route through DECIMAL(20,2) (exact cents) and "
+        "the only double math is the final AVG over an exact sum, "
+        "rounded. The global ntile windows are the documented scale "
+        "trade: customer-grain input (not orders-grain), and at "
+        "100 TB the quintile boundaries come from approx_percentile "
+        "instead - same output schema, one pass, no global sort."
+    ),
+)
+def q196_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    mx = F.broadcast(
+        orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("d0"))
+    )
+    rfm = (
+        orders.crossJoin(mx)
+        .groupBy("o_custkey", "d0")
+        .agg(
+            F.datediff(F.first("d0"), F.max(F.col("o_orderdate").cast("date")))
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "recency_days", "frequency", "monetary",
+        )
+    )
+    scored = rfm.select(
+        "custkey", "recency_days", "frequency", "monetary",
+        F.ntile(5).over(Window.orderBy("recency_days", "custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), "custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), "custkey")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+    ).select(
+        F.col("r_score").cast("int"), F.col("f_score").cast("int"),
+        F.col("m_score").cast("int"), "n_customers", "avg_monetary",
+    )
+
+
+@register(
+    "q197_min_cost_paths",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS u, l_partkey AS v,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem),
+    em AS (SELECT u, v, MIN(w) AS w FROM e GROUP BY u, v),
+    und AS (
+      SELECT u, v, w FROM em UNION ALL SELECT v, u, w FROM em),
+    d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost),
+    d1 AS (
+      SELECT node, MIN(cost) AS cost FROM (
+        SELECT node, cost FROM d0
+        UNION ALL
+        SELECT e.v AS node, d.cost + e.w FROM und e JOIN d0 d ON d.node = e.u) t
+      GROUP BY node),
+    d2 AS (
+      SELECT node, MIN(cost) AS cost FROM (
+        SELECT node, cost FROM d1
+        UNION ALL
+        SELECT e.v AS node, d.cost + e.w FROM und e JOIN d1 d ON d.node = e.u) t
+      GROUP BY node)
+    SELECT node, cost FROM d2
+    """,
+    doc=(
+        "Weighted min-cost paths (<= 2 hops) from supplier 1 over the "
+        "supplier-part supply graph: Bellman-Ford / min-plus semiring "
+        "rounds - each round one edges-joins-costs join + a MIN "
+        "aggregate, the WEIGHTED generalization of q148's BFS (hop "
+        "count = min-plus with w=1). Edge weight = min quantity per "
+        "(supplier, part) pair, pure BIGINT addition/min - exact and "
+        "mergeable, so rounds are SQL-replayable. Same scale shape "
+        "as every graph op here: frontier-sized state, edge "
+        "partitioning by u, checkpoint between rounds at 100 TB."
+    ),
+)
+def q197_min_cost_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    em = (
+        li.select(
+            F.col("l_suppkey").alias("u"),
+            F.col("l_partkey").alias("v"),
+            F.col("l_quantity").cast("bigint").alias("w"),
+        )
+        .distinct()
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+    )
+    und = em.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v"), F.col("w")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v", "e.w").cache()
+    d = em.sparkSession.createDataFrame([(1, 0)], "node bigint, cost bigint")
+    for _ in range(2):
+        relax = (
+            und.join(F.broadcast(d), und.u == d.node)
+            .select(F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        d = (
+            d.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .cache()
+        )
+    return d
