@@ -703,3 +703,49 @@ def test_q195_ssjoin_prefix_equijoin_no_cartesian(spark, sf_dir):
     assert not P.has(plan, "CartesianProduct"), plan
     assert not P.has(plan, "BroadcastNestedLoopJoin"), plan
     assert P.count(plan, "BroadcastExchange") >= 2, plan
+
+
+def test_q194_mode_argmax_pushes_group_limit(spark, sf_dir):
+    """q194: mode = count-aggregate then argmax; the rn=1 filter must
+    push a WindowGroupLimit below the shuffle so only per-partition
+    leaders ship, and the count collapse is map-side combined — the
+    window never sees row-level lineitem."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q194_mode_per_group"].fn(spark, sf_dir))
+    assert P.has(plan, "WindowGroupLimit"), plan
+    assert P.has(plan, "partial_count"), plan
+    assert not P.has(plan, "Join"), plan
+    for cols in P.read_schemas(plan):
+        assert set(cols) == {"l_returnflag", "l_quantity"}, cols
+
+
+def test_q196_rfm_windows_run_over_customer_grain(spark, sf_dir):
+    """q196: the max-date scalar broadcasts (the only nested-loop is
+    that 1-row cross), the per-customer aggregate is partial/final,
+    and the three ntile windows consume customer-grain rows — never
+    orders-grain (one aggregate between scan and first Window)."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q196_rfm_segmentation"].fn(spark, sf_dir))
+    assert not P.has(plan, "CartesianProduct"), plan
+    # only the 1-row scalar broadcast may be nested-loop
+    assert P.count(plan, "BroadcastNestedLoopJoin") <= 2, plan
+    assert P.has(plan, "partial_sum"), plan
+    assert P.count(plan, "ntile") >= 3, plan
+
+
+def test_q197_min_cost_frontier_broadcasts_onto_cached_edges(spark, sf_dir):
+    """q197: each Bellman-Ford round joins the (small) frontier onto
+    the cached undirected edge list by broadcast — the edge list is
+    built once (one parquet scan, InMemoryRelation reused) and never
+    re-shuffles per round; min-plus relax stays integer."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q197_min_cost_paths"].fn(spark, sf_dir))
+    assert P.has(plan, "BroadcastHashJoin"), plan
+    assert P.has(plan, "InMemoryRelation"), plan
+    assert not P.has(plan, "CartesianProduct"), plan
+    assert not P.has(plan, "SortMergeJoin"), plan
+    for cols in P.read_schemas(plan):
+        assert set(cols) == {"l_suppkey", "l_partkey", "l_quantity"}, cols
