@@ -3807,3 +3807,125 @@ def q195_prefix_filter_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "q200_pmi_collocations",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_slice(string_split({_NORM_SQL.format(c='text')}, ' '),
+                        1, 10000) AS w
+      FROM documents),
+    uni AS (
+      SELECT tok, COUNT(*) AS c FROM (
+        SELECT unnest(w) AS tok FROM w) t
+      WHERE tok <> '' GROUP BY tok),
+    nu AS (SELECT SUM(c) AS nu FROM uni),
+    big AS (
+      SELECT array_to_string(w[i:i+1], ' ') AS bigram,
+             w[i] AS tok_a, w[i+1] AS tok_b, COUNT(*) AS c_ab
+      FROM w, unnest(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2 GROUP BY 1, 2, 3),
+    nb AS (SELECT SUM(c_ab) AS nb FROM big),
+    lift AS (
+      SELECT b.bigram, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+             (CAST(b.c_ab AS DOUBLE) * CAST(nu.nu AS DOUBLE)
+              * CAST(nu.nu AS DOUBLE))
+             / (CAST(nb.nb AS DOUBLE) * CAST(ua.c AS DOUBLE)
+                * CAST(ub.c AS DOUBLE)) AS lift
+      FROM big b
+      JOIN uni ua ON ua.tok = b.tok_a
+      JOIN uni ub ON ub.tok = b.tok_b
+      CROSS JOIN nu CROSS JOIN nb
+      WHERE b.c_ab >= 20),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY lift DESC, bigram) AS rank
+      FROM lift)
+    SELECT CAST(rank AS INTEGER) AS rank, bigram,
+           CAST(c_ab AS BIGINT) AS c_ab, CAST(c_a AS BIGINT) AS c_a,
+           CAST(c_b AS BIGINT) AS c_b, round(lift, 9) AS lift
+    FROM r WHERE rank <= 20
+    """,
+    doc=(
+        "PMI collocation mining (the phrase-discovery pass of a "
+        "corpus-analysis pipeline): adjacent-token bigram counts vs "
+        "unigram counts, scored by the PMI lift ratio "
+        "p(ab)/(p(a)p(b)) = c_ab*Nu^2/(Nb*c_a*c_b). The score "
+        "deliberately stays the RATIO, not ln(ratio): IEEE *, / are "
+        "correctly rounded and engine-identical, ln() is last-ulp "
+        "divergent between JVM and DuckDB (the q82/q113 rule), and "
+        "ln is monotone so the top-20 ranking is unchanged - callers "
+        "take ln client-side. Plan: one explode for unigrams, one "
+        "slice-explode for bigrams (both map-side partial-agg to "
+        "counts), bigram->unigram count attach via two joins of a "
+        "Zipf-tiny vocab table (broadcast at scale), scalar totals "
+        "cross-joined as 1-row broadcasts, global top-20 via "
+        "WindowGroupLimit on the deterministic (lift, bigram) order. "
+        "The corpus token stream shuffles only to count keys - never "
+        "row-level text."
+    ),
+)
+def q200_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", D.tokens(F.col("text")).alias("w"))
+    # Both count tables are Zipf-tiny (vocab-sized / distinct-bigram-
+    # sized) but their plans re-scan + re-tokenize the corpus per use
+    # (uni feeds ua, ub AND the nu total; big feeds nb) — cache the
+    # AGGREGATES so the corpus is scanned exactly twice (once per
+    # grain), not five times.
+    uni = (
+        w.select(F.explode("w").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    nu = F.broadcast(uni.agg(F.sum("c").alias("nu")))
+    n = F.size("w")
+    grams = F.transform(
+        F.sequence(F.lit(0), n - F.lit(2)),
+        lambda i: F.struct(
+            F.array_join(F.slice("w", i + 1, F.lit(2)), " ").alias("bigram"),
+            F.element_at("w", i + 1).alias("tok_a"),
+            F.element_at("w", i + 2).alias("tok_b"),
+        ),
+    )
+    big = (
+        w.filter(n >= 2)
+        .select(F.explode(grams).alias("g"))
+        .groupBy("g.bigram", "g.tok_a", "g.tok_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .cache()
+    )
+    nb = F.broadcast(big.agg(F.sum("c_ab").alias("nb")))
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    lift_col = (
+        F.col("c_ab").cast("double")
+        * F.col("nu").cast("double")
+        * F.col("nu").cast("double")
+    ) / (
+        F.col("nb").cast("double")
+        * F.col("c_a").cast("double")
+        * F.col("c_b").cast("double")
+    )
+    lift = (
+        big.filter(F.col("c_ab") >= 20)
+        .join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(nu)
+        .crossJoin(nb)
+        .select("bigram", "c_ab", "c_a", "c_b", lift_col.alias("lift"))
+    )
+    r = lift.select(
+        "*",
+        F.row_number().over(Window.orderBy(F.desc("lift"), "bigram")).alias("rank"),
+    )
+    return r.filter(F.col("rank") <= 20).select(
+        F.col("rank").cast("int"),
+        "bigram", "c_ab", "c_a", "c_b",
+        F.round("lift", 9).alias("lift"),
+    )

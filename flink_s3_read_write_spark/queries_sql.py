@@ -4582,3 +4582,277 @@ def q197_min_cost_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cache()
         )
     return d
+
+
+@register(
+    "q198_pps_systematic_sample",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS w_cents
+      FROM orders),
+    c AS (
+      SELECT o_orderkey, w_cents,
+             SUM(w_cents) OVER (ORDER BY md5(CAST(o_orderkey AS VARCHAR)),
+                                         o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum_hi
+      FROM w),
+    tot AS (SELECT SUM(w_cents) AS big_w FROM w),
+    p AS (
+      SELECT o_orderkey, w_cents,
+             (2000 * cum_hi + big_w - 1) // (2 * big_w)
+               - (2000 * (cum_hi - w_cents) + big_w - 1) // (2 * big_w)
+               AS picks
+      FROM c, tot)
+    SELECT o_orderkey, w_cents, CAST(picks AS BIGINT) AS picks
+    FROM p WHERE picks >= 1
+    """,
+    doc=(
+        "Weighted sampling: systematic PPS (probability proportional "
+        "to size) - k=1000 evenly spaced pointers p_j=(2j+1)W/2k over "
+        "the cumulative-weight line in a deterministic md5-shuffled "
+        "order; a row is drawn once per pointer inside its weight "
+        "interval (heavy rows can draw >1 - the textbook PPS-with-"
+        "replacement contract). ENTIRELY integer: weights are exact "
+        "cents via DECIMAL(12,2), the pointer count per interval is "
+        "the closed form floor((2k*cum+W-1)/2W) differenced at the "
+        "interval ends - no ln/pow race keys (Efraimidis-Spirakis "
+        "needs u^(1/w), transcendental = cross-engine hash risk), no "
+        "doubles anywhere, so the sample is bit-reproducible on any "
+        "engine. The cumulative sum is one global-order window - at "
+        "100 TB promote to the two-level prefix sum (per-partition "
+        "partials + broadcast offsets) and DECIMAL(38,0) products "
+        "(2k*W exceeds int64 near W~5e15); the pointer algebra is "
+        "unchanged. Complements q193 (uniform per-group) with the "
+        "weight-aware draw a quality-weighted corpus mix needs."
+    ),
+)
+def q198_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    k2 = 2000  # 2k, k = 1000 pointers
+    w = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("w_cents"),
+    )
+    win = Window.orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = w.select("o_orderkey", "w_cents", F.sum("w_cents").over(win).alias("cum_hi"))
+    tot = F.broadcast(w.agg(F.sum("w_cents").alias("big_w")))
+    g_hi = F.expr(f"({k2} * cum_hi + big_w - 1) div (2 * big_w)")
+    g_lo = F.expr(f"({k2} * (cum_hi - w_cents) + big_w - 1) div (2 * big_w)")
+    return (
+        c.crossJoin(tot)
+        .select("o_orderkey", "w_cents", (g_hi - g_lo).alias("picks"))
+        .filter(F.col("picks") >= 1)
+    )
+
+
+@register(
+    "q199_k_anonymity_ladder",
+    oracle="""
+    WITH q AS (
+      SELECT c_custkey, c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) / 1000) AS BIGINT) AS b0,
+             CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) / 4000) AS BIGINT) AS b1
+      FROM customer),
+    n0 AS (SELECT nat, seg, b0, COUNT(*) AS n FROM q GROUP BY 1, 2, 3),
+    n1 AS (SELECT nat, seg, b1, COUNT(*) AS n FROM q GROUP BY 1, 2, 3),
+    n2 AS (SELECT nat, seg, COUNT(*) AS n FROM q GROUP BY 1, 2),
+    lv AS (
+      SELECT q.c_custkey,
+             CASE WHEN n0.n >= 10 THEN 0 WHEN n1.n >= 10 THEN 1
+                  WHEN n2.n >= 10 THEN 2 ELSE 3 END AS level,
+             CASE WHEN n0.n >= 10
+                    THEN CAST(q.nat AS VARCHAR) || '|' || q.seg || '|' ||
+                         CAST(q.b0 AS VARCHAR)
+                  WHEN n1.n >= 10
+                    THEN CAST(q.nat AS VARCHAR) || '|' || q.seg || '|~' ||
+                         CAST(q.b1 AS VARCHAR)
+                  WHEN n2.n >= 10
+                    THEN CAST(q.nat AS VARCHAR) || '|' || q.seg || '|*'
+                  ELSE NULL END AS cls
+      FROM q
+      JOIN n0 ON n0.nat = q.nat AND n0.seg = q.seg AND n0.b0 = q.b0
+      JOIN n1 ON n1.nat = q.nat AND n1.seg = q.seg AND n1.b1 = q.b1
+      JOIN n2 ON n2.nat = q.nat AND n2.seg = q.seg)
+    SELECT level,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(COUNT(DISTINCT cls) AS BIGINT) AS n_classes
+    FROM lv GROUP BY level
+    """,
+    doc=(
+        "k-anonymity audit with a local-recoding generalization "
+        "ladder (k=10) - the privacy gate a training-data release "
+        "pipeline runs over quasi-identifiers (nation, segment, "
+        "account-balance bucket): each record publishes at the "
+        "FINEST generalization level whose equivalence class reaches "
+        "k (L0 $1000 buckets -> L1 $4000 buckets -> L2 balance "
+        "suppressed -> else fully suppressed), reporting records and "
+        "distinct classes per level. Three grouped counts (partial-"
+        "agg shuffles on the QI keys) joined back per record - the "
+        "lattice walk is CASE over pre-joined counts, never an "
+        "iterative per-record loop; bucket ids come from exact "
+        "DECIMAL cents so the floor is engine-identical (floor of a "
+        "double quotient near a bucket edge is not). At 100 TB the "
+        "three count tables are orders smaller than the fact and "
+        "broadcast; finer ladders just add join columns."
+    ),
+)
+def q199_k_anonymity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal").cast("decimal(12,2)") / 1000)
+        .cast("bigint")
+        .alias("b0"),
+        F.floor(F.col("c_acctbal").cast("decimal(12,2)") / 4000)
+        .cast("bigint")
+        .alias("b1"),
+    )
+    n0 = q.groupBy("nat", "seg", "b0").agg(F.count(F.lit(1)).alias("n0"))
+    n1 = q.groupBy("nat", "seg", "b1").agg(F.count(F.lit(1)).alias("n1"))
+    n2 = q.groupBy("nat", "seg").agg(F.count(F.lit(1)).alias("n2"))
+    nat_s = F.col("nat").cast("string")
+    lv = (
+        q.join(F.broadcast(n0), ["nat", "seg", "b0"])
+        .join(F.broadcast(n1), ["nat", "seg", "b1"])
+        .join(F.broadcast(n2), ["nat", "seg"])
+        .select(
+            "c_custkey",
+            F.when(F.col("n0") >= 10, F.lit(0))
+            .when(F.col("n1") >= 10, F.lit(1))
+            .when(F.col("n2") >= 10, F.lit(2))
+            .otherwise(F.lit(3))
+            .alias("level"),
+            F.when(
+                F.col("n0") >= 10,
+                F.concat_ws("|", nat_s, F.col("seg"), F.col("b0").cast("string")),
+            )
+            .when(
+                F.col("n1") >= 10,
+                F.concat(nat_s, F.lit("|"), F.col("seg"), F.lit("|~"),
+                         F.col("b1").cast("string")),
+            )
+            .when(
+                F.col("n2") >= 10,
+                F.concat(nat_s, F.lit("|"), F.col("seg"), F.lit("|*")),
+            )
+            .alias("cls"),
+        )
+    )
+    return lv.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.countDistinct("cls").alias("n_classes"),
+    )
+
+
+@register(
+    "q201_merge_upsert",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal
+      FROM customer),
+    s AS (
+      SELECT o_custkey AS k,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+               % 100000 - 50000 AS delta
+      FROM orders GROUP BY o_custkey),
+    src AS (
+      SELECT k, delta FROM s
+      UNION ALL
+      SELECT k + 1000000000 AS k, ABS(delta) AS delta FROM s WHERE k % 7 = 0),
+    m AS (
+      SELECT COALESCE(t.k, src.k) AS custkey,
+             CASE WHEN t.k IS NULL THEN 'insert'
+                  WHEN src.k IS NULL THEN 'keep'
+                  WHEN src.delta > 40000 THEN 'delete'
+                  ELSE 'update' END AS action,
+             CASE WHEN t.k IS NULL THEN src.delta
+                  WHEN src.k IS NULL THEN t.bal
+                  ELSE t.bal + src.delta END AS bal,
+             COALESCE(t.seg, 'NEW') AS seg
+      FROM t FULL OUTER JOIN src ON src.k = t.k)
+    SELECT action, seg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN action = 'delete' THEN 0 ELSE bal END) AS BIGINT)
+             AS surviving_bal_cents,
+           CAST(MIN(custkey) AS BIGINT) AS min_key,
+           CAST(MAX(custkey) AS BIGINT) AS max_key
+    FROM m GROUP BY action, seg
+    """,
+    doc=(
+        "Batch MERGE / upsert semantics (UPDATE on match, INSERT on "
+        "no-match, conditional DELETE) - the warehouse MERGE INTO "
+        "statement, which OSS Spark-on-parquet has no SQL verb for, "
+        "expressed Spark-first as ONE full-outer join + CASE action "
+        "routing (the same plan Delta/Iceberg MERGE lowers to): "
+        "target = customers, source = per-customer order deltas plus "
+        "a key-shifted insert stream, matched rows with delta above "
+        "the threshold deleted. Everything integer cents (DECIMAL "
+        "cast, bigint modulus) so the merged balances hash exactly; "
+        "output is the per-(action, segment) audit a MERGE emits as "
+        "its operation metrics, with surviving balance mass proving "
+        "row-level arithmetic. Scale: the join shuffles both sides "
+        "by key once - same cost as the update itself; at 100 TB the "
+        "source side is usually orders smaller and hash-partitions "
+        "against bucketed target files, and the anti-join 'keep' arm "
+        "never rewrites untouched partitions (dynamic partition "
+        "overwrite)."
+    ),
+)
+def q201_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    t = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("bal"),
+    )
+    # customer-grain aggregate feeds BOTH union arms — cache it so
+    # orders is scanned once, not once per arm.
+    s = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+            % 100000
+            - 50000
+        ).alias("delta")
+    ).cache()
+    src = s.unionByName(
+        s.filter(F.col("k") % 7 == 0).select(
+            (F.col("k") + 1000000000).alias("k"), F.abs("delta").alias("delta")
+        )
+    )
+    tk, sk = t["k"], src["k"]
+    m = t.join(src, tk == sk, "full_outer").select(
+        F.coalesce(tk, sk).alias("custkey"),
+        F.when(tk.isNull(), F.lit("insert"))
+        .when(sk.isNull(), F.lit("keep"))
+        .when(F.col("delta") > 40000, F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+        F.when(tk.isNull(), F.col("delta"))
+        .when(sk.isNull(), F.col("bal"))
+        .otherwise(F.col("bal") + F.col("delta"))
+        .alias("bal"),
+        F.coalesce(F.col("seg"), F.lit("NEW")).alias("seg"),
+    )
+    return m.groupBy("action", "seg").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("action") == "delete", 0).otherwise(F.col("bal")))
+        .cast("bigint")
+        .alias("surviving_bal_cents"),
+        F.min("custkey").alias("min_key"),
+        F.max("custkey").alias("max_key"),
+    )

