@@ -321,3 +321,47 @@ def test_fuzzy_join_blocking_complete_for_block_local_pairs(spark):
         if names[i][:16] == names[j][:16] and lev_le1(names[i], names[j])
     }
     assert got == want and len(want) > 100
+
+
+def test_pps_pointer_algebra_matches_naive_pointer_walk(spark):
+    """q198's closed form floor((2k*cum+W-1)/2W), differenced at the
+    interval ends, must hand each of the k pointers p_j=(2j+1)W/2k to
+    exactly one row — cross-checked against literally walking the
+    pointers over the cumulative line, on random weights including
+    1-cent rows, heavy rows (> W/k, multi-draw), and W not divisible
+    by k."""
+    from fractions import Fraction
+
+    rng = random.Random(13)
+    # crafted boundary ties (pointer exactly on a cumulative edge must
+    # go to the row STARTING there), then random fuzz
+    crafted = [(1, [1, 1]), (2, [1, 1, 1, 1]), (5, [2] * 5), (4, [3, 1, 3, 1])]
+    for trial in range(-len(crafted), 25):
+        if trial < 0:
+            k, ws = crafted[trial]
+            n = len(ws)
+        else:
+            n = rng.randint(1, 40)
+            k = rng.choice([1, 3, 7, 10, 50])
+            ws = [rng.choice([1, 2, 5, rng.randint(1, 10_000)]) for _ in range(n)]
+        W = sum(ws)
+        # naive: assign each pointer to the row whose [cum_lo, cum_hi)
+        # interval contains it (exact rational arithmetic)
+        cums, c = [], 0
+        for w in ws:
+            cums.append((c, c + w))
+            c += w
+        naive = [0] * n
+        for j in range(k):
+            p = Fraction((2 * j + 1) * W, 2 * k)
+            for i, (lo, hi) in enumerate(cums):
+                if lo <= p < hi:
+                    naive[i] += 1
+                    break
+        # closed form (the Spark/DuckDB expression)
+        def g(x: int) -> int:
+            return (2 * k * x + W - 1) // (2 * W)
+
+        closed = [g(hi) - g(lo) for lo, hi in cums]
+        assert closed == naive, (trial, n, k, ws)
+        assert sum(closed) == k
