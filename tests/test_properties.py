@@ -142,3 +142,37 @@ def test_cdc_suffix_stability(tokens, prefix):
         h = int(hashlib.md5(c[0].encode()).hexdigest()[:15], 16)
         if h % 16 == 0:  # boundary-started chunks re-sync by construction
             assert tuple(c) in b_set
+
+
+def test_order_sensitive_queries_invariant_under_partitioning(spark, sf_dir):
+    """The determinism-sensitive operators (global-window PPS sample,
+    hash-rank sample, argmax mode, global top-k PMI) must return
+    IDENTICAL values under different shuffle-partition counts — the
+    property that makes them reproducible on a 1000-executor cluster.
+    Runs each query at 2 and 17 shuffle partitions and compares the
+    full canonicalized result."""
+    from flink_s3_read_write_spark.queries import registry
+
+    names = [
+        "q198_pps_systematic_sample",
+        "q193_deterministic_sample",
+        "q194_mode_per_group",
+        "q200_pmi_collocations",
+    ]
+    reg = registry()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("2", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name in names:
+                spark.catalog.clearCache()
+                rows = reg[name].fn(spark, sf_dir).collect()
+                canon = sorted(tuple(r) for r in rows)
+                if name in results:
+                    assert results[name] == canon, (name, parts)
+                else:
+                    results[name] = canon
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.clearCache()
