@@ -3929,3 +3929,83 @@ def q200_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigram", "c_ab", "c_a", "c_b",
         F.round("lift", 9).alias("lift"),
     )
+
+
+@register(
+    "q202_skipgram_cooccurrence",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_slice(string_split({_NORM_SQL.format(c='text')}, ' '),
+                        1, 10000) AS w
+      FROM documents),
+    pairs AS (
+      SELECT w[i] AS center, w[i+o] AS context,
+             CASE WHEN abs(o) = 1 THEN 1 ELSE 0 END AS adj
+      FROM w,
+           unnest(range(1, len(w) + 1)) AS ti(i),
+           unnest([-2, -1, 1, 2]) AS to_(o)
+      WHERE i + o >= 1 AND i + o <= len(w)
+        AND w[i] <> '' AND w[i+o] <> ''),
+    c AS (
+      SELECT center, context,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(adj) AS BIGINT) AS n_adjacent
+      FROM pairs GROUP BY center, context)
+    SELECT center, context, n, n_adjacent FROM c WHERE n >= 10
+    """,
+    doc=(
+        "Skip-gram co-occurrence counts (window +/-2) - the "
+        "word2vec/GloVe training-pair build, the windowed "
+        "generalization of q200's adjacent bigrams: every "
+        "(center, context) token pair within the window, counted "
+        "corpus-wide with the adjacent-pair subcount carried "
+        "separately (the integer-exact stand-in for 1/distance "
+        "weighting). One HOF pass generates the per-doc pair array "
+        "in-plan (flatten of per-position transforms over bound "
+        "token-array references - no self-join of the exploded "
+        "positions, which would shuffle the corpus by doc_id and "
+        "blow up as O(tokens*window) rows through the exchange); "
+        "the only shuffle is the partial-aggregated count keyed by "
+        "the pair, bounded by vocab^2 not corpus size. At 100 TB "
+        "this is THE co-occurrence-matrix recipe: map-side combine "
+        "eats the Zipf head, AQE skew-join handles the stopword "
+        "cells, and the output partitions by center for the "
+        "downstream factorization."
+    ),
+)
+def q202_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(D.tokens(F.col("text")).alias("w"))
+    n = F.size("w")
+    offs = F.array(F.lit(-2), F.lit(-1), F.lit(1), F.lit(2))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.filter(
+                F.transform(
+                    offs,
+                    lambda o: F.struct(
+                        F.element_at("w", i).alias("center"),
+                        F.when(
+                            (i + o >= 1) & (i + o <= n), F.element_at("w", i + o)
+                        ).alias("context"),
+                        F.when(F.abs(o) == 1, F.lit(1)).otherwise(F.lit(0)).alias("adj"),
+                    ),
+                ),
+                lambda s: s["context"].isNotNull()
+                & (s["context"] != "")
+                & (s["center"] != ""),
+            ),
+        )
+    )
+    return (
+        w.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.center").alias("center"), F.col("p.context").alias("context"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p.adj").alias("n_adjacent"),
+        )
+        .filter(F.col("n") >= 10)
+    )

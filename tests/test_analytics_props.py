@@ -365,3 +365,51 @@ def test_pps_pointer_algebra_matches_naive_pointer_walk(spark):
         closed = [g(hi) - g(lo) for lo, hi in cums]
         assert closed == naive, (trial, n, k, ws)
         assert sum(closed) == k
+
+
+def test_skipgram_pairs_match_python_window_walk(spark):
+    """q202's HOF pair generation must equal the literal window walk:
+    for every position i, contexts at i±1, i±2 inside bounds, with
+    the adjacent subcount — checked on synthetic docs with repeats,
+    short docs (0/1/2 tokens), and punctuation normalization."""
+    from collections import Counter
+
+    from flink_s3_read_write_spark.queries import registry
+    import flink_s3_read_write_spark.queries_llmdata  # noqa: F401
+    import re
+    import tempfile, os
+
+    texts = [
+        "a b a b a b c",
+        "x",
+        "",
+        "a a a a a a a a a a a a",
+        "Hello, World! hello world",
+        "p q r s t u v w p q r s",
+    ] * 4  # repeat so counts can clear the n>=10 floor
+    want_n: Counter = Counter()
+    want_adj: Counter = Counter()
+    for t in texts:
+        norm = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", t.lower())).strip()
+        w = [tok for tok in norm.split(" ")]
+        for i, c in enumerate(w):
+            if c == "":
+                continue
+            for o in (-2, -1, 1, 2):
+                j = i + o
+                if 0 <= j < len(w) and w[j] != "":
+                    want_n[(c, w[j])] += 1
+                    if abs(o) == 1:
+                        want_adj[(c, w[j])] += 1
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "synth", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        got = registry()["q202_skipgram_cooccurrence"].fn(spark, d).collect()
+    for r in got:
+        key = (r["center"], r["context"])
+        assert r["n"] == want_n[key], key
+        assert r["n_adjacent"] == want_adj[key], key
+    expect = {k for k, v in want_n.items() if v >= 10}
+    assert {(r["center"], r["context"]) for r in got} == expect

@@ -807,3 +807,18 @@ def test_q201_merge_is_one_full_outer_key_join(spark, sf_dir):
     assert P.has(plan, "InMemoryRelation"), plan
     assert plan.count("orders.parquet") == 1, plan
     assert P.has(plan, "partial_count"), plan
+
+
+def test_q202_skipgram_single_shuffle_no_join(spark, sf_dir):
+    """q202: the co-occurrence matrix build is ONE pruned text scan,
+    in-plan HOF pair generation (no posexplode self-join shuffling
+    the corpus by doc), and a single partial-aggregated count
+    exchange bounded by vocab², not corpus size."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q202_skipgram_cooccurrence"].fn(spark, sf_dir))
+    assert P.shuffle_exchanges(plan) == 1, plan
+    assert not P.has(plan, "Join"), plan
+    assert P.has(plan, "partial_count"), plan
+    for cols in P.read_schemas(plan):
+        assert set(cols) == {"text"}, cols
