@@ -251,3 +251,44 @@ def redact_pii(
     # ORIGINAL frame — chained withColumn would bind n_total's column
     # references to the already-redacted text and count zero.
     return df.withColumns({out: cur, "n_redactions": n_total})
+
+
+def skipgram_pairs(tok_array, window: int = 2):
+    """Skip-gram (center, context, adj) pair array from a materialized
+    token-array column — the word2vec/GloVe training-pair generator
+    shared by batch q202 and the streaming co-occurrence job.
+
+    Pure higher-order functions: per position i, contexts at i±1..±w
+    inside bounds, empty tokens dropped, ``adj`` = 1 for |offset| = 1
+    (the integer-exact stand-in for 1/distance weighting).  The
+    caller explodes + counts; no self-join of exploded positions ever
+    shuffles the corpus.  ``tok_array`` must be a bound column
+    reference (HOF lambdas evaluate interpreted, no CSE).
+    """
+    n = F.size(tok_array)
+    offs = F.array(
+        *[F.lit(o) for o in range(-window, window + 1) if o != 0]
+    )
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.filter(
+                F.transform(
+                    offs,
+                    lambda o: F.struct(
+                        F.element_at(tok_array, i).alias("center"),
+                        F.when(
+                            (i + o >= 1) & (i + o <= n),
+                            F.element_at(tok_array, i + o),
+                        ).alias("context"),
+                        F.when(F.abs(o) == 1, F.lit(1))
+                        .otherwise(F.lit(0))
+                        .alias("adj"),
+                    ),
+                ),
+                lambda s: s["context"].isNotNull()
+                & (s["context"] != "")
+                & (s["center"] != ""),
+            ),
+        )
+    )

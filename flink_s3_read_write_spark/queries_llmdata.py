@@ -3978,27 +3978,7 @@ def q202_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select(D.tokens(F.col("text")).alias("w"))
     n = F.size("w")
-    offs = F.array(F.lit(-2), F.lit(-1), F.lit(1), F.lit(2))
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.filter(
-                F.transform(
-                    offs,
-                    lambda o: F.struct(
-                        F.element_at("w", i).alias("center"),
-                        F.when(
-                            (i + o >= 1) & (i + o <= n), F.element_at("w", i + o)
-                        ).alias("context"),
-                        F.when(F.abs(o) == 1, F.lit(1)).otherwise(F.lit(0)).alias("adj"),
-                    ),
-                ),
-                lambda s: s["context"].isNotNull()
-                & (s["context"] != "")
-                & (s["center"] != ""),
-            ),
-        )
-    )
+    pairs = T.skipgram_pairs(F.col("w"), window=2)
     return (
         w.filter(n >= 2)
         .select(F.explode(pairs).alias("p"))

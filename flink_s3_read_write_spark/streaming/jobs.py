@@ -314,3 +314,29 @@ def start_materialized_view(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def cooccurrence_stream(spark: SparkSession, in_path: str) -> DataFrame:
+    """Streaming skip-gram co-occurrence build: unbounded text source
+    (one document per line) → normalized tokens → the same
+    ``skipgram_pairs`` HOF as batch q202 → update-mode counts keyed by
+    (center, context).
+
+    Counts are trivially mergeable, so each micro-batch folds map-side
+    partials into state that is bounded by vocab² PAIRS, never by
+    corpus size — the co-occurrence matrix for a downstream embedding
+    factorization stays continuously fresh while the text stream runs.
+    Final state equals the batch build over the same lines
+    (equivalence test in tests/test_streaming.py)."""
+    from flink_s3_read_write_spark.operators.dedup import tokens
+    from flink_s3_read_write_spark.operators.textstats import skipgram_pairs
+
+    lines = read_text_lines(spark, in_path, streaming=True)
+    w = lines.select(tokens(F.col("value")).alias("w"))
+    pairs = skipgram_pairs(F.col("w"), window=2)
+    return (
+        w.filter(F.size("w") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.center").alias("center"), F.col("p.context").alias("context"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("p.adj").alias("n_adjacent"))
+    )

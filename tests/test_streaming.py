@@ -747,3 +747,56 @@ def test_rocksdb_state_store_provider(spark, sf_dir, tmp_path):
     want = {r["event_type"]: (r["n"], r["sx"], r["sxx"])
             for r in jobs.moments_by_key_stream(ev).collect()}
     assert got == want and len(want) >= 3
+
+
+def test_cooccurrence_stream_final_state_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming co-occurrence: the update-mode (center, context)
+    counts after two file micro-batches must equal the batch
+    skipgram_pairs build over the same lines — count mergeability is
+    what lets the co-occurrence matrix stay fresh with vocab²-bounded
+    state on an unbounded corpus stream."""
+    from flink_s3_read_write_spark.operators.dedup import tokens
+    from flink_s3_read_write_spark.operators.textstats import skipgram_pairs
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.regexp_replace("text", r"[\r\n]+", " ").alias("value")
+    )
+    src = str(tmp_path / "cooc_in")
+    docs.limit(120).coalesce(1).write.mode("append").text(src)
+    docs.limit(240).coalesce(1).write.mode("append").text(src)
+
+    q = jobs.start_memory_sink(
+        jobs.cooccurrence_stream(spark, src), "t_cooc", "update"
+    )
+    try:
+        q.processAllAvailable()
+        final = spark.sql(
+            """SELECT center, context, n, n_adjacent FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY center, context ORDER BY _mono DESC) AS rn
+                 FROM (SELECT *, monotonically_increasing_id() AS _mono
+                       FROM t_cooc))
+               WHERE rn = 1"""
+        )
+        got = {
+            (r["center"], r["context"]): (r["n"], r["n_adjacent"])
+            for r in final.collect()
+        }
+    finally:
+        q.stop()
+
+    lines = spark.read.text(src)
+    w = lines.select(tokens(F.col("value")).alias("w"))
+    batch = (
+        w.filter(F.size("w") >= 2)
+        .select(F.explode(skipgram_pairs(F.col("w"), window=2)).alias("p"))
+        .groupBy(F.col("p.center").alias("center"), F.col("p.context").alias("context"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("p.adj").alias("n_adjacent"))
+    )
+    want = {
+        (r["center"], r["context"]): (r["n"], r["n_adjacent"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(want) > 50  # non-vacuous pair coverage
