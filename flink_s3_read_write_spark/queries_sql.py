@@ -4856,3 +4856,74 @@ def q201_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("custkey").alias("min_key"),
         F.max("custkey").alias("max_key"),
     )
+
+
+@register(
+    "q203_rolling_mau",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    mx AS (SELECT MAX(CAST(ts AS DATE)) AS md FROM events),
+    contrib AS (
+      SELECT a.user_id, a.d + CAST(o AS INTEGER) AS target
+      FROM act a, unnest(range(0, 7)) AS t(o), mx
+      WHERE a.d + CAST(o AS INTEGER) <= mx.md),
+    mau AS (
+      SELECT target, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM contrib GROUP BY target),
+    evd AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY d),
+    rev AS (
+      SELECT e.d + CAST(o AS INTEGER) AS target,
+             CAST(SUM(e.n) AS BIGINT) AS n_events_7d
+      FROM evd e, unnest(range(0, 7)) AS t(o), mx
+      WHERE e.d + CAST(o AS INTEGER) <= mx.md GROUP BY 1)
+    SELECT CAST(m.target AS VARCHAR) AS day, m.mau, r.n_events_7d
+    FROM mau m JOIN rev r ON r.target = m.target
+    """,
+    doc=(
+        "Exact 7-day rolling MAU (distinct active users per trailing "
+        "window) + rolling event volume - the product-analytics "
+        "headline metric, and the operator where the naive "
+        "formulation dies at scale: a per-day RANGE window cannot do "
+        "COUNT(DISTINCT), and re-scanning a 7-day slice per day reads "
+        "the fact 7 times. The scale recipe: collapse to the "
+        "(user, day) activity grain FIRST (map-side-combinable "
+        "distinct - the only corpus-sized shuffle), then each "
+        "activity row contributes to exactly 7 target days via a "
+        "BOUNDED explode, and the per-target distinct count runs "
+        "over window-sized groups. Fan-out is 7x the activity grain "
+        "(users x days), never 7x raw events. Rolling event totals "
+        "ride the same explode on the per-day count table (tiny). "
+        "The q151 HLL sketch index is this operator's mergeable "
+        "approximate form; day emitted as STRING (the DATE fetch-path "
+        "rule)."
+    ),
+)
+def q203_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    mx = F.broadcast(ev.agg(F.max(F.to_date("ts")).alias("md")))
+    o = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o")
+    mau = (
+        act.select("user_id", "d", o)
+        .crossJoin(mx)
+        .select("user_id", F.date_add("d", F.col("o")).alias("target"), "md")
+        .filter(F.col("target") <= F.col("md"))
+        .groupBy("target")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    evd = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count(F.lit(1)).alias("n"))
+    rev = (
+        evd.select("d", "n", o)
+        .crossJoin(mx)
+        .select(F.date_add("d", F.col("o")).alias("target"), "n", "md")
+        .filter(F.col("target") <= F.col("md"))
+        .groupBy("target")
+        .agg(F.sum("n").alias("n_events_7d"))
+    )
+    return mau.join(rev, "target").select(
+        F.col("target").cast("string").alias("day"),
+        "mau",
+        F.col("n_events_7d").cast("bigint"),
+    )

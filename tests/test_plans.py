@@ -822,3 +822,18 @@ def test_q202_skipgram_single_shuffle_no_join(spark, sf_dir):
     assert P.has(plan, "partial_count"), plan
     for cols in P.read_schemas(plan):
         assert set(cols) == {"text"}, cols
+
+
+def test_q203_mau_explodes_activity_grain_not_events(spark, sf_dir):
+    """q203: the 7x fan-out must run over the COLLAPSED (user, day)
+    activity grain — the distinct collapse (partial-aggregated)
+    happens below the Generate, and the max-day scalar is the only
+    nested-loop broadcast."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q203_rolling_mau"].fn(spark, sf_dir))
+    assert not P.has(plan, "CartesianProduct"), plan
+    assert P.count(plan, "BroadcastNestedLoopJoin") <= 4, plan  # 1-row max-day scalar x2 branches (AQE doubles)
+    assert P.has(plan, "partial_count"), plan
+    for cols in P.read_schemas(plan):
+        assert set(cols) <= {"ts", "user_id"}, cols

@@ -502,3 +502,34 @@ def test_merge_upsert_action_partition(spark, sf_dir):
     ins = [r for r in rows if r["action"] == "insert"]
     assert all(r["min_key"] >= 1000000000 for r in ins)  # custkey 0 shifts to exactly 1e9
     assert all(r["seg"] == "NEW" for r in ins)
+
+
+def test_rolling_mau_matches_python_window_walk(spark, sf_dir):
+    """q203: recompute every trailing-7-day distinct-user count and
+    event total by literally unioning the per-day sets in python."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from flink_s3_read_write_spark.queries import registry
+    from flink_s3_read_write_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).collect()
+    by_day_users = defaultdict(set)
+    by_day_events = defaultdict(int)
+    for r in ev:
+        by_day_users[r["d"]].add(r["user_id"])
+        by_day_events[r["d"]] += 1
+    days = sorted(by_day_users)
+    got = {
+        r["day"]: (r["mau"], r["n_events_7d"])
+        for r in registry()["q203_rolling_mau"].fn(spark, sf_dir).collect()
+    }
+    for d in days:
+        window = [d - timedelta(days=k) for k in range(7)]
+        users = set().union(*(by_day_users.get(x, set()) for x in window))
+        n_ev = sum(by_day_events.get(x, 0) for x in window)
+        assert got[str(d)] == (len(users), n_ev), d
+    assert len(got) == len(days)
