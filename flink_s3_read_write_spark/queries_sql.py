@@ -4927,3 +4927,126 @@ def q203_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         F.col("n_events_7d").cast("bigint"),
     )
+
+
+# Shared polygon literals for q204 (10^6 lattice, same coordinate
+# space as q167's md5 point positions): a triangle, a convex quad,
+# and a concave 5-gon.  Single source of truth — the Spark frame and
+# the DuckDB VALUES list are both generated from this dict.
+_Q204_POLYS: dict[int, list[tuple[int, int]]] = {
+    1: [(100_000, 100_000), (400_000, 120_000), (250_000, 450_000)],
+    2: [(500_000, 500_000), (900_000, 520_000), (880_000, 900_000),
+        (520_000, 880_000)],
+    3: [(50_000, 600_000), (300_000, 620_000), (120_000, 700_000),
+        (280_000, 850_000), (60_000, 870_000)],
+}
+
+_Q204_VALUES = ", ".join(
+    "({}, [{}])".format(
+        pid, ", ".join("{{'x': {}, 'y': {}}}".format(x, y) for x, y in vs)
+    )
+    for pid, vs in _Q204_POLYS.items()
+)
+
+
+@register(
+    "q204_point_in_polygon",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             ('0x' || substr(md5('lat|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS px,
+             ('0x' || substr(md5('lon|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS py
+      FROM customer),
+    polys AS (SELECT * FROM (VALUES {_Q204_VALUES}) AS p(pid, poly)),
+    tested AS (
+      SELECT pts.c_custkey, polys.pid,
+             list_sum(list_transform(range(1, len(poly) + 1), i ->
+               CASE WHEN ((poly[i].y > py) <> (poly[(i % len(poly)) + 1].y > py))
+                     AND (CASE WHEN poly[(i % len(poly)) + 1].y > poly[i].y
+                          THEN (px - poly[i].x)
+                                 * (poly[(i % len(poly)) + 1].y - poly[i].y)
+                               - (poly[(i % len(poly)) + 1].x - poly[i].x)
+                                 * (py - poly[i].y) < 0
+                          ELSE (px - poly[i].x)
+                                 * (poly[(i % len(poly)) + 1].y - poly[i].y)
+                               - (poly[(i % len(poly)) + 1].x - poly[i].x)
+                                 * (py - poly[i].y) > 0 END)
+                    THEN 1 ELSE 0 END)) AS crossings
+      FROM pts, polys)
+    SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_inside,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_cust,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_cust
+    FROM tested WHERE crossings % 2 = 1
+    GROUP BY pid
+    """,
+    doc=(
+        "Point-in-polygon containment join (ray casting) - the "
+        "spatial-join family's polygon member beside q167's radius "
+        "join: customers on the md5 lattice tested against three "
+        "literal polygons (concave included - bounding boxes and "
+        "convexity shortcuts don't survive real geofences). The "
+        "crossing test is ENTIRELY int64: the x-intersection compare "
+        "is cross-multiplied by the edge's dy with the sign handled "
+        "by CASE, so no division, no floats, no epsilon - identical "
+        "on every engine, any boundary semantics moot. Per point the "
+        "HOF edge fold runs in whole-stage codegen; polygons "
+        "broadcast (they always fit - a geofence table is KBs), so "
+        "the plan is scan -> broadcast nested loop over |polys| -> "
+        "partial-agg count: no shuffle of the point set at all. At "
+        "100 TB with many polygons, q167's grid cells prune "
+        "candidates first (cell id from the polygon bbox), then this "
+        "exact test runs per surviving pair - the standard "
+        "filter-refine decomposition."
+    ),
+)
+def q204_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.operators.dedup import _md5_h60
+
+    cust = load_table(spark, sf_dir, "customer")
+
+    def coord(tag, key):
+        return _md5_h60(F.md5(F.concat(F.lit(tag), key.cast("string")))) % 1_000_000
+
+    pts = cust.select(
+        "c_custkey",
+        coord("lat|", F.col("c_custkey")).alias("px"),
+        coord("lon|", F.col("c_custkey")).alias("py"),
+    )
+    polys = F.broadcast(
+        cust.sparkSession.createDataFrame(
+            [(pid, vs) for pid, vs in _Q204_POLYS.items()],
+            "pid int, poly array<struct<x:bigint,y:bigint>>",
+        )
+    )
+    n = F.size("poly")
+    px, py = F.col("px"), F.col("py")
+
+    def edge_crossing(i):
+        vi = F.element_at("poly", i)
+        vj = F.element_at("poly", (i % n) + 1)
+        dy = vj["y"] - vi["y"]
+        num = (px - vi["x"]) * dy - (vj["x"] - vi["x"]) * (py - vi["y"])
+        straddle = (vi["y"] > py) != (vj["y"] > py)
+        cross = straddle & (
+            ((dy > 0) & (num < 0)) | ((dy < 0) & (num > 0))
+        )
+        return F.when(cross, F.lit(1)).otherwise(F.lit(0))
+
+    crossings = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc + edge_crossing(i),
+    )
+    return (
+        pts.crossJoin(polys)
+        .select("c_custkey", "pid", crossings.alias("crossings"))
+        .filter(F.col("crossings") % 2 == 1)
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_inside"),
+            F.min("c_custkey").alias("min_cust"),
+            F.max("c_custkey").alias("max_cust"),
+        )
+    )

@@ -413,3 +413,51 @@ def test_skipgram_pairs_match_python_window_walk(spark):
         assert r["n_adjacent"] == want_adj[key], key
     expect = {k for k, v in want_n.items() if v >= 10}
     assert {(r["center"], r["context"]) for r in got} == expect
+
+
+def test_point_in_polygon_integer_raycast_matches_float_pnpoly(spark):
+    """q204's cross-multiplied integer crossing test must agree with
+    the textbook float-division pnpoly on every lattice point of a
+    coarse sweep over all three polygons — including the concave
+    5-gon's notch — and on hand-placed inside/outside witnesses."""
+    from flink_s3_read_write_spark.queries import registry  # noqa: F401
+    from flink_s3_read_write_spark.queries_sql import _Q204_POLYS
+
+    def pnpoly_float(poly, x, y):
+        inside = False
+        n = len(poly)
+        for i in range(n):
+            xi, yi = poly[i]
+            xj, yj = poly[(i + 1) % n]
+            if (yi > y) != (yj > y):
+                t = xi + (xj - xi) * (y - yi) / (yj - yi)
+                if x < t:
+                    inside = not inside
+        return inside
+
+    def raycast_int(poly, px, py):
+        crossings = 0
+        n = len(poly)
+        for i in range(n):
+            xi, yi = poly[i]
+            xj, yj = poly[(i + 1) % n]
+            dy = yj - yi
+            if (yi > py) != (yj > py):
+                num = (px - xi) * dy - (xj - xi) * (py - yi)
+                if (dy > 0 and num < 0) or (dy < 0 and num > 0):
+                    crossings += 1
+        return crossings % 2 == 1
+
+    for poly in _Q204_POLYS.values():
+        for x in range(0, 1_000_001, 37_000):
+            for y in range(0, 1_000_001, 41_000):
+                assert raycast_int(poly, x, y) == pnpoly_float(poly, x, y), (
+                    poly, x, y,
+                )
+    # concave witnesses: the notch between the 5-gon's two prongs is
+    # OUTSIDE although inside the bounding box; prong interiors are in
+    notch = _Q204_POLYS[3]
+    assert not raycast_int(notch, 250_000, 750_000)  # inside bbox, in the notch
+    assert raycast_int(notch, 120_000, 630_000)      # upper prong interior
+    assert raycast_int(notch, 150_000, 820_000)      # lower prong interior
+    assert not raycast_int(notch, 900_000, 700_000)  # far outside

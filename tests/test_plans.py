@@ -837,3 +837,19 @@ def test_q203_mau_explodes_activity_grain_not_events(spark, sf_dir):
     assert P.has(plan, "partial_count"), plan
     for cols in P.read_schemas(plan):
         assert set(cols) <= {"ts", "user_id"}, cols
+
+
+def test_q204_polygon_test_broadcasts_never_shuffles_points(spark, sf_dir):
+    """q204: the polygon table broadcasts (nested loop over |polys|
+    rows) and the point set reaches the aggregate without ever
+    shuffling row-level points — the only exchange carries the
+    3-polygon partial counts."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q204_point_in_polygon"].fn(spark, sf_dir))
+    assert P.has(plan, "BroadcastNestedLoopJoin"), plan
+    assert not P.has(plan, "SortMergeJoin"), plan
+    assert P.has(plan, "partial_count"), plan
+    assert P.shuffle_exchanges(plan) <= 1, plan
+    for cols in P.read_schemas(plan):
+        assert set(cols) == {"c_custkey"}, cols
