@@ -5050,3 +5050,93 @@ def q204_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_custkey").alias("max_cust"),
         )
     )
+
+
+@register(
+    "q205_clamped_running_stock",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CASE WHEN event_type IN ('click', 'view', 'signup')
+                  THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  ELSE -CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+             END AS delta
+      FROM events),
+    mx AS (SELECT user_id, MAX(rn) AS mrn FROM ev GROUP BY user_id),
+    rec AS (
+      SELECT user_id, rn,
+             GREATEST(0, delta) AS s,
+             CASE WHEN delta < 0 THEN 1 ELSE 0 END AS clamps,
+             GREATEST(0, delta) AS peak
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn,
+             GREATEST(0, r.s + e.delta),
+             r.clamps + CASE WHEN r.s + e.delta < 0 THEN 1 ELSE 0 END,
+             GREATEST(r.peak, GREATEST(0, r.s + e.delta))
+      FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+    SELECT r.user_id,
+           CAST(r.s AS BIGINT) AS final_stock_cents,
+           CAST(r.peak AS BIGINT) AS peak_stock_cents,
+           CAST(r.clamps AS BIGINT) AS n_clamps
+    FROM rec r JOIN mx ON mx.user_id = r.user_id AND mx.mrn = r.rn
+    """,
+    doc=(
+        "Clamped running total (inventory floor-at-zero): "
+        "s_i = max(0, s_{i-1} + delta_i) per user over the event "
+        "stream - the canonical computation that NO window frame can "
+        "express (the clamp makes each prefix depend on every earlier "
+        "clamp decision; running-sum-then-greatest is wrong the "
+        "moment any prefix dips below zero). This is the engine's "
+        "documented escape hatch done right: an Arrow-batched "
+        "applyInPandas keyed scan - sequential per key exactly like "
+        "a Flink keyed process function, parallel across keys, state "
+        "one row per group - while the DuckDB oracle replays the "
+        "recursion as a RECURSIVE CTE, so even the non-SQL path "
+        "keeps a full exact hash oracle. Deltas are exact integer "
+        "cents (DECIMAL cast); clicks/views/signups stock up, "
+        "purchases/errors draw down. At 100 TB: partition by key, "
+        "sort within partitions - the shuffle is the same one the "
+        "window formulation would need; the pandas fold streams "
+        "Arrow batches, state O(1) per key."
+    ),
+)
+def q205_clamped_running_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.col("event_type").isin("click", "view", "signup"),
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint"),
+        )
+        .otherwise(-(F.col("value").cast("decimal(12,2)") * 100).cast("bigint"))
+        .alias("delta"),
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = peak = clamps = 0
+        for d in pdf["delta"]:
+            s += int(d)
+            if s < 0:
+                s = 0
+                clamps += 1
+            if s > peak:
+                peak = s
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "final_stock_cents": [s],
+                "peak_stock_cents": [peak],
+                "n_clamps": [clamps],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        fold,
+        "user_id bigint, final_stock_cents bigint, "
+        "peak_stock_cents bigint, n_clamps bigint",
+    )

@@ -853,3 +853,16 @@ def test_q204_polygon_test_broadcasts_never_shuffles_points(spark, sf_dir):
     assert P.shuffle_exchanges(plan) <= 1, plan
     for cols in P.read_schemas(plan):
         assert set(cols) == {"c_custkey"}, cols
+
+
+def test_q205_stateful_scan_is_one_grouped_pandas_pass(spark, sf_dir):
+    """q205: the clamp fold runs as ONE Arrow-batched grouped-pandas
+    node over a single key shuffle — the same exchange a window
+    formulation would pay — with the delta arithmetic evaluated
+    in-plan before the python boundary."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q205_clamped_running_stock"].fn(spark, sf_dir))
+    assert P.has(plan, "FlatMapGroupsInPandas"), plan
+    assert P.shuffle_exchanges(plan) == 1, plan
+    assert not P.has(plan, "Join"), plan

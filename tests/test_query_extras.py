@@ -533,3 +533,39 @@ def test_rolling_mau_matches_python_window_walk(spark, sf_dir):
         n_ev = sum(by_day_events.get(x, 0) for x in window)
         assert got[str(d)] == (len(users), n_ev), d
     assert len(got) == len(days)
+
+
+def test_clamped_stock_matches_python_fold(spark, sf_dir):
+    """q205: recompute every user's clamped running stock with a
+    literal python fold over (ts, event_id)-ordered deltas."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from flink_s3_read_write_spark.queries import registry
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    want = {}
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        s = peak = clamps = 0
+        for r in evs:
+            cents = int(
+                Decimal(str(r["value"])).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100
+            )
+            s += cents if r["event_type"] in ("click", "view", "signup") else -cents
+            if s < 0:
+                s = 0
+                clamps += 1
+            peak = max(peak, s)
+        want[uid] = (s, peak, clamps)
+    got = {
+        r["user_id"]: (r["final_stock_cents"], r["peak_stock_cents"], r["n_clamps"])
+        for r in registry()["q205_clamped_running_stock"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(c > 0 for _, _, c in want.values())  # clamps actually happen
