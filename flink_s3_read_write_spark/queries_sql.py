@@ -4445,19 +4445,20 @@ def q194_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o.o_custkey AS custkey,
              date_diff('day', MAX(CAST(o.o_orderdate AS DATE)), mx.d0) AS recency_days,
              CAST(COUNT(*) AS BIGINT) AS frequency,
-             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS monetary
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,2))) * 100 AS BIGINT)
+               AS monetary_cents
       FROM orders o, mx GROUP BY o.o_custkey, mx.d0),
     scored AS (
-      SELECT custkey, recency_days, frequency, monetary,
+      SELECT custkey, recency_days, frequency, monetary_cents,
              ntile(5) OVER (ORDER BY recency_days, custkey) AS r_score,
              ntile(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
-             ntile(5) OVER (ORDER BY monetary DESC, custkey) AS m_score
+             ntile(5) OVER (ORDER BY monetary_cents DESC, custkey) AS m_score
       FROM rfm)
     SELECT CAST(r_score AS INTEGER) AS r_score,
            CAST(f_score AS INTEGER) AS f_score,
            CAST(m_score AS INTEGER) AS m_score,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           round(AVG(monetary), 6) AS avg_monetary
+           CAST(SUM(monetary_cents) AS BIGINT) AS sum_monetary_cents
     FROM scored GROUP BY 1, 2, 3
     """,
     doc=(
@@ -4466,12 +4467,16 @@ def q194_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate per customer, three ntile(5) windows with TOTAL "
         "tie orders (metric, custkey - bare ntile over ties is "
         "engine-nondeterministic), then the segment-level rollup. "
-        "Monetary sums route through DECIMAL(20,2) (exact cents) and "
-        "the only double math is the final AVG over an exact sum, "
-        "rounded. The global ntile windows are the documented scale "
-        "trade: customer-grain input (not orders-grain), and at "
-        "100 TB the quintile boundaries come from approx_percentile "
-        "instead - same output schema, one pass, no global sort."
+        "ENTIRELY integer: monetary is exact cents via DECIMAL(20,2) "
+        "and the segment metric is the exact cents SUM - an "
+        "avg-of-double here is magnitude ~1e11, where 6 decimals "
+        "exceed IEEE double's 17 significant digits and partial-"
+        "aggregation order flips the rounded value (caught by the "
+        "sf0.1 sweep); callers divide client-side. The global ntile "
+        "windows are the documented scale trade: customer-grain "
+        "input (not orders-grain), and at 100 TB the quintile "
+        "boundaries come from approx_percentile instead - same "
+        "output schema, one pass, no global sort."
     ),
 )
 def q196_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4488,27 +4493,29 @@ def q196_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.first("d0"), F.max(F.col("o_orderdate").cast("date")))
             .alias("recency_days"),
             F.count(F.lit(1)).alias("frequency"),
-            F.sum(F.col("o_totalprice").cast("decimal(20,2)"))
-            .cast("double")
-            .alias("monetary"),
+            (F.sum(F.col("o_totalprice").cast("decimal(20,2)")) * 100)
+            .cast("bigint")
+            .alias("monetary_cents"),
         )
         .select(
             F.col("o_custkey").alias("custkey"),
-            "recency_days", "frequency", "monetary",
+            "recency_days", "frequency", "monetary_cents",
         )
     )
     scored = rfm.select(
-        "custkey", "recency_days", "frequency", "monetary",
+        "custkey", "recency_days", "frequency", "monetary_cents",
         F.ntile(5).over(Window.orderBy("recency_days", "custkey")).alias("r_score"),
         F.ntile(5).over(Window.orderBy(F.desc("frequency"), "custkey")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy(F.desc("monetary"), "custkey")).alias("m_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_cents"), "custkey"))
+        .alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+        F.sum("monetary_cents").cast("bigint").alias("sum_monetary_cents"),
     ).select(
         F.col("r_score").cast("int"), F.col("f_score").cast("int"),
-        F.col("m_score").cast("int"), "n_customers", "avg_monetary",
+        F.col("m_score").cast("int"), "n_customers", "sum_monetary_cents",
     )
 
 
