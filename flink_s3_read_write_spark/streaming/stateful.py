@@ -169,3 +169,60 @@ def streaming_ingest_dedup(
     keyed = new_docs.withColumn("d", digest)
     fresh = keyed.join(existing_digests, "d", "left_anti")
     return fresh.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["d"])
+
+
+_CLAMP_STATE = "s bigint, peak bigint, clamps bigint"
+
+
+def clamped_stock_fn(
+    key: tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key clamped running stock s = max(0, s + delta) that
+    survives micro-batches — the streaming twin of batch q205's
+    applyInPandas fold, with the SAME O(1)-per-key state (level,
+    peak, clamp count) carried in the state store."""
+    s, peak, clamps = state.get if state.exists else (0, 0, 0)
+    rows = [pdf for pdf in pdf_iter if len(pdf)]
+    if rows:
+        batch = pd.concat(rows).sort_values(["ts", "event_id"])
+        for d in batch["delta"]:
+            s += int(d)
+            if s < 0:
+                s = 0
+                clamps += 1
+            if s > peak:
+                peak = s
+    state.update((s, peak, clamps))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "final_stock_cents": [s],
+            "peak_stock_cents": [peak],
+            "n_clamps": [clamps],
+        }
+    )
+
+
+def clamped_stock_stream(deltas: DataFrame) -> DataFrame:
+    """Streaming clamped inventory over an unbounded
+    (user_id, ts, event_id, delta) stream.
+
+    Ordering contract: the clamp recurrence is order-sensitive, so
+    this operator processes each key's records in ARRIVAL order
+    (sorted by event time within each micro-batch) — exactly the
+    contract of a Flink ``KeyedProcessFunction``, whose state loop
+    also sees records as they arrive.  A source that can deliver
+    late/out-of-order data needs an event-time buffer (watermark +
+    sort) upstream; file sources that roll forward in time satisfy
+    the contract as-is.  Run with ``outputMode("update")``: each
+    micro-batch re-emits the state row for every key it touched."""
+    return deltas.groupBy("user_id").applyInPandasWithState(
+        clamped_stock_fn,
+        outputStructType=(
+            "user_id bigint, final_stock_cents bigint, "
+            "peak_stock_cents bigint, n_clamps bigint"
+        ),
+        stateStructType=_CLAMP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -800,3 +800,73 @@ def test_cooccurrence_stream_final_state_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(want) > 50  # non-vacuous pair coverage
+
+
+def test_clamped_stock_stream_final_state_matches_batch_fold(spark, sf_dir, tmp_path):
+    """Streaming clamped stock (applyInPandasWithState): feed the
+    events-derived delta stream as two time-ordered files, one per
+    micro-batch (the operator's arrival-order contract); the final
+    per-user state must equal a python fold over the full ordered
+    stream — state survives the micro-batch boundary mid-recurrence."""
+    import json as _json
+
+    from flink_s3_read_write_spark.sources.io import load_table
+    from flink_s3_read_write_spark.streaming.stateful import clamped_stock_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts"),
+        "event_id",
+        F.when(
+            F.col("event_type").isin("click", "view", "signup"),
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint"),
+        )
+        .otherwise(-(F.col("value").cast("decimal(12,2)") * 100).cast("bigint"))
+        .alias("delta"),
+    )
+    rows = sorted(ev.collect(), key=lambda r: (r["ts"], r["event_id"]))
+    mid = len(rows) // 2
+    src = tmp_path / "clamp_in"
+    src.mkdir()
+    for i, chunk in enumerate((rows[:mid], rows[mid:])):
+        with open(src / f"part-{i:04d}.json", "w") as fh:
+            for r in chunk:
+                fh.write(_json.dumps(
+                    {"user_id": r["user_id"], "ts": r["ts"],
+                     "event_id": r["event_id"], "delta": r["delta"]}) + "\n")
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts bigint, event_id bigint, delta bigint")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = jobs.start_memory_sink(clamped_stock_stream(stream), "t_clamp", "update")
+    try:
+        q.processAllAvailable()
+        final = spark.sql(
+            """SELECT user_id, final_stock_cents, peak_stock_cents, n_clamps FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY _mono DESC) AS rn
+                 FROM (SELECT *, monotonically_increasing_id() AS _mono
+                       FROM t_clamp))
+               WHERE rn = 1"""
+        )
+        got = {
+            r["user_id"]: (r["final_stock_cents"], r["peak_stock_cents"], r["n_clamps"])
+            for r in final.collect()
+        }
+    finally:
+        q.stop()
+
+    want: dict = {}
+    for r in rows:
+        s, peak, clamps = want.get(r["user_id"], (0, 0, 0))
+        s += r["delta"]
+        if s < 0:
+            s = 0
+            clamps += 1
+        peak = max(peak, s)
+        want[r["user_id"]] = (s, peak, clamps)
+    assert got == want
+    # the micro-batch split must actually cut through live state
+    assert any(c > 0 for _, _, c in want.values())
