@@ -5147,3 +5147,101 @@ def q205_clamped_running_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, final_stock_cents bigint, "
         "peak_stock_cents bigint, n_clamps bigint",
     )
+
+
+@register(
+    "q206_association_rules",
+    oracle="""
+    WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets FROM po),
+    sup AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS s FROM po GROUP BY p),
+    pairs AS (
+      SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS s_ab
+      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    directed AS (
+      SELECT pa AS antecedent, pb AS consequent, s_ab FROM pairs
+      UNION ALL
+      SELECT pb, pa, s_ab FROM pairs),
+    rules AS (
+      SELECT d.antecedent, d.consequent, d.s_ab,
+             sa.s AS s_a, sc.s AS s_c, n.n_baskets
+      FROM directed d
+      JOIN sup sa ON sa.p = d.antecedent
+      JOIN sup sc ON sc.p = d.consequent
+      CROSS JOIN n
+      WHERE 10 * d.s_ab >= sa.s)
+    SELECT antecedent, consequent, s_ab, s_a, s_c,
+           round(CAST(s_ab AS DOUBLE) / CAST(s_a AS DOUBLE), 9) AS confidence,
+           round((CAST(s_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE))
+                 / (CAST(s_a AS DOUBLE) * CAST(s_c AS DOUBLE)), 9) AS lift
+    FROM rules
+    """,
+    doc=(
+        "Association-rule mining (market-basket support / confidence "
+        "/ lift) over order baskets - the classic retail co-purchase "
+        "operator, composing q147's support-pruned pair counts into "
+        "DIRECTED rules: one distinct collapse to the basket grain, "
+        "the self-join on basket id with p<p ordering (support >= 3 "
+        "prunes BEFORE any expansion), both rule directions from one "
+        "pass over the pair table (explode, not a 2-branch re-join), "
+        "and item supports attached by broadcast (Zipf-tiny). The "
+        "confidence gate is the integer cross-multiplication "
+        "10*s_ab >= s_a (conf >= 0.1) - exact on both engines; "
+        "confidence/lift emit as single IEEE divisions of exact "
+        "integers (correctly rounded, engine-identical - the ln-free "
+        "rule again; rank by lift client-side, ln is monotone). At "
+        "100 TB the basket self-join partitions by basket id and the "
+        "frequent-pair table is always orders of magnitude smaller "
+        "than the fact - the a-priori property in plan form."
+    ),
+)
+def q206_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct().cache()
+    n = F.broadcast(po.agg(F.countDistinct("o").alias("n_baskets")))
+    sup = po.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    a = po.select(F.col("o"), F.col("p").alias("pa"))
+    b = po.select(F.col("o"), F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .filter(F.col("s_ab") >= 2)
+    )
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("antecedent"),
+                    F.col("pb").alias("consequent"),
+                    F.col("s_ab"),
+                ),
+                F.struct(
+                    F.col("pb").alias("antecedent"),
+                    F.col("pa").alias("consequent"),
+                    F.col("s_ab"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.s_ab")
+    sa = sup.select(F.col("p").alias("antecedent"), F.col("s").alias("s_a"))
+    sc = sup.select(F.col("p").alias("consequent"), F.col("s").alias("s_c"))
+    conf = F.col("s_ab").cast("double") / F.col("s_a").cast("double")
+    lift = (F.col("s_ab").cast("double") * F.col("n_baskets").cast("double")) / (
+        F.col("s_a").cast("double") * F.col("s_c").cast("double")
+    )
+    return (
+        directed.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(n)
+        .filter(F.lit(10) * F.col("s_ab") >= F.col("s_a"))
+        .select(
+            "antecedent", "consequent", "s_ab", "s_a", "s_c",
+            F.round(conf, 9).alias("confidence"),
+            F.round(lift, 9).alias("lift"),
+        )
+    )

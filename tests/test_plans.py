@@ -866,3 +866,17 @@ def test_q205_stateful_scan_is_one_grouped_pandas_pass(spark, sf_dir):
     assert P.has(plan, "FlatMapGroupsInPandas"), plan
     assert P.shuffle_exchanges(plan) == 1, plan
     assert not P.has(plan, "Join"), plan
+
+
+def test_q206_rules_prune_support_before_expansion(spark, sf_dir):
+    """q206: the basket self-join keys on basket id (never cartesian),
+    the support table attaches by broadcast, and the basket
+    projection is cached — one lineitem scan feeds baskets, supports,
+    and the scalar total."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q206_association_rules"].fn(spark, sf_dir))
+    assert not P.has(plan, "CartesianProduct"), plan
+    assert P.has(plan, "InMemoryRelation"), plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert P.count(plan, "BroadcastHashJoin") >= 2, plan

@@ -569,3 +569,23 @@ def test_clamped_stock_matches_python_fold(spark, sf_dir):
     }
     assert got == want
     assert any(c > 0 for _, _, c in want.values())  # clamps actually happen
+
+
+def test_association_rules_invariants(spark, sf_dir):
+    """q206: every rule's confidence = s_ab/s_a exactly, lift is
+    symmetric within an undirected pair, the confidence gate holds,
+    and supports are consistent (s_ab <= min(s_a, s_c))."""
+    from flink_s3_read_write_spark.queries import registry
+
+    rows = registry()["q206_association_rules"].fn(spark, sf_dir).collect()
+    assert rows
+    by_pair = {}
+    for r in rows:
+        assert r["s_ab"] <= min(r["s_a"], r["s_c"])
+        assert 10 * r["s_ab"] >= r["s_a"]  # the gate
+        assert abs(r["confidence"] - r["s_ab"] / r["s_a"]) < 1e-9
+        key = tuple(sorted((r["antecedent"], r["consequent"])))
+        by_pair.setdefault(key, []).append(r["lift"])
+    for key, lifts in by_pair.items():
+        if len(lifts) == 2:  # both directions survived the gate
+            assert abs(lifts[0] - lifts[1]) < 1e-9, key
