@@ -5245,3 +5245,101 @@ def q206_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lift, 9).alias("lift"),
         )
     )
+
+
+@register(
+    "q207_kcore_peeling",
+    oracle="""
+    WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pairs2 AS (SELECT a.p AS a, b.p AS b, COUNT(*) AS c
+               FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    und AS (SELECT a AS u, v FROM (
+              SELECT a, b AS v FROM pairs2
+              UNION ALL SELECT b AS a, a AS v FROM pairs2) t),
+    d1 AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+    k1 AS (SELECT u FROM d1 WHERE d >= 3),
+    e1 AS (SELECT und.u, und.v FROM und
+           JOIN k1 a ON a.u = und.u JOIN k1 b ON b.u = und.v),
+    d2 AS (SELECT u, COUNT(*) AS d FROM e1 GROUP BY u),
+    k2 AS (SELECT u FROM d2 WHERE d >= 3),
+    e2 AS (SELECT e1.u, e1.v FROM e1
+           JOIN k2 a ON a.u = e1.u JOIN k2 b ON b.u = e1.v)
+    SELECT 1 AS round,
+           CAST((SELECT COUNT(*) FROM k1) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e1) / 2 AS BIGINT) AS n_edges
+    UNION ALL
+    SELECT 2,
+           CAST((SELECT COUNT(*) FROM k2) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM e2) / 2 AS BIGINT)
+    """,
+    doc=(
+        "k-core decomposition (k=3, two peel rounds) over the "
+        "support>=2 co-purchase part graph - the degree-based "
+        "community-density operator completing the graph family "
+        "(PageRank q146, BFS q148, CC q54, triangles q159, WL q158): "
+        "each round drops nodes below degree k and the edges they "
+        "carried, reporting the surviving (nodes, edges) per round. "
+        "Bounded-round unrolling keeps it SQL-replayable exactly "
+        "like PageRank's quantized rounds; full peeling iterates "
+        "until fixpoint with the same per-round plan (degree "
+        "aggregate + two semi-joins on the cached u-partitioned edge "
+        "list - frontier-sized state, one edge shuffle reused, "
+        "checkpoint between rounds at 100 TB). All counts integer; "
+        "the directed/2 edge count is exact (explode emits both "
+        "orientations, always even)."
+    ),
+)
+def q207_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a = po.select("o", F.col("p").alias("a"))
+    b = po.select("o", F.col("p").alias("b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    und = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .repartition("u")
+        .cache()
+    )
+    spark_ = li.sparkSession
+
+    def peel(edges):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= 3).select("u")
+        kept = (
+            edges.join(F.broadcast(keep), "u")
+            .join(
+                F.broadcast(keep.select(F.col("u").alias("v"))), "v"
+            )
+            .select("u", "v")
+            .cache()
+        )
+        return keep, kept
+
+    k1, e1 = peel(und)
+    k2, e2 = peel(e1)
+    r1 = (
+        k1.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(e1.agg((F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges")))
+        .select(F.lit(1).alias("round"), "n_nodes", "n_edges")
+    )
+    r2 = (
+        k2.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(e2.agg((F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges")))
+        .select(F.lit(2).alias("round"), "n_nodes", "n_edges")
+    )
+    return r1.unionByName(r2)

@@ -461,3 +461,58 @@ def test_point_in_polygon_integer_raycast_matches_float_pnpoly(spark):
     assert raycast_int(notch, 120_000, 630_000)      # upper prong interior
     assert raycast_int(notch, 150_000, 820_000)      # lower prong interior
     assert not raycast_int(notch, 900_000, 700_000)  # far outside
+
+
+def test_kcore_peel_matches_python_on_synthetic_graph(spark):
+    """q207's per-round peel (degree filter + endpoint semi-joins)
+    must equal a literal python peel on a graph with a clique (never
+    peeled), a chain (peeled immediately), and a star (hub survives
+    round 1 only until its leaves vanish)."""
+    from pyspark.sql import functions as F
+
+    edges = set()
+    clique = [0, 1, 2, 3, 4]
+    for i in clique:
+        for j in clique:
+            if i < j:
+                edges.add((i, j))
+    edges |= {(10, 11), (11, 12), (12, 13)}          # chain: all deg <= 2
+    edges |= {(20, x) for x in (21, 22, 23, 24)}     # star: hub deg 4, leaves 1
+    edges.add((0, 20))                               # tie star hub to clique
+
+    def peel_py(es, k=3):
+        es = set(es)
+        while True:
+            deg = {}
+            for u, v in es:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            ne = {(u, v) for u, v in es if u in keep and v in keep}
+            if ne == es:
+                return keep, es
+            es = ne
+
+    df = spark.createDataFrame(sorted(edges), "a bigint, b bigint")
+    und = df.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+
+    cur = und
+    for _ in range(4):  # to fixpoint on this tiny graph
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= 3).select("u")
+        cur = (
+            cur.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+        )
+    got_nodes = {r["u"] for r in cur.select("u").distinct().collect()}
+    want_nodes, want_edges = peel_py(edges)
+    assert got_nodes == want_nodes == set(clique)  # only the clique is a 3-core
+    assert cur.count() == 2 * len(want_edges)

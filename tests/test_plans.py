@@ -880,3 +880,19 @@ def test_q206_rules_prune_support_before_expansion(spark, sf_dir):
     assert P.has(plan, "InMemoryRelation"), plan
     assert plan.count("lineitem.parquet") == 1, plan
     assert P.count(plan, "BroadcastHashJoin") >= 2, plan
+
+
+def test_q207_peel_rounds_reuse_cached_edges(spark, sf_dir):
+    """q207: the undirected edge list is built once (one lineitem
+    scan into an InMemoryRelation) and each peel round is a degree
+    aggregate + two broadcast endpoint joins — no cartesian, no
+    re-derivation of the pair table per round."""
+    from flink_s3_read_write_spark.queries import registry
+
+    plan = P.formatted_plan(registry()["q207_kcore_peeling"].fn(spark, sf_dir))
+    # two caches: the undirected edge list and round 1's survivor edges
+    # (explain reprints a cache's inner plan per InMemoryTableScan, so
+    # a scan-string count would overcount — assert the relations)
+    assert P.count(plan, "InMemoryRelation") >= 2, plan
+    assert not P.has(plan, "CartesianProduct"), plan
+    assert P.count(plan, "BroadcastHashJoin") >= 2, plan
