@@ -5315,7 +5315,6 @@ def q207_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("u")
         .cache()
     )
-    spark_ = li.sparkSession
 
     def peel(edges):
         deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
