@@ -53,18 +53,29 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #       latest green row — update that tuple when editing a query);
 #   3 — green, oldest-round rows first (natural re-confirm rotation).
 # Ties break by registration order, which is stable.
-_TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    "q175_quantile_normalize",   # array_join serialization fix (r05 err)
-    "q177_cusum_changepoint",    # exact cross-multiplied cusum argmax
-    "q159_triangle_count",       # integer wedge count + co-located wedge join
-    "q162_cms_heavy_hitters",    # refactored onto operators/cms.py
-    "q164_item_item_cf",         # explode symmetric expansion, u-partitioned
-    "q146_pagerank_bipartite",   # one-pass edge build (explode)
-    "q158_wl_graph_fingerprint", # one-pass edge build, u-partitioned cache
-    "q54_dedup_keep_list",       # one-pass CC edge orientation
-    "q126_quality_keeper_dedup", # shares connected_components
-    "q148_bfs_hops",             # one-pass edge build (explode)
-)
+#
+# Staleness is mechanical, not manual: an entry added while touching a
+# query in round N is confirmed once a sidecar row from round >=
+# _TOUCHED_SINCE_ROUND comes back green — at that point the entry
+# auto-demotes to tier 3 (so a forgotten clear can no longer steal
+# window slots, the r06→r07 trap) and ``stale_touched()`` /
+# ``tools/check.py`` report it for removal.  When a new round starts,
+# bump _TOUCHED_SINCE_ROUND and delete the reported-stale entries.
+_TOUCHED_SINCE_ROUND = 7
+_TOUCHED_THIS_ROUND: tuple[str, ...] = ()
+
+
+def stale_touched() -> list[str]:
+    """_TOUCHED_THIS_ROUND entries already confirmed green by a sidecar
+    from round >= _TOUCHED_SINCE_ROUND (i.e. after the touch) — safe
+    and correct to delete from the tuple."""
+    rows = _driver_rows()
+    out = []
+    for name in _TOUCHED_THIS_ROUND:
+        row = rows.get(name)
+        if row is not None and row[1] and row[0] >= _TOUCHED_SINCE_ROUND:
+            out.append(name)
+    return out
 
 
 def _driver_rows() -> dict[str, tuple[int, bool]]:
@@ -112,7 +123,7 @@ def registry() -> dict[str, Query]:
     )
 
     rows = _driver_rows()
-    touched = set(_TOUCHED_THIS_ROUND)
+    touched = set(_TOUCHED_THIS_ROUND) - set(stale_touched())
     reg_idx = {n: i for i, n in enumerate(_REGISTRY)}
 
     def tier(item: tuple[str, Query]) -> tuple[int, int, int]:

@@ -5182,7 +5182,7 @@ def q205_clamped_running_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/ lift) over order baskets - the classic retail co-purchase "
         "operator, composing q147's support-pruned pair counts into "
         "DIRECTED rules: one distinct collapse to the basket grain, "
-        "the self-join on basket id with p<p ordering (support >= 3 "
+        "the self-join on basket id with p<p ordering (support >= 2 "
         "prunes BEFORE any expansion), both rule directions from one "
         "pass over the pair table (explode, not a 2-branch re-join), "
         "and item supports attached by broadcast (Zipf-tiny). The "

@@ -1,6 +1,8 @@
 """Bench regression guard: compare the current BENCH_QUERIES.json
-sidecar against a previous one (default: the committed copy at HEAD~
-or a given git rev / file path) and flag per-query regressions.
+sidecar against a previous one (default: the committed copy at HEAD —
+meaningful when the on-disk sidecar is dirty from a fresh bench run;
+pass --base HEAD~ right after committing a refresh) and flag
+per-query regressions.
 
 Usage:
     python tools/bench_diff.py                 # vs HEAD's committed sidecar
@@ -67,6 +69,9 @@ def main() -> int:
 
     tot_shared_old = sum(oq[n] for n in shared)
     tot_shared_new = sum(cq[n] for n in shared)
+    if not shared or tot_shared_old == 0:
+        print(f"no shared queries with base | added {len(added)} | removed {len(removed)}")
+        return 0
     print(
         f"shared {len(shared)}: {tot_shared_old:.1f}s -> {tot_shared_new:.1f}s "
         f"({(tot_shared_new / tot_shared_old - 1) * 100:+.1f}%) | "

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-from flink_s3_read_write_spark.queries import registry
+from flink_s3_read_write_spark.queries import registry, stale_touched
 from flink_s3_read_write_spark.session import build_session
 from flink_s3_read_write_spark.sources.io import TABLES
 
@@ -58,6 +58,13 @@ def main() -> int:
     )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+
+    stale = stale_touched()
+    if stale:
+        print(
+            "WARN  stale _TOUCHED_THIS_ROUND entries (already confirmed "
+            f"green by a post-touch sidecar — delete from queries.py): {stale}"
+        )
 
     spark = build_session("check")
     con = duckdb.connect()
