@@ -126,10 +126,13 @@ def wl_refine(edges: DataFrame, rounds: int = 2) -> DataFrame:
     colour refinement behind graph-isomorphism tests and WL kernels).
 
     Nodes start labelled by degree; each round relabels
-    ``md5(own || '|' || sorted neighbour labels)`` — after k rounds
-    two nodes share a label only if their k-hop neighbourhood trees
-    agree, so the labels are structural fingerprints (graph dedup /
-    similarity at the structure level).
+    ``substr(md5(own || '|' || sorted neighbour labels), 1, 16)`` —
+    after k rounds two nodes share a label only if their k-hop
+    neighbourhood trees agree, so the labels are structural
+    fingerprints (graph dedup / similarity at the structure level).
+    The 16-hex-char (64-bit) truncation halves the per-round label
+    payload through the message shuffle; collision odds across ~n²/2
+    pairs stay ≪ 1e-9 for n up to millions of distinct labels.
 
     Relational per round: one edges⋈labels join + a collect_list
     aggregate; the sort inside ``array_sort`` makes the neighbour
@@ -150,15 +153,21 @@ def wl_refine(edges: DataFrame, rounds: int = 2) -> DataFrame:
             lab.join(nb, "u", "left")
             .select(
                 "u",
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        F.col("lb"),
-                        F.array_join(
-                            F.coalesce("_ns", F.expr("cast(array() as array<string>)")),
-                            ",",
-                        ),
-                    )
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("lb"),
+                            F.array_join(
+                                F.coalesce(
+                                    "_ns", F.expr("cast(array() as array<string>)")
+                                ),
+                                ",",
+                            ),
+                        )
+                    ),
+                    1,
+                    16,
                 ).alias("lb"),
             )
             .cache()

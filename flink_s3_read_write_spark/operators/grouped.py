@@ -123,3 +123,83 @@ def geometric_mean_udf():
         return float(np.exp(np.log(x).mean()))
 
     return geo_mean
+
+
+def clamped_running_stock_window(ev: DataFrame) -> DataFrame:
+    """Floor-at-zero running total per key — as pure window functions.
+
+    ``s_i = max(0, s_{i-1} + delta_i)`` looks like it defeats window
+    frames (every prefix depends on every earlier clamp decision), but
+    the zero-floor case has a closed form over prefix sums
+    ``P_i = Σ_{j≤i} delta_j``:
+
+        s_i = P_i − min(0, min_{j≤i} P_j)
+
+    (each clamp resets the baseline to the running-minimum prefix; a
+    two-sided clamp [lo, hi] has no such form and genuinely needs the
+    sequential fold below).  Clamp events are exactly the steps where
+    ``P_i − min(0, min_{j<i} P_j) < 0``.  Everything is one shuffle by
+    key + one sort — whole-stage-codegen window frames, no Python, and
+    the same plan shape the naive fold's shuffle would need anyway.
+
+    ``ev`` needs columns (user_id, ts, event_id, delta:bigint); output
+    is (user_id, final_stock_cents, peak_stock_cents, n_clamps), all
+    bigint.  Proven equivalent to the sequential pandas fold in
+    tests/test_query_extras.py.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcur = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    zero = F.lit(0).cast("bigint")
+    staged = ev.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.sum("delta").over(wcur).alias("p"),
+        F.least(zero, F.min(F.sum("delta").over(wcur)).over(wcur)).alias("m"),
+        F.least(
+            zero, F.coalesce(F.min(F.sum("delta").over(wcur)).over(wprev), zero)
+        ).alias("mp"),
+    )
+    return staged.groupBy("user_id").agg(
+        F.max_by(F.col("p") - F.col("m"), F.col("rn")).alias("final_stock_cents"),
+        F.max(F.col("p") - F.col("m")).alias("peak_stock_cents"),
+        F.sum(F.when(F.col("p") - F.col("mp") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clamps"),
+    )
+
+
+def clamped_running_stock_pandas(ev: DataFrame) -> DataFrame:
+    """The same clamped fold as an Arrow-batched ``applyInPandas``
+    keyed scan — the escape-hatch shape for recurrences that have NO
+    prefix-sum identity (two-sided clamps, state machines): sequential
+    per key exactly like a Flink keyed process function, parallel
+    across keys, O(1) state per group.  Kept as the documented twin of
+    ``clamped_running_stock_window``; deliberately kept as the LITERAL
+    sequential definition (per-row fold, not the prefix-sum identity)
+    so the equivalence test is a genuinely independent witness."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = peak = clamps = 0
+        for d in pdf["delta"]:
+            s += int(d)
+            if s < 0:
+                s = 0
+                clamps += 1
+            if s > peak:
+                peak = s
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "final_stock_cents": [s],
+                "peak_stock_cents": [peak],
+                "n_clamps": [clamps],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        fold,
+        "user_id bigint, final_stock_cents bigint, "
+        "peak_stock_cents bigint, n_clamps bigint",
+    )

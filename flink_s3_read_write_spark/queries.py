@@ -62,7 +62,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # ``tools/check.py`` report it for removal.  When a new round starts,
 # bump _TOUCHED_SINCE_ROUND and delete the reported-stale entries.
 _TOUCHED_SINCE_ROUND = 7
-_TOUCHED_THIS_ROUND: tuple[str, ...] = ()
+_TOUCHED_THIS_ROUND: tuple[str, ...] = (
+    "q146_pagerank_bipartite",   # int node ids (2c / 2p+1), decode on top-20
+    "q148_bfs_hops",             # int node ids, decode on result
+    "q158_wl_graph_fingerprint", # int node ids + 16-char md5 labels
+    "q205_clamped_running_stock",  # prefix-min window identity, no pandas
+)
 
 
 def stale_touched() -> list[str]:
@@ -119,6 +124,7 @@ def registry() -> dict[str, Query]:
         queries_llmdata,
         queries_streaming,
         queries_sql,
+        queries_graph,
         queries_tpch,
     )
 

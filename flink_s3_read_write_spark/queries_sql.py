@@ -1638,233 +1638,6 @@ def q133_grouping_id_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q146_pagerank_bipartite",
-    oracle="""
-    WITH e0 AS (
-      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
-      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-    e AS (
-      SELECT 'c' || CAST(c AS VARCHAR) AS u, 'p' || CAST(p AS VARCHAR) AS v FROM e0
-      UNION ALL
-      SELECT 'p' || CAST(p AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM e0),
-    deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
-    nn AS (SELECT COUNT(*) AS n FROM deg),
-    r0 AS (
-      SELECT u, deg,
-             (1000000000000000 // n) AS r,
-             ((15 * (1000000000000000 // n)) // 100) AS base
-      FROM deg, nn),
-    i1 AS (
-      SELECT d.u, d.deg, d.base,
-             d.base + (85 * COALESCE(s.infl, 0)) // 100 AS r
-      FROM r0 d LEFT JOIN (
-        SELECT e.v AS u, SUM(c.r // c.deg) AS infl
-        FROM e JOIN r0 c ON c.u = e.u GROUP BY e.v) s USING (u)),
-    i2 AS (
-      SELECT d.u, d.deg, d.base,
-             d.base + (85 * COALESCE(s.infl, 0)) // 100 AS r
-      FROM i1 d LEFT JOIN (
-        SELECT e.v AS u, SUM(c.r // c.deg) AS infl
-        FROM e JOIN i1 c ON c.u = e.u GROUP BY e.v) s USING (u)),
-    i3 AS (
-      SELECT d.u, d.deg, d.base,
-             d.base + (85 * COALESCE(s.infl, 0)) // 100 AS r
-      FROM i2 d LEFT JOIN (
-        SELECT e.v AS u, SUM(c.r // c.deg) AS infl
-        FROM e JOIN i2 c ON c.u = e.u GROUP BY e.v) s USING (u))
-    SELECT node, rank_int, rn FROM (
-      SELECT u AS node, CAST(r AS BIGINT) AS rank_int,
-             ROW_NUMBER() OVER (ORDER BY r DESC, u) AS rn
-      FROM i3) t
-    WHERE rn <= 20
-    """,
-    doc=(
-        "PageRank, 3 unrolled Pregel-style rounds (operators/graph.py) "
-        "over the bipartite customer-part purchase graph "
-        "(orders x lineitem, both directions): per round one "
-        "edges-joins-ranks shuffle + one inflow aggregate. Ranks are "
-        "integer-quantized at scale 10^15 with explicit floor "
-        "divisions (Spark `div` = DuckDB `//` on non-negatives), so "
-        "the inherently iterative algorithm is bit-for-bit "
-        "SQL-replayable - no float summation order, no libm. Top-20 "
-        "via a total-order row_number window. At 100 TB each round "
-        "is edge-partitioned and checkpointed (dedup.py CC pattern); "
-        "node state is N-sized, never driver-side."
-    ),
-)
-def q146_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_s3_read_write_spark.operators import graph as G
-
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    e0 = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    cu = F.concat(F.lit("c"), F.col("c").cast("string"))
-    pu = F.concat(F.lit("p"), F.col("p").cast("string"))
-    # The edge table feeds deg + three per-iteration joins; both
-    # directions come from ONE pass over e0 (explode of the two
-    # orientations — a union of two selects would compute the
-    # orders⋈lineitem+distinct twice), then repartition by u THEN
-    # cache, so every iteration's edges⋈contrib join reuses the cached
-    # hash partitioning (only the node-sized contrib side shuffles per
-    # round — the 100 TB plan, where this is a persisted u-bucketed
-    # edge table).  The harness clearCache()s per query.
-    edges = (
-        e0.select(
-            F.explode(
-                F.array(
-                    F.struct(cu.alias("u"), pu.alias("v")),
-                    F.struct(pu.alias("u"), cu.alias("v")),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .repartition("u")
-        .cache()
-    )
-    ranks = G.pagerank_quantized(edges, iters=3)
-    return G.top_ranked(ranks, k=20)
-
-
-@register(
-    "q147_copurchase_pairs",
-    oracle="""
-    WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    pairs AS (
-      SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
-      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
-      GROUP BY 1, 2),
-    pc AS (SELECT p, COUNT(*) AS n FROM po GROUP BY p),
-    nn AS (SELECT COUNT(DISTINCT o) AS n_orders FROM po)
-    SELECT part_a, part_b, n_ab,
-           CAST(nn.n_orders * n_ab AS DOUBLE) / CAST(ca.n * cb.n AS DOUBLE) AS lift
-    FROM pairs
-    JOIN pc ca ON ca.p = pairs.part_a
-    JOIN pc cb ON cb.p = pairs.part_b, nn
-    WHERE n_ab >= 2
-    """,
-    doc=(
-        "Market-basket mining, the A-priori 2-itemset step: parts "
-        "co-purchased in the same order with support >= 2 and exact "
-        "lift N*n_ab/(n_a*n_b). The within-order self-join is the "
-        "classic bounded fan-out formulation - pair expansion is "
-        "C(basket,2) per order (baskets are small by construction; at "
-        "100 TB hot single items get frequency-capped first, the q124 "
-        "rule), never an all-pairs part x part join. Per-part counts "
-        "broadcast back; lift is one double division of exact "
-        "integers, bit-identical cross-engine."
-    ),
-)
-def q147_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    po = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    po = po.cache()  # feeds pairs + per-part counts + order count; one shuffle
-    a = po.select(F.col("o"), F.col("p").alias("part_a"))
-    b = po.select(F.col("o"), F.col("p").alias("part_b"))
-    pairs = (
-        a.join(b, "o")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= 2)
-    )
-    pc = po.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
-    nn = F.broadcast(po.agg(F.countDistinct("o").alias("n_orders")))
-    # per-part counts attach WITHOUT a forced broadcast: parts are a
-    # genuine dimension (billions at 100 TB), so the planner picks
-    # broadcast at small SF and shuffle join at scale; only the 1-row
-    # order count is hint-broadcast.
-    return (
-        pairs.join(pc.withColumnRenamed("p", "part_a").withColumnRenamed("n", "n_a"), "part_a")
-        .join(pc.withColumnRenamed("p", "part_b").withColumnRenamed("n", "n_b"), "part_b")
-        .crossJoin(nn)
-        .select(
-            "part_a", "part_b", "n_ab",
-            ((F.col("n_orders") * F.col("n_ab")).cast("double")
-             / (F.col("n_a") * F.col("n_b")).cast("double")).alias("lift"),
-        )
-    )
-
-
-@register(
-    "q148_bfs_hops",
-    oracle="""
-    WITH e0 AS (
-      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
-      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-    e AS (
-      SELECT 'c' || CAST(c AS VARCHAR) AS u, 'p' || CAST(p AS VARCHAR) AS v FROM e0
-      UNION ALL
-      SELECT 'p' || CAST(p AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM e0),
-    d0 AS (SELECT 'c1' AS u, CAST(0 AS INTEGER) AS dist),
-    d1 AS (
-      SELECT u, CAST(MIN(dist) AS INTEGER) AS dist FROM (
-        SELECT u, dist FROM d0
-        UNION ALL
-        SELECT e.v AS u, d.dist + 1 FROM e JOIN d0 d ON d.u = e.u) t
-      GROUP BY u),
-    d2 AS (
-      SELECT u, CAST(MIN(dist) AS INTEGER) AS dist FROM (
-        SELECT u, dist FROM d1
-        UNION ALL
-        SELECT e.v AS u, d.dist + 1 FROM e JOIN d1 d ON d.u = e.u) t
-      GROUP BY u),
-    d3 AS (
-      SELECT u, CAST(MIN(dist) AS INTEGER) AS dist FROM (
-        SELECT u, dist FROM d2
-        UNION ALL
-        SELECT e.v AS u, d.dist + 1 FROM e JOIN d2 d ON d.u = e.u) t
-      GROUP BY u)
-    SELECT u AS node, dist FROM d3
-    """,
-    doc=(
-        "BFS hop distance (<= 3 hops) from customer c1 over the "
-        "bipartite purchase graph: per round one edges-joins-reached "
-        "join + a MIN aggregate (operators/graph.py bfs_levels) - the "
-        "relational frontier-expansion step of connected-component / "
-        "reachability jobs. Integer-exact, SQL-replayable. At 100 TB "
-        "expansion joins only the NEW frontier per round and "
-        "checkpoints between rounds (dedup.py CC pattern)."
-    ),
-)
-def q148_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_s3_read_write_spark.operators import graph as G
-
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    e0 = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    cu = F.concat(F.lit("c"), F.col("c").cast("string"))
-    pu = F.concat(F.lit("p"), F.col("p").cast("string"))
-    # Frontier is broadcast per round (bfs_levels), so edges need no
-    # particular partitioning — one explode pass for both orientations
-    # (a 2-branch union would run the orders⋈lineitem distinct twice),
-    # then cache the build.
-    edges = (
-        e0.select(
-            F.explode(
-                F.array(
-                    F.struct(cu.alias("u"), pu.alias("v")),
-                    F.struct(pu.alias("u"), cu.alias("v")),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .cache()
-    )
-    seeds = edges.sparkSession.createDataFrame([("c1",)], "u string")
-    return G.bfs_levels(edges, seeds, rounds=3).select(
-        F.col("u").alias("node"), "dist"
-    )
-
-
-@register(
     "q149_sax_motifs",
     oracle="""
     WITH q AS (
@@ -2222,212 +1995,6 @@ def q157_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q158_wl_graph_fingerprint",
-    oracle="""
-    WITH e0 AS (
-      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
-      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-    e AS (
-      SELECT 'c' || CAST(c AS VARCHAR) AS u, 'p' || CAST(p AS VARCHAR) AS v FROM e0
-      UNION ALL
-      SELECT 'p' || CAST(p AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM e0),
-    lab0 AS (
-      SELECT u, CAST(COUNT(*) AS VARCHAR) AS lb FROM e GROUP BY u),
-    nb1 AS (
-      SELECT e.v AS u, array_to_string(list_sort(list(c.lb)), ',') AS ns
-      FROM e JOIN lab0 c ON c.u = e.u GROUP BY e.v),
-    lab1 AS (
-      SELECT l.u, md5(l.lb || '|' || COALESCE(n.ns, '')) AS lb
-      FROM lab0 l LEFT JOIN nb1 n USING (u)),
-    nb2 AS (
-      SELECT e.v AS u, array_to_string(list_sort(list(c.lb)), ',') AS ns
-      FROM e JOIN lab1 c ON c.u = e.u GROUP BY e.v),
-    lab2 AS (
-      SELECT l.u, md5(l.lb || '|' || COALESCE(n.ns, '')) AS lb
-      FROM lab1 l LEFT JOIN nb2 n USING (u)),
-    classes AS (SELECT lb, COUNT(*) AS n FROM lab2 GROUP BY lb)
-    SELECT CAST(SUM(n) AS BIGINT) AS n_nodes,
-           CAST(COUNT(*) AS BIGINT) AS n_classes,
-           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
-           CAST(MAX(n) AS BIGINT) AS max_class_size
-    FROM classes
-    """,
-    doc=(
-        "Weisfeiler-Lehman structural fingerprinting (operators/"
-        "graph.py wl_refine): 2 rounds of colour refinement over the "
-        "purchase graph - per round one edges-joins-labels shuffle + "
-        "a canonical (array_sort) neighbour-multiset aggregate, "
-        "relabelled by md5, so the inherently iterative isomorphism "
-        "refinement is bit-replayable in SQL. Output is the one-row "
-        "structure-class profile (classes / singletons / largest "
-        "class) - the WL-kernel primitive behind graph-level dedup "
-        "and similarity."
-    ),
-)
-def q158_wl_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_s3_read_write_spark.operators import graph as G
-
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    e0 = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    cu = F.concat(F.lit("c"), F.col("c").cast("string"))
-    pu = F.concat(F.lit("p"), F.col("p").cast("string"))
-    # One pass over e0 for both orientations (explode, not a 2-branch
-    # union that would run the orders⋈lineitem distinct twice), hash-
-    # partitioned by u and cached: the degree seed and BOTH refinement
-    # rounds join on u, so they all reuse one edge shuffle and only
-    # the node-sized label table moves per round.
-    edges = (
-        e0.select(
-            F.explode(
-                F.array(
-                    F.struct(cu.alias("u"), pu.alias("v")),
-                    F.struct(pu.alias("u"), cu.alias("v")),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .repartition("u")
-        .cache()
-    )
-    return G.wl_class_summary(G.wl_refine(edges, rounds=2))
-
-
-@register(
-    "q159_triangle_count",
-    oracle="""
-    WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    edges AS (
-      SELECT a.p AS a, b.p AS b
-      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
-      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-    deg AS (
-      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
-        SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) t
-      GROUP BY node),
-    oe AS (
-      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
-                  THEN e.a ELSE e.b END AS u,
-             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
-                  THEN e.b ELSE e.a END AS v,
-             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
-                  THEN db.d ELSE da.d END AS dv
-      FROM edges e
-      JOIN deg da ON da.node = e.a
-      JOIN deg db ON db.node = e.b),
-    tri AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
-      FROM oe e1
-      JOIN oe e2 ON e2.u = e1.u
-                AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
-      JOIN oe e3 ON e3.u = e1.v AND e3.v = e2.v),
-    agg AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-             CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
-      FROM deg),
-    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
-    SELECT agg.n_nodes, ne.n_edges, agg.n_wedges, tri.n_triangles,
-           CASE WHEN agg.n_wedges = 0 THEN 0.0
-                ELSE CAST(3 * tri.n_triangles AS DOUBLE) / CAST(agg.n_wedges AS DOUBLE)
-           END AS global_cc
-    FROM agg, ne, tri
-    """,
-    doc=(
-        "Triangle counting + global clustering coefficient over the "
-        "support->=2 co-purchase part graph (q147's edge set). Uses the "
-        "canonical degree-ordered orientation: every edge points from "
-        "its lower-(deg,id) endpoint to the higher one, so each "
-        "triangle is counted exactly once at its lowest-order apex and "
-        "the wedge join fans out only over OUT-degrees, which the "
-        "orientation bounds by O(sqrt(m)) on any graph - the trick "
-        "that makes relational triangle counting survive power-law "
-        "degree skew at 100 TB (an id-only orientation would square "
-        "the hottest hub instead). Three self-joins on the oriented "
-        "edge list, all key-partitioned; clustering coefficient is one "
-        "double division of exact BIGINTs, bit-identical cross-engine."
-    ),
-)
-def q159_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    po = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    po = po.cache()  # both sides of the basket self-join; one distinct shuffle
-    a = po.select("o", F.col("p").alias("a"))
-    b = po.select("o", F.col("p").alias("b"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= 2)
-        .select("a", "b")
-        .cache()  # feeds degrees + orientation + the closing-edge probe
-    )
-    deg = (
-        edges.select(F.col("a").alias("node"))
-        .unionByName(edges.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
-    fwd = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oe = (
-        edges.join(da, "a")
-        .join(db, "b")
-        .select(
-            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
-            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
-            F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
-        )
-        # probed three times (wedge e1⋈e2 on u, closing probe); hash-
-        # partition by u before caching so the wedge self-join reads
-        # both sides co-located with zero extra exchange
-        .repartition("u")
-        .cache()
-    )
-    e1 = oe.select(F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1"))
-    e2 = oe.select(F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2"))
-    wedge_ord = (F.col("dv1") < F.col("dv2")) | (
-        (F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2"))
-    )
-    closing = oe.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
-    tri = (
-        e1.join(e2, "u")
-        .filter(wedge_ord)
-        .join(closing, ["v1", "v2"])
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    summary = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        # integer wedge count: d*(d-1) is even, shiftright keeps the whole
-        # pipeline in BIGINT (double '/' is exact only below 2^53, which a
-        # power-law hub's degree can exceed at scale).
-        F.sum(F.shiftright(F.col("d") * (F.col("d") - F.lit(1)), 1)).alias("n_wedges"),
-    )
-    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
-        F.broadcast(summary)
-        .crossJoin(F.broadcast(ne))
-        .crossJoin(F.broadcast(tri))
-        .select(
-            "n_nodes", "n_edges", "n_wedges", "n_triangles",
-            F.when(F.col("n_wedges") == 0, F.lit(0.0))
-            .otherwise(
-                (F.lit(3) * F.col("n_triangles")).cast("double")
-                / F.col("n_wedges").cast("double")
-            )
-            .alias("global_cc"),
-        )
-    )
-
-
-@register(
     "q160_open_order_concurrency",
     oracle="""
     WITH iv AS (
@@ -2537,109 +2104,6 @@ def q161_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("gmax") <= F.col("p_size"))
         )
         .select("p_partkey", "p_retailprice", "p_size")
-    )
-
-
-@register(
-    "q164_item_item_cf",
-    oracle="""
-    WITH up AS (
-      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
-      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-    co AS (
-      SELECT a.i AS item_a, b.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
-      FROM up a JOIN up b ON b.u = a.u AND a.i < b.i
-      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
-    ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM up GROUP BY i),
-    sim AS (
-      SELECT item_a, item_b, n_ab,
-             CAST(n_ab AS DOUBLE) / sqrt(CAST(ca.n * cb.n AS DOUBLE)) AS cosine
-      FROM co
-      JOIN ic ca ON ca.i = co.item_a
-      JOIN ic cb ON cb.i = co.item_b),
-    sym AS (
-      SELECT item_a AS item, item_b AS nbr, n_ab, cosine FROM sim
-      UNION ALL
-      SELECT item_b, item_a, n_ab, cosine FROM sim),
-    rk AS (
-      SELECT item, nbr, n_ab, cosine,
-             row_number() OVER (PARTITION BY item
-                                ORDER BY cosine DESC, n_ab DESC, nbr) AS rank
-      FROM sym)
-    SELECT item, nbr, n_ab, cosine, CAST(rank AS INTEGER) AS rank
-    FROM rk WHERE rank <= 3
-    """,
-    doc=(
-        "Item-item collaborative filtering: parts bought by the same "
-        "customer co-occur; similarity is co-occurrence cosine "
-        "n_ab/sqrt(n_a*n_b) and each item keeps its top-3 neighbors. "
-        "Same bounded per-basket fan-out as q147 (C(basket,2) per "
-        "customer, frequency-capped hot items at 100 TB), support >= 3 "
-        "prunes the pair table BEFORE the similarity join, per-item "
-        "degree counts attach by planner choice (genuine dimension), "
-        "and the top-3 is a rank window partitioned BY ITEM - "
-        "WindowGroupLimit pushes the limit into the shuffle, never a "
-        "global sort. Tie order (cosine DESC, n_ab DESC, nbr) is "
-        "total; cosine is one double op over exact BIGINTs - "
-        "bit-identical cross-engine."
-    ),
-)
-def q164_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    up = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
-        .distinct()
-    )
-    # feeds the pair self-join (both sides on u) + per-item counts;
-    # partition by u first so the self-join reads both sides co-located
-    up = up.repartition("u").cache()
-    a = up.select("u", F.col("i").alias("item_a"))
-    b = up.select("u", F.col("i").alias("item_b"))
-    co = (
-        a.join(b, "u")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= 3)
-    )
-    ic = up.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
-    sim = (
-        co.join(ic.select(F.col("i").alias("item_a"), F.col("n").alias("n_a")), "item_a")
-        .join(ic.select(F.col("i").alias("item_b"), F.col("n").alias("n_b")), "item_b")
-        .select(
-            "item_a", "item_b", "n_ab",
-            (
-                F.col("n_ab").cast("double")
-                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
-            ).alias("cosine"),
-        )
-    )
-    # symmetric expansion in ONE pass: explode both orientations per
-    # row (a 2-branch union would either recompute the whole
-    # pair+degree pipeline twice or force a cache materialization)
-    sym = sim.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("item_a").alias("item"), F.col("item_b").alias("nbr"),
-                    F.col("n_ab"), F.col("cosine"),
-                ),
-                F.struct(
-                    F.col("item_b").alias("item"), F.col("item_a").alias("nbr"),
-                    F.col("n_ab"), F.col("cosine"),
-                ),
-            )
-        ).alias("e")
-    ).select("e.item", "e.nbr", "e.n_ab", "e.cosine")
-    w = Window.partitionBy("item").orderBy(F.desc("cosine"), F.desc("n_ab"), "nbr")
-    return (
-        sym.select("item", "nbr", "n_ab", "cosine", F.row_number().over(w).alias("rank"))
-        .filter(F.col("rank") <= 3)
-        .select("item", "nbr", "n_ab", "cosine", F.col("rank").cast("int").alias("rank"))
     )
 
 
@@ -4520,78 +3984,6 @@ def q196_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q197_min_cost_paths",
-    oracle="""
-    WITH e AS (
-      SELECT DISTINCT l_suppkey AS u, l_partkey AS v,
-             CAST(l_quantity AS BIGINT) AS w
-      FROM lineitem),
-    em AS (SELECT u, v, MIN(w) AS w FROM e GROUP BY u, v),
-    und AS (
-      SELECT u, v, w FROM em UNION ALL SELECT v, u, w FROM em),
-    d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost),
-    d1 AS (
-      SELECT node, MIN(cost) AS cost FROM (
-        SELECT node, cost FROM d0
-        UNION ALL
-        SELECT e.v AS node, d.cost + e.w FROM und e JOIN d0 d ON d.node = e.u) t
-      GROUP BY node),
-    d2 AS (
-      SELECT node, MIN(cost) AS cost FROM (
-        SELECT node, cost FROM d1
-        UNION ALL
-        SELECT e.v AS node, d.cost + e.w FROM und e JOIN d1 d ON d.node = e.u) t
-      GROUP BY node)
-    SELECT node, cost FROM d2
-    """,
-    doc=(
-        "Weighted min-cost paths (<= 2 hops) from supplier 1 over the "
-        "supplier-part supply graph: Bellman-Ford / min-plus semiring "
-        "rounds - each round one edges-joins-costs join + a MIN "
-        "aggregate, the WEIGHTED generalization of q148's BFS (hop "
-        "count = min-plus with w=1). Edge weight = min quantity per "
-        "(supplier, part) pair, pure BIGINT addition/min - exact and "
-        "mergeable, so rounds are SQL-replayable. Same scale shape "
-        "as every graph op here: frontier-sized state, edge "
-        "partitioning by u, checkpoint between rounds at 100 TB."
-    ),
-)
-def q197_min_cost_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    em = (
-        li.select(
-            F.col("l_suppkey").alias("u"),
-            F.col("l_partkey").alias("v"),
-            F.col("l_quantity").cast("bigint").alias("w"),
-        )
-        .distinct()
-        .groupBy("u", "v")
-        .agg(F.min("w").alias("w"))
-    )
-    und = em.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("u"), F.col("v"), F.col("w")),
-                F.struct(F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")),
-            )
-        ).alias("e")
-    ).select("e.u", "e.v", "e.w").cache()
-    d = em.sparkSession.createDataFrame([(1, 0)], "node bigint, cost bigint")
-    for _ in range(2):
-        relax = (
-            und.join(F.broadcast(d), und.u == d.node)
-            .select(F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
-        )
-        d = (
-            d.unionByName(relax)
-            .groupBy("node")
-            .agg(F.min("cost").alias("cost"))
-            .cache()
-        )
-    return d
-
-
-@register(
     "q198_pps_systematic_sample",
     oracle="""
     WITH w AS (
@@ -5093,25 +4485,30 @@ def q204_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Clamped running total (inventory floor-at-zero): "
         "s_i = max(0, s_{i-1} + delta_i) per user over the event "
-        "stream - the canonical computation that NO window frame can "
-        "express (the clamp makes each prefix depend on every earlier "
-        "clamp decision; running-sum-then-greatest is wrong the "
-        "moment any prefix dips below zero). This is the engine's "
-        "documented escape hatch done right: an Arrow-batched "
-        "applyInPandas keyed scan - sequential per key exactly like "
-        "a Flink keyed process function, parallel across keys, state "
-        "one row per group - while the DuckDB oracle replays the "
-        "recursion as a RECURSIVE CTE, so even the non-SQL path "
-        "keeps a full exact hash oracle. Deltas are exact integer "
-        "cents (DECIMAL cast); clicks/views/signups stock up, "
-        "purchases/errors draw down. At 100 TB: partition by key, "
-        "sort within partitions - the shuffle is the same one the "
-        "window formulation would need; the pandas fold streams "
-        "Arrow batches, state O(1) per key."
+        "stream. The clamp looks like it defeats window frames (each "
+        "prefix depends on every earlier clamp decision; running-sum-"
+        "then-greatest is wrong the moment any prefix dips below "
+        "zero) — but the zero-floor fold has a closed form over "
+        "prefix sums, s_i = P_i - min(0, min_{j<=i} P_j), so the "
+        "registered plan is pure whole-stage-codegen window frames: "
+        "one shuffle by key, one sort, no Python (operators/"
+        "grouped.py clamped_running_stock_window, with the derivation "
+        "in its docstring). The sequential applyInPandas fold — the "
+        "escape-hatch shape for recurrences with NO such identity, "
+        "e.g. two-sided clamps — is kept as the literal-definition "
+        "twin and asserted equivalent in tests/test_query_extras.py; "
+        "the DuckDB oracle replays the recursion as a RECURSIVE CTE, "
+        "a third independent derivation under the same exact hash. "
+        "Deltas are exact integer cents (DECIMAL cast); clicks/views/"
+        "signups stock up, purchases/errors draw down. At 100 TB the "
+        "window plan partitions by key and sorts within partitions - "
+        "no per-group materialization at all."
     ),
 )
 def q205_clamped_running_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
+    from flink_s3_read_write_spark.operators.grouped import (
+        clamped_running_stock_window,
+    )
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id",
@@ -5122,223 +4519,5 @@ def q205_clamped_running_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(-(F.col("value").cast("decimal(12,2)") * 100).cast("bigint"))
         .alias("delta"),
     )
+    return clamped_running_stock_window(ev)
 
-    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"])
-        s = peak = clamps = 0
-        for d in pdf["delta"]:
-            s += int(d)
-            if s < 0:
-                s = 0
-                clamps += 1
-            if s > peak:
-                peak = s
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "final_stock_cents": [s],
-                "peak_stock_cents": [peak],
-                "n_clamps": [clamps],
-            }
-        )
-
-    return ev.groupBy("user_id").applyInPandas(
-        fold,
-        "user_id bigint, final_stock_cents bigint, "
-        "peak_stock_cents bigint, n_clamps bigint",
-    )
-
-
-@register(
-    "q206_association_rules",
-    oracle="""
-    WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets FROM po),
-    sup AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS s FROM po GROUP BY p),
-    pairs AS (
-      SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS s_ab
-      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
-      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-    directed AS (
-      SELECT pa AS antecedent, pb AS consequent, s_ab FROM pairs
-      UNION ALL
-      SELECT pb, pa, s_ab FROM pairs),
-    rules AS (
-      SELECT d.antecedent, d.consequent, d.s_ab,
-             sa.s AS s_a, sc.s AS s_c, n.n_baskets
-      FROM directed d
-      JOIN sup sa ON sa.p = d.antecedent
-      JOIN sup sc ON sc.p = d.consequent
-      CROSS JOIN n
-      WHERE 10 * d.s_ab >= sa.s)
-    SELECT antecedent, consequent, s_ab, s_a, s_c,
-           round(CAST(s_ab AS DOUBLE) / CAST(s_a AS DOUBLE), 9) AS confidence,
-           round((CAST(s_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE))
-                 / (CAST(s_a AS DOUBLE) * CAST(s_c AS DOUBLE)), 9) AS lift
-    FROM rules
-    """,
-    doc=(
-        "Association-rule mining (market-basket support / confidence "
-        "/ lift) over order baskets - the classic retail co-purchase "
-        "operator, composing q147's support-pruned pair counts into "
-        "DIRECTED rules: one distinct collapse to the basket grain, "
-        "the self-join on basket id with p<p ordering (support >= 2 "
-        "prunes BEFORE any expansion), both rule directions from one "
-        "pass over the pair table (explode, not a 2-branch re-join), "
-        "and item supports attached by broadcast (Zipf-tiny). The "
-        "confidence gate is the integer cross-multiplication "
-        "10*s_ab >= s_a (conf >= 0.1) - exact on both engines; "
-        "confidence/lift emit as single IEEE divisions of exact "
-        "integers (correctly rounded, engine-identical - the ln-free "
-        "rule again; rank by lift client-side, ln is monotone). At "
-        "100 TB the basket self-join partitions by basket id and the "
-        "frequent-pair table is always orders of magnitude smaller "
-        "than the fact - the a-priori property in plan form."
-    ),
-)
-def q206_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    po = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct().cache()
-    n = F.broadcast(po.agg(F.countDistinct("o").alias("n_baskets")))
-    sup = po.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
-    a = po.select(F.col("o"), F.col("p").alias("pa"))
-    b = po.select(F.col("o"), F.col("p").alias("pb"))
-    pairs = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("s_ab"))
-        .filter(F.col("s_ab") >= 2)
-    )
-    directed = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("pa").alias("antecedent"),
-                    F.col("pb").alias("consequent"),
-                    F.col("s_ab"),
-                ),
-                F.struct(
-                    F.col("pb").alias("antecedent"),
-                    F.col("pa").alias("consequent"),
-                    F.col("s_ab"),
-                ),
-            )
-        ).alias("r")
-    ).select("r.antecedent", "r.consequent", "r.s_ab")
-    sa = sup.select(F.col("p").alias("antecedent"), F.col("s").alias("s_a"))
-    sc = sup.select(F.col("p").alias("consequent"), F.col("s").alias("s_c"))
-    conf = F.col("s_ab").cast("double") / F.col("s_a").cast("double")
-    lift = (F.col("s_ab").cast("double") * F.col("n_baskets").cast("double")) / (
-        F.col("s_a").cast("double") * F.col("s_c").cast("double")
-    )
-    return (
-        directed.join(F.broadcast(sa), "antecedent")
-        .join(F.broadcast(sc), "consequent")
-        .crossJoin(n)
-        .filter(F.lit(10) * F.col("s_ab") >= F.col("s_a"))
-        .select(
-            "antecedent", "consequent", "s_ab", "s_a", "s_c",
-            F.round(conf, 9).alias("confidence"),
-            F.round(lift, 9).alias("lift"),
-        )
-    )
-
-
-@register(
-    "q207_kcore_peeling",
-    oracle="""
-    WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    pairs2 AS (SELECT a.p AS a, b.p AS b, COUNT(*) AS c
-               FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
-               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-    und AS (SELECT a AS u, v FROM (
-              SELECT a, b AS v FROM pairs2
-              UNION ALL SELECT b AS a, a AS v FROM pairs2) t),
-    d1 AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
-    k1 AS (SELECT u FROM d1 WHERE d >= 3),
-    e1 AS (SELECT und.u, und.v FROM und
-           JOIN k1 a ON a.u = und.u JOIN k1 b ON b.u = und.v),
-    d2 AS (SELECT u, COUNT(*) AS d FROM e1 GROUP BY u),
-    k2 AS (SELECT u FROM d2 WHERE d >= 3),
-    e2 AS (SELECT e1.u, e1.v FROM e1
-           JOIN k2 a ON a.u = e1.u JOIN k2 b ON b.u = e1.v)
-    SELECT 1 AS round,
-           CAST((SELECT COUNT(*) FROM k1) AS BIGINT) AS n_nodes,
-           CAST((SELECT COUNT(*) FROM e1) / 2 AS BIGINT) AS n_edges
-    UNION ALL
-    SELECT 2,
-           CAST((SELECT COUNT(*) FROM k2) AS BIGINT),
-           CAST((SELECT COUNT(*) FROM e2) / 2 AS BIGINT)
-    """,
-    doc=(
-        "k-core decomposition (k=3, two peel rounds) over the "
-        "support>=2 co-purchase part graph - the degree-based "
-        "community-density operator completing the graph family "
-        "(PageRank q146, BFS q148, CC q54, triangles q159, WL q158): "
-        "each round drops nodes below degree k and the edges they "
-        "carried, reporting the surviving (nodes, edges) per round. "
-        "Bounded-round unrolling keeps it SQL-replayable exactly "
-        "like PageRank's quantized rounds; full peeling iterates "
-        "until fixpoint with the same per-round plan (degree "
-        "aggregate + two semi-joins on the cached u-partitioned edge "
-        "list - frontier-sized state, one edge shuffle reused, "
-        "checkpoint between rounds at 100 TB). All counts integer; "
-        "the directed/2 edge count is exact (explode emits both "
-        "orientations, always even)."
-    ),
-)
-def q207_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    po = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    a = po.select("o", F.col("p").alias("a"))
-    b = po.select("o", F.col("p").alias("b"))
-    pairs = (
-        a.join(b, "o")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-    )
-    und = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .repartition("u")
-        .cache()
-    )
-
-    def peel(edges):
-        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.filter(F.col("d") >= 3).select("u")
-        kept = (
-            edges.join(F.broadcast(keep), "u")
-            .join(
-                F.broadcast(keep.select(F.col("u").alias("v"))), "v"
-            )
-            .select("u", "v")
-            .cache()
-        )
-        return keep, kept
-
-    k1, e1 = peel(und)
-    k2, e2 = peel(e1)
-    r1 = (
-        k1.agg(F.count(F.lit(1)).alias("n_nodes"))
-        .crossJoin(e1.agg((F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges")))
-        .select(F.lit(1).alias("round"), "n_nodes", "n_edges")
-    )
-    r2 = (
-        k2.agg(F.count(F.lit(1)).alias("n_nodes"))
-        .crossJoin(e2.agg((F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges")))
-        .select(F.lit(2).alias("round"), "n_nodes", "n_edges")
-    )
-    return r1.unionByName(r2)

@@ -855,17 +855,31 @@ def test_q204_polygon_test_broadcasts_never_shuffles_points(spark, sf_dir):
         assert set(cols) == {"c_custkey"}, cols
 
 
-def test_q205_stateful_scan_is_one_grouped_pandas_pass(spark, sf_dir):
-    """q205: the clamp fold runs as ONE Arrow-batched grouped-pandas
-    node over a single key shuffle — the same exchange a window
-    formulation would pay — with the delta arithmetic evaluated
-    in-plan before the python boundary."""
+def test_q205_clamp_fold_is_pure_window_plan(spark, sf_dir):
+    """q205: the clamp fold lowers to the prefix-min window identity —
+    pure JVM window frames over ONE key shuffle, zero Python nodes
+    (the sequential applyInPandas twin stays available in
+    operators/grouped.py and keeps the single-exchange shape)."""
+    from flink_s3_read_write_spark.operators.grouped import (
+        clamped_running_stock_pandas,
+    )
     from flink_s3_read_write_spark.queries import registry
+    from flink_s3_read_write_spark.sources.io import load_table
+    from pyspark.sql import functions as F
 
     plan = P.formatted_plan(registry()["q205_clamped_running_stock"].fn(spark, sf_dir))
-    assert P.has(plan, "FlatMapGroupsInPandas"), plan
+    assert P.has(plan, "Window"), plan
+    for py_node in ("FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert not P.has(plan, py_node), plan
     assert P.shuffle_exchanges(plan) == 1, plan
     assert not P.has(plan, "Join"), plan
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.lit(1).cast("bigint").alias("delta")
+    )
+    twin = P.formatted_plan(clamped_running_stock_pandas(ev))
+    assert P.has(twin, "FlatMapGroupsInPandas"), twin
+    assert P.shuffle_exchanges(twin) == 1, twin
 
 
 def test_q206_rules_prune_support_before_expansion(spark, sf_dir):

@@ -571,6 +571,35 @@ def test_clamped_stock_matches_python_fold(spark, sf_dir):
     assert any(c > 0 for _, _, c in want.values())  # clamps actually happen
 
 
+def test_clamped_stock_window_identity_equals_pandas_fold(spark, sf_dir):
+    """The registered window-frame plan (prefix-sum identity
+    s_i = P_i - min(0, min-prefix P)) and the sequential
+    applyInPandas fold (the literal definition) agree row-for-row —
+    the identity's independence witness (operators/grouped.py)."""
+    from pyspark.sql import functions as F
+
+    from flink_s3_read_write_spark.operators.grouped import (
+        clamped_running_stock_pandas,
+        clamped_running_stock_window,
+    )
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.col("event_type").isin("click", "view", "signup"),
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint"),
+        )
+        .otherwise(-(F.col("value").cast("decimal(12,2)") * 100).cast("bigint"))
+        .alias("delta"),
+    )
+    key = lambda r: r["user_id"]  # noqa: E731
+    win = sorted(clamped_running_stock_window(ev).collect(), key=key)
+    pdf = sorted(clamped_running_stock_pandas(ev).collect(), key=key)
+    assert [tuple(r) for r in win] == [tuple(r) for r in pdf]
+    assert len(win) > 0
+
+
 def test_association_rules_invariants(spark, sf_dir):
     """q206: every rule's confidence = s_ab/s_a exactly, lift is
     symmetric within an undirected pair, the confidence gate holds,
