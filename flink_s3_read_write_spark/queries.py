@@ -61,12 +61,26 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # window slots, the r06→r07 trap) and ``stale_touched()`` /
 # ``tools/check.py`` report it for removal.  When a new round starts,
 # bump _TOUCHED_SINCE_ROUND and delete the reported-stale entries.
-_TOUCHED_SINCE_ROUND = 7
+#
+# INVARIANT (enforced by tools/check.py): _TOUCHED_SINCE_ROUND must be
+# the round whose CORRECTNESS sidecar does NOT yet exist — i.e. the
+# round currently being built.  Bump it FIRST at round start, before
+# editing any query; otherwise a pre-edit green row from the previous
+# round would count as post-touch confirmation and auto-demote an
+# edited query on stale evidence.
+_TOUCHED_SINCE_ROUND = 8
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    "q146_pagerank_bipartite",   # int node ids (2c / 2p+1), decode on top-20
-    "q148_bfs_hops",             # int node ids, decode on result
-    "q158_wl_graph_fingerprint", # int node ids + 16-char md5 labels
-    "q205_clamped_running_stock",  # prefix-min window identity, no pandas
+    # r08 shared-builder extraction (queries_graph): plans gained the
+    # customer_parts/basket_po/basket_pairs InMemoryRelations (values
+    # unchanged; re-verify priority per protocol).
+    "q146_pagerank_bipartite",
+    "q147_copurchase_pairs",
+    "q148_bfs_hops",
+    "q158_wl_graph_fingerprint",
+    "q159_triangle_count",
+    "q164_item_item_cf",
+    "q206_association_rules",
+    "q207_kcore_peeling",
 )
 
 

@@ -48,27 +48,95 @@ def _decode_node(col: str) -> Column:
     )
 
 
-def purchase_edges(spark: SparkSession, sf_dir: str, partition_by_u: bool = True) -> DataFrame:
-    """Both-direction (u, v) bigint edge table of the purchase graph.
+# ---------------------------------------------------------------------------
+# Shared cached builders (round 8).  The whole graph/basket arc hangs
+# off three materializations — the customer-part purchase set, the
+# order-part basket set, and the support-pruned co-purchase pair table
+# — and before this round every query rebuilt its own copy (the r07
+# audit measured ~5x repeated heavy work across q147/q159/q164/q206/
+# q207).  Each builder constructs the IDENTICAL analyzed plan on every
+# call, so Spark's plan-keyed CacheManager materializes it once per
+# session and substitutes the InMemoryRelation for every later
+# consumer, across queries.  At 100 TB these are persisted bucketed
+# tables maintained by the pipeline; the session cache is the exact
+# in-memory analogue.
+# ---------------------------------------------------------------------------
 
-    One pass over the orders x lineitem distinct (explode of the two
-    orientations — a 2-branch union would compute the join + distinct
-    twice), optionally hash-partitioned by u THEN cached so every
-    iterative consumer (degree seed, per-round message joins) reuses
-    one edge shuffle and only node-sized state moves per round.  At
-    100 TB this is a persisted u-bucketed long-pair table; the
-    orders side is a genuine fact, so no broadcast hint — the planner
-    picks the join strategy per scale.
+
+def customer_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (c=custkey, p=partkey) purchase set, cached.
+
+    The orders x lineitem join + distinct is the expensive common
+    prefix of the whole graph family: purchase_edges (q146/q148/q158)
+    encodes it into bipartite node ids, q164 self-joins it on the
+    customer.  Built once per session.
     """
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    e0 = (
+    return (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
+        .cache()
     )
-    cu = (F.col("c") * 2).cast("bigint")
-    pu = (F.col("p") * 2 + 1).cast("bigint")
+
+
+def basket_po(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (o=orderkey, p=partkey) basket table, cached.
+
+    The basket grain feeds the pair self-join plus the per-part
+    support counts and the basket count in q147/q159/q206/q207.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .cache()
+    )
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support>=2 co-purchase pair table (pa < pb, n_ab), cached.
+
+    The A-priori 2-itemset step — the single most expensive shared
+    stage of the basket arc (within-order self-join + pair aggregate,
+    C(basket,2) fan-out bounded by basket size; hot single items get
+    frequency-capped first at 100 TB, the q124 rule).  q147 attaches
+    lift, q159 counts triangles on it, q206 directs it into rules,
+    q207 peels its k-core — all from this one materialization.
+    """
+    po = basket_po(spark, sf_dir)
+    a = po.select("o", F.col("p").alias("pa"))
+    b = po.select("o", F.col("p").alias("pb"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .cache()
+    )
+
+
+def purchase_edges(spark: SparkSession, sf_dir: str, partition_by_u: bool = True) -> DataFrame:
+    """Both-direction (u, v) bigint edge table of the purchase graph.
+
+    One pass over the cached orders x lineitem distinct
+    (customer_parts; explode of the two orientations — a 2-branch
+    union would read the cache twice), optionally hash-partitioned by
+    u THEN cached so every iterative consumer (degree seed, per-round
+    message joins) reuses one edge shuffle and only node-sized state
+    moves per round.  At 100 TB this is a persisted u-bucketed
+    long-pair table; the orders side is a genuine fact, so no
+    broadcast hint — the planner picks the join strategy per scale.
+    """
+    e0 = customer_parts(spark, sf_dir)
+    # cast BEFORE multiplying: int32 keys above 2^30 would wrap silently
+    # under non-ANSI multiply-then-widen, while the DuckDB oracle's
+    # `2 * c` promotes — widen-then-multiply mirrors the oracle at any
+    # key width (ADVICE r07).
+    cu = F.col("c").cast("bigint") * 2
+    pu = F.col("p").cast("bigint") * 2 + 1
     edges = (
         e0.select(
             F.explode(
@@ -174,17 +242,9 @@ def q146_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q147_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    po = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    po = po.cache()  # feeds pairs + per-part counts + order count; one shuffle
-    a = po.select(F.col("o"), F.col("p").alias("part_a"))
-    b = po.select(F.col("o"), F.col("p").alias("part_b"))
-    pairs = (
-        a.join(b, "o")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= 2)
+    po = basket_po(spark, sf_dir)  # shared cache: pairs + counts + order count
+    pairs = basket_pairs(spark, sf_dir).select(
+        F.col("pa").alias("part_a"), F.col("pb").alias("part_b"), "n_ab"
     )
     pc = po.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
     nn = F.broadcast(po.agg(F.countDistinct("o").alias("n_orders")))
@@ -357,19 +417,10 @@ def q158_wl_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q159_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    po = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    po = po.cache()  # both sides of the basket self-join; one distinct shuffle
-    a = po.select("o", F.col("p").alias("a"))
-    b = po.select("o", F.col("p").alias("b"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= 2)
-        .select("a", "b")
-        .cache()  # feeds degrees + orientation + the closing-edge probe
+    # shared support>=2 pair cache feeds degrees + orientation + the
+    # closing-edge probe (and q147/q206/q207 in the same session)
+    edges = basket_pairs(spark, sf_dir).select(
+        F.col("pa").alias("a"), F.col("pb").alias("b")
     )
     deg = (
         edges.select(F.col("a").alias("node"))
@@ -479,15 +530,13 @@ def q159_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q164_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    up = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
-        .distinct()
+    # shared orders x lineitem distinct (customer_parts, also the
+    # purchase-graph prefix for q146/q148/q158); feeds the pair
+    # self-join (both sides on u) + per-item counts — partition by u
+    # first so the self-join reads both sides co-located
+    up = customer_parts(spark, sf_dir).select(
+        F.col("c").alias("u"), F.col("p").alias("i")
     )
-    # feeds the pair self-join (both sides on u) + per-item counts;
-    # partition by u first so the self-join reads both sides co-located
     up = up.repartition("u").cache()
     a = up.select("u", F.col("i").alias("item_a"))
     b = up.select("u", F.col("i").alias("item_b"))
@@ -655,21 +704,10 @@ def q197_min_cost_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q206_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    po = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct().cache()
+    po = basket_po(spark, sf_dir)
     n = F.broadcast(po.agg(F.countDistinct("o").alias("n_baskets")))
     sup = po.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
-    a = po.select(F.col("o"), F.col("p").alias("pa"))
-    b = po.select(F.col("o"), F.col("p").alias("pb"))
-    pairs = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("s_ab"))
-        .filter(F.col("s_ab") >= 2)
-    )
+    pairs = basket_pairs(spark, sf_dir).withColumnRenamed("n_ab", "s_ab")
     directed = pairs.select(
         F.explode(
             F.array(
@@ -749,23 +787,13 @@ def q206_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q207_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    po = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    a = po.select("o", F.col("p").alias("a"))
-    b = po.select("o", F.col("p").alias("b"))
-    pairs = (
-        a.join(b, "o")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-    )
+    pairs = basket_pairs(spark, sf_dir)
     und = (
         pairs.select(
             F.explode(
                 F.array(
-                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                    F.struct(F.col("pa").alias("u"), F.col("pb").alias("v")),
+                    F.struct(F.col("pb").alias("u"), F.col("pa").alias("v")),
                 )
             ).alias("e")
         )

@@ -470,3 +470,61 @@ def read_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the external ``spark-avro`` DataSource module is on
+    the session's JVM classpath.
+
+    Spark ships Avro support as an EXTERNAL module
+    (``org.apache.spark:spark-avro_2.13``): the pip ``pyspark``
+    distribution carries ``avro-*.jar`` (the Avro runtime library,
+    used internally for shuffle/scheduler serialization) but NOT the
+    DataSource, so ``format("avro")`` fails to resolve there.  The
+    probe runs the EXACT resolution ``format("avro")`` performs —
+    Spark's ``DataSource.lookupDataSource`` — rather than a
+    ``Class.forName`` (the pip build half-ships avro classes without
+    registering the provider, so a class probe false-positives).
+    """
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(  # noqa: SLF001
+            "avro", spark._jsparkSession.sessionState().conf()  # noqa: SLF001
+        )
+        return True
+    except Exception:  # noqa: BLE001 — AnalysisException when unregistered
+        return False
+
+
+def _require_avro(spark: SparkSession) -> None:
+    if not avro_available(spark):
+        raise NotImplementedError(
+            "Avro source/sink needs the external spark-avro DataSource "
+            "(org.apache.spark:spark-avro_2.13, version-matched to Spark) "
+            "on the classpath; this environment ships only the Avro "
+            "runtime library.  Launch with --packages "
+            "org.apache.spark:spark-avro_2.13:<spark-version> or drop the "
+            "jar into $SPARK_HOME/jars — read_avro/write_avro then work "
+            "unchanged (the gate self-heals: tests/test_io.py switches "
+            "from asserting this error to running the full round-trip)."
+        )
+
+
+def read_avro(spark: SparkSession, path: str, *, streaming: bool = False) -> DataFrame:
+    """Avro source (batch or streaming).
+
+    Gated on the external spark-avro module — see ``avro_available``.
+    Schema comes from the file; pass nothing else for the common case.
+    At scale Avro is a ROW format: fine as a landing/interchange
+    format (Kafka payloads, CDC feeds), wrong as the analytical store
+    — pipelines here read Avro once and rewrite to parquet
+    (``write_parquet``) so later scans get pushdown + column pruning.
+    """
+    _require_avro(spark)
+    reader = spark.readStream if streaming else spark.read
+    return reader.format("avro").load(path)
+
+
+def write_avro(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """Avro sink (gated on the external spark-avro module)."""
+    _require_avro(df.sparkSession)
+    df.write.format("avro").mode(mode).save(path)

@@ -340,3 +340,176 @@ def cooccurrence_stream(spark: SparkSession, in_path: str) -> DataFrame:
         .groupBy(F.col("p.center").alias("center"), F.col("p.context").alias("context"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("p.adj").alias("n_adjacent"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once streaming upsert into a JDBC table (round 8).
+# ---------------------------------------------------------------------------
+
+_JDBC_TYPES = {
+    "string": "VARCHAR(1024)",
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "double": "DOUBLE",
+    "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
+}
+
+
+def jdbc_upsert_writer(
+    url: str,
+    table: str,
+    key_cols: list[str],
+    *,
+    properties: dict[str, str] | None = None,
+):
+    """Build the ``foreachBatch`` handler that MERGEs each micro-batch
+    into JDBC table ``table`` with EXACTLY-ONCE semantics.
+
+    This is the q201 MERGE lowering (queries_sql.py) turned into a
+    streaming sink.  Structured Streaming's contract is at-least-once
+    delivery into foreachBatch — after a crash between sink write and
+    checkpoint commit, the SAME (batch_id, data) is redelivered — so
+    exactly-once must come from an idempotent, transactional apply:
+
+    1. the batch lands DISTRIBUTED into a staging table
+       (``<table>_STAGE``, overwritten — re-runnable by construction;
+       each executor task writes its own partition, so the wide work
+       never funnels through the driver);
+    2. ONE driver-side transaction then (a) inserts ``batch_id`` into
+       the ``<table>_EPOCHS`` ledger, whose PRIMARY KEY makes a
+       replayed batch fail the insert and skip cleanly, and (b) runs
+       ``MERGE INTO table USING stage`` (UPDATE on key match, INSERT
+       otherwise).  Ledger insert and MERGE commit or roll back
+       TOGETHER, which is the whole exactly-once argument: a batch's
+       effects become visible iff its epoch is recorded, and a
+       recorded epoch is never applied twice.
+
+    The stream feeding this should be a keyed aggregate in ``update``
+    output mode, so each micro-batch carries only CHANGED keys —
+    serving-table-sized, not corpus-sized.  At 100 TB the same
+    handler MERGEs into a lakehouse table (Delta/Iceberg) instead of
+    JDBC with the staging leg unchanged.
+    """
+    from flink_s3_read_write_spark.sources.io import write_jdbc
+
+    stage = f"{table}_STAGE"
+
+    def _connect(spark: SparkSession):
+        jvm = spark.sparkContext._jvm  # noqa: SLF001
+        return jvm.java.sql.DriverManager.getConnection(url)
+
+    def ensure_target(spark: SparkSession, schema: list[tuple[str, str]]) -> None:
+        """Create target + epochs ledger if absent (Derby has no IF
+        NOT EXISTS; existing-object errors are swallowed by state)."""
+        cols = ", ".join(f"{c} {_JDBC_TYPES[t]}" for c, t in schema)
+        pk = ", ".join(key_cols)
+        conn = _connect(spark)
+        try:
+            for ddl in (
+                f"CREATE TABLE {table} ({cols}, PRIMARY KEY ({pk}))",
+                f"CREATE TABLE {table}_EPOCHS (batch_id BIGINT PRIMARY KEY)",
+            ):
+                st = conn.createStatement()
+                try:
+                    st.executeUpdate(ddl)
+                except Exception as e:  # noqa: BLE001
+                    if "X0Y32" not in str(e):  # object already exists
+                        raise
+                finally:
+                    st.close()
+        finally:
+            conn.close()
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        schema = [(c, t) for c, t in batch_df.dtypes]
+        bad = [f"{c}:{t}" for c, t in schema if t not in _JDBC_TYPES]
+        if bad:
+            raise TypeError(f"jdbc_upsert_writer: unmapped column types {bad}")
+        ensure_target(spark, schema)
+        # Leg 1 — distributed, re-runnable: stage the batch.  Pin the
+        # staging column types: Spark's Derby dialect maps StringType
+        # to CLOB, which Derby refuses to equality-compare in the
+        # MERGE's ON clause.
+        stage_props = dict(properties or {})
+        stage_props["createTableColumnTypes"] = ", ".join(
+            f"{c} {_JDBC_TYPES[t]}" for c, t in schema
+        )
+        write_jdbc(batch_df, url, stage, mode="overwrite",
+                   properties=stage_props)
+        # Leg 2 — one atomic driver transaction: ledger + MERGE.
+        non_keys = [c for c, _ in schema if c not in key_cols]
+        # Stage columns must be double-quoted: Spark's JDBC writer
+        # creates them as case-sensitive quoted identifiers, so the
+        # unquoted (Derby-uppercased) form would not resolve.  The
+        # target/ledger we created ourselves unquoted.
+        on = " AND ".join(f't.{k} = s."{k}"' for k in key_cols)
+        sets = ", ".join(f'{c} = s."{c}"' for c in non_keys)
+        cols = ", ".join(c for c, _ in schema)
+        vals = ", ".join(f's."{c}"' for c, _ in schema)
+        merge = (
+            f"MERGE INTO {table} t USING {stage} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        )
+        conn = _connect(spark)
+        try:
+            conn.setAutoCommit(False)
+            st = conn.createStatement()
+            try:
+                try:
+                    st.executeUpdate(
+                        f"INSERT INTO {table}_EPOCHS (batch_id) VALUES ({int(batch_id)})"
+                    )
+                except Exception as e:  # noqa: BLE001
+                    # Duplicate epoch (SQLState 23505): this batch
+                    # already committed — a checkpoint-replay
+                    # redelivery.  Skip without touching the table.
+                    conn.rollback()
+                    if "23505" in str(e):
+                        return
+                    raise
+                st.executeUpdate(merge)
+                conn.commit()
+            except Exception:
+                try:
+                    conn.rollback()  # Derby refuses close() mid-txn
+                except Exception:  # noqa: BLE001
+                    pass
+                raise
+            finally:
+                st.close()
+        finally:
+            conn.close()
+
+    return write_batch
+
+
+def start_jdbc_upsert_sink(
+    updates: DataFrame,
+    url: str,
+    table: str,
+    key_cols: list[str],
+    checkpoint: str,
+    *,
+    properties: dict[str, str] | None = None,
+    trigger_seconds: int | None = None,
+):
+    """Exactly-once streaming upsert: ``update``-mode keyed aggregate →
+    ``jdbc_upsert_writer`` foreachBatch (staging + ledgered MERGE).
+
+    ``trigger_seconds=None`` drains availableNow (restartable batch
+    refresh); a value runs continuously on that cadence.
+    """
+    writer = (
+        updates.writeStream
+        .foreachBatch(jdbc_upsert_writer(url, table, key_cols, properties=properties))
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_seconds is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

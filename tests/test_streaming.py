@@ -319,7 +319,13 @@ def test_transform_with_state_running_stats(spark, tmp_path):
     # transformWithStateInPandas speaks a protobuf protocol to its
     # state server; gate on the lib like the imaging stubs (the
     # operator itself is plain DataFrame API and imports fine).
-    pytest.importorskip("google.protobuf")
+    # importorskip SELF-HEALS: the moment the container gains
+    # protobuf this test runs with no code change (279/279).
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas's state server speaks protobuf; "
+               "absent in this container — test auto-enables when it appears",
+    )
     from flink_s3_read_write_spark.streaming import stateful
 
     src = str(tmp_path / "tws")

@@ -70,8 +70,17 @@ def main() -> int:
     tot_shared_old = sum(oq[n] for n in shared)
     tot_shared_new = sum(cq[n] for n in shared)
     if not shared or tot_shared_old == 0:
-        print(f"no shared queries with base | added {len(added)} | removed {len(removed)}")
-        return 0
+        # An empty shared set means the baseline was clobbered or swapped
+        # (the exact failure mode this guard exists for) — fail loudly
+        # instead of reporting a vacuous pass.
+        print(
+            f"ERROR: no shared queries with base "
+            f"(added {len(added)} | removed {len(removed)}) — "
+            f"the committed baseline sidecar is missing or was pruned; "
+            f"restore the full BENCH_QUERIES.json before trusting this diff",
+            file=sys.stderr,
+        )
+        return 2
     print(
         f"shared {len(shared)}: {tot_shared_old:.1f}s -> {tot_shared_new:.1f}s "
         f"({(tot_shared_new / tot_shared_old - 1) * 100:+.1f}%) | "

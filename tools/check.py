@@ -65,6 +65,19 @@ def main() -> int:
             "WARN  stale _TOUCHED_THIS_ROUND entries (already confirmed "
             f"green by a post-touch sidecar — delete from queries.py): {stale}"
         )
+    # Invariant (ADVICE r07): _TOUCHED_SINCE_ROUND must be the round
+    # being built, i.e. its sidecar must not exist yet.  If it does, a
+    # query edited NOW would be "confirmed" by a pre-edit green row.
+    from flink_s3_read_write_spark import queries as _q
+    _since = _q._TOUCHED_SINCE_ROUND
+    if os.path.exists(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            f"CORRECTNESS_r{_since:02d}.json")):
+        print(
+            f"WARN  CORRECTNESS_r{_since:02d}.json already exists — "
+            f"_TOUCHED_SINCE_ROUND={_since} is stale; bump it to the "
+            f"current round BEFORE editing any query (queries.py)"
+        )
 
     spark = build_session("check")
     con = duckdb.connect()
