@@ -23,7 +23,7 @@ candidate pipelines under the full hash-checked correctness gate.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_s3_read_write_spark.functions.vectors import cosine_similarity
@@ -638,4 +638,88 @@ def semdedup_keep_list(
         ((F.col("vec_id") == F.col("rep_id")) | (cos <= F.lit(threshold))).alias(
             "keep"
         ),
+    )
+
+
+def write_lsh_bucket_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    dim: int,
+    bits: int = 8,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the exploded sign-LSH corpus index PARTITIONED BY
+    (table, bucket) — the 100 TB layout ``ann_lsh_topk``'s in-session
+    plan stands in for.
+
+    Each corpus vector lands once per hash table under
+    ``t=<table>/b=<bucket>/``, so a probe for a query's buckets is a
+    partition-pruned scan of ~``tables/2^bits`` of the data: the
+    filesystem listing itself skips every other bucket directory —
+    no scan, no shuffle, no per-row hash recompute at query time.
+    ``tests/test_similarity.py::test_lsh_index_partition_pruned_probe``
+    asserts the pruning mechanically (PartitionFilters + file count)
+    and that probe results equal the in-session ``ann_lsh_topk``.
+    """
+    idx = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.explode(_table_buckets(F.col(vec_col), dim, bits, tables)).alias("tb"),
+    ).select("n_id", "n_vec", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    idx.write.partitionBy("t", "b").mode("overwrite").parquet(path)
+
+
+def lsh_index_probe_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    dim: int,
+    bits: int = 8,
+    tables: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k probe against a ``write_lsh_bucket_index`` layout via
+    PARTITION-PRUNED candidate reads.
+
+    The queries' (table, bucket) pairs are computed engine-side and
+    collected to literal partition predicates — bounded by
+    ``n_queries × tables`` rows, the same small-by-contract side
+    ``ann_lsh_topk`` broadcasts, so the collect is a few hundred ints,
+    never corpus-sized.  The literal disjunction reaches the scan as
+    ``PartitionFilters``, which is the whole point: candidate
+    generation costs a directory listing plus ~``tables/2^bits`` of
+    the index bytes.  Candidates then re-rank exactly like
+    ``ann_lsh_topk`` (broadcast queries, max-cosine dedup across
+    tables, WindowGroupLimit top-k).
+    """
+    import functools
+    import operator
+
+    qb = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_table_buckets(F.col(vec_col), dim, bits, tables)).alias("tb"),
+    ).select("q_id", "q_vec", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    buckets = {(r["t"], r["b"]) for r in qb.select("t", "b").distinct().collect()}
+    pred = functools.reduce(
+        operator.or_,
+        [(F.col("t") == t) & (F.col("b") == b) for t, b in sorted(buckets)],
+    )
+    cand = spark.read.parquet(path).filter(pred)
+    pairs = cand.join(F.broadcast(qb), ["t", "b"]).filter(F.col("n_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id", "n_id", cosine_similarity(F.col("q_vec"), F.col("n_vec")).alias("cosine")
+    )
+    dedup = scored.groupBy("q_id", "n_id").agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        dedup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "cosine", "rn")
     )
