@@ -124,6 +124,27 @@ def main() -> int:
                 "sec": round(sec, 3),
                 "rows_per_sec": round(rows / sec),
             }
+        # extension sink: the keyed-avg stream through the EXACTLY-ONCE
+        # JDBC upsert (staging write + epoch-ledgered MERGE into
+        # embedded Derby) — the end-to-end cost of transactional
+        # serving-table maintenance, vs job3's noop sink above.
+        from flink_s3_read_write_spark.streaming.jobs import start_jdbc_upsert_sink
+
+        url = f"jdbc:derby:{root}/upsert_db;create=true"
+        t0 = time.time()
+        q = start_jdbc_upsert_sink(
+            avg_by_key_update_stream(spark, csv_dir),
+            url, "SERVE", ["city"], os.path.join(root, "ckpt_upsert"),
+            properties={"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"},
+        )
+        q.awaitTermination()
+        sec = time.time() - t0
+        rows = args.lines + 1
+        out["ext_jdbc_upsert_sink"] = {
+            "rows": rows,
+            "sec": round(sec, 3),
+            "rows_per_sec": round(rows / sec),
+        }
         cpus = spark.sparkContext.defaultParallelism
         line = {
             "metric": "stream_rows_per_sec",
