@@ -123,6 +123,52 @@ def brute_force_topk_pandas(
     )
 
 
+def ivf_train_centroids(corpus: DataFrame, n_centroids: int = 16,
+                        vec_col: str = "embedding"):
+    """Deterministic IVF centroid training (k-means++ seed + 10 Lloyd
+    rounds) on a bounded sample — extracted so the in-session search
+    (``ann_ivf_topk``) and the persisted cell index
+    (``write_ivf_cell_index``) train BIT-IDENTICAL centroids.
+
+    The sample is count-free and position-independent: order by a
+    uniform hash of the vector and take the global top-``target``
+    (Catalyst plans TakeOrderedAndProject — per-partition top-k, one
+    corpus pass, no full sort, no prior .count() job; a bare limit()
+    would take a one-region prefix and bias clustered data).  At
+    100 TB swap the top-k for a catalog-stats-derived sample fraction;
+    training never k-means the full corpus (standard IVF practice —
+    a distributed KMeans buys ~10 barrier jobs of overhead for
+    nothing).  Exactly one driver round-trip.
+    """
+    import numpy as np
+
+    target = max(2000, 50 * n_centroids)
+    train_rows = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col(vec_col)))
+        .limit(target)
+        .collect()
+    )
+    x = np.asarray([r.v for r in train_rows], dtype=np.float64)
+    rng = np.random.RandomState(42)
+    # k-means++ seeding, then Lloyd's.
+    cents = [x[rng.randint(len(x))]]
+    for _ in range(1, n_centroids):
+        d2 = np.min(
+            ((x[:, None, :] - np.asarray(cents)[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(x[rng.choice(len(x), p=p)])
+    centroids = np.asarray(cents)
+    for _ in range(10):
+        lab = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(-1).argmin(1)
+        for c in range(n_centroids):
+            m = lab == c
+            if m.any():
+                centroids[c] = x[m].mean(0)
+    return centroids
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -158,39 +204,7 @@ def ann_ivf_topk(
 
     from pyspark.sql.functions import pandas_udf
 
-    # Bounded deterministic sample for training, count-free: order by a
-    # uniform hash of the vector and take the global top-`target`.
-    # Catalyst plans this as TakeOrderedAndProject — per-partition
-    # top-k, one corpus pass, no full sort, no prior .count() job —
-    # and the hash priority is position-independent, so the sample is
-    # unbiased even on sorted/clustered data (a bare limit() would
-    # take a one-region prefix).  At 100 TB swap the top-k for a
-    # catalog-stats-derived sample fraction; locally top-k is exact
-    # and cheaper than the count+sample round-trips it replaces.
-    target = max(2000, 50 * n_centroids)
-    train_rows = (
-        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(F.xxhash64(F.col(vec_col)))
-        .limit(target)
-        .collect()
-    )
-    x = np.asarray([r.v for r in train_rows], dtype=np.float64)
-    rng = np.random.RandomState(42)
-    # k-means++ seeding, then Lloyd's.
-    cents = [x[rng.randint(len(x))]]
-    for _ in range(1, n_centroids):
-        d2 = np.min(
-            ((x[:, None, :] - np.asarray(cents)[None, :, :]) ** 2).sum(-1), axis=1
-        )
-        p = d2 / d2.sum() if d2.sum() > 0 else None
-        cents.append(x[rng.choice(len(x), p=p)])
-    centroids = np.asarray(cents)
-    for _ in range(10):
-        lab = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(-1).argmin(1)
-        for c in range(n_centroids):
-            m = lab == c
-            if m.any():
-                centroids[c] = x[m].mean(0)
+    centroids = ivf_train_centroids(corpus, n_centroids, vec_col)
 
     @pandas_udf("int")
     def assign_cell(vs: pd.Series) -> pd.Series:
@@ -720,6 +734,116 @@ def lsh_index_probe_topk(
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (
         dedup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "cosine", "rn")
+    )
+
+
+def write_ivf_cell_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index: corpus PARTITIONED BY its Voronoi cell
+    id, centroids alongside — the 100 TB layout ``ann_ivf_topk``'s
+    in-session plan stands in for (its docstring: "at 100 TB the cell
+    id is a partition column").
+
+    Training is the same deterministic bounded-sample routine as the
+    in-session search (``ivf_train_centroids``), so probe results
+    against this index are bit-identical to ``ann_ivf_topk`` over the
+    same corpus.  Layout: ``<path>/data/cell=<c>/...`` holds
+    (n_id, n_vec); ``<path>/centroids`` holds (cell, centroid) —
+    n_centroids rows, the probe's broadcast-sized side.
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    centroids = ivf_train_centroids(corpus, n_centroids, vec_col)
+
+    @pandas_udf("int")
+    def assign_cell(vs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        if len(m) == 0:
+            return pd.Series([], dtype="int32")
+        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d.argmin(1).astype("int32"))
+
+    corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        assign_cell(F.col(vec_col)).alias("cell"),
+    ).write.partitionBy("cell").mode("overwrite").parquet(f"{path}/data")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in centroids[c]]) for c in range(len(centroids))],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_index_probe_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k probe against a ``write_ivf_cell_index`` layout via
+    PARTITION-PRUNED candidate reads.
+
+    The centroid table (n_centroids rows) loads driver-side; each
+    query's ``n_probe`` nearest cells come from the same vectorized
+    argmin as the in-session search, and the DISTINCT probed cell ids
+    — bounded by ``n_queries × n_probe`` — become a literal ``IN``
+    predicate on the partition column, so candidate generation reads
+    ~``n_probe/n_centroids`` of the index bytes off a pruned
+    directory listing.  Candidates then re-rank exactly like
+    ``ann_ivf_topk`` (broadcast exploded query-probe rows, cosine,
+    WindowGroupLimit top-k).
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
+    for r in cent_rows:
+        centroids[r["cell"]] = np.asarray(r["centroid"], dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        order = np.argsort(d, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    probe_df = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    cells = sorted({r["cell"] for r in probe_df.select("cell").distinct().collect()})
+    cand = (
+        spark.read.parquet(f"{path}/data")
+        .filter(F.col("cell").isin(cells))
+        .join(F.broadcast(probe_df), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+    )
+    scored = cand.select(
+        "q_id", "n_id", cosine_similarity(F.col("q_vec"), F.col("n_vec")).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("q_id", "n_id", "cosine", "rn")
     )

@@ -349,3 +349,52 @@ def test_lsh_index_partition_pruned_probe(spark, tmp_path):
     reprobe = S.lsh_index_probe_topk(
         spark, path, queries, dim=dim, bits=bits, tables=tables, k=5)
     assert {tuple(r) for r in reprobe.collect()} == want
+
+
+def test_ivf_index_partition_pruned_probe(spark, tmp_path):
+    """The IVF half of the ANN scale claim: cell id as a partition
+    column.  Same proof structure as the LSH test — PartitionFilters
+    carrying the literal probed cells, bit-for-bit equality with the
+    in-session ann_ivf_topk (the index trains IDENTICAL centroids via
+    ivf_train_centroids), and a corrupt file planted in a non-probed
+    cell that breaks a full scan but not the pruned probe."""
+    corpus = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = corpus.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivfidx")
+    S.write_ivf_cell_index(corpus, path, n_centroids=16)
+
+    probed = S.ivf_index_probe_topk(spark, path, queries, n_probe=4, k=5)
+
+    from flink_s3_read_write_spark.plans import inspect as P
+
+    plan = P.formatted_plan(probed)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "cell" in pf  # probed cell literals pushed to the listing
+
+    expect = S.ann_ivf_topk(corpus, queries, k=5, n_centroids=16, n_probe=4)
+    want = {tuple(r) for r in expect.collect()}
+    assert {tuple(r) for r in probed.collect()} == want and len(want) > 0
+
+    # physical pruning proof: a non-probed cell's directory is never
+    # opened by the probe, so corrupting it kills only the full scan.
+    idx = spark.read.parquet(f"{path}/data")
+    all_cells = {r["cell"] for r in idx.select("cell").distinct().collect()}
+    probed_cells = set()
+    import numpy as np
+    cent = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = np.zeros((len(cent), len(cent[0]["centroid"])))
+    for r in cent:
+        centroids[r["cell"]] = np.asarray(r["centroid"])
+    for r in queries.collect():
+        d = ((np.asarray(r["embedding"], dtype=np.float64)[None, :] - centroids) ** 2).sum(-1)
+        probed_cells.update(int(c) for c in np.argsort(d)[:4])
+    spare = sorted(all_cells - probed_cells)
+    assert spare, "every cell probed — raise n_centroids for a sparser probe"
+    victim = os.path.join(path, "data", f"cell={spare[0]}")
+    with open(os.path.join(victim, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"this is not a parquet file")
+    with pytest.raises(Exception):
+        spark.read.parquet(f"{path}/data").select(F.sum("n_id")).collect()
+    reprobe = S.ivf_index_probe_topk(spark, path, queries, n_probe=4, k=5)
+    assert {tuple(r) for r in reprobe.collect()} == want
