@@ -151,13 +151,16 @@ def test_shared_builders_materialize_once_across_queries(spark):
         p2.count()
         assert n_cached() == n_after_first  # no second materialization
 
-        # and a real consumer's plan reads the cache, not the raw scan:
-        # q207 (k-core) must contain an InMemoryTableScan over the pair
-        # build rather than re-running the basket self-join.
+        # and every real consumer's plan reads the cache, not the raw
+        # scan: all four basket queries must contain an
+        # InMemoryTableScan over the pair build rather than re-running
+        # the basket self-join.
         from flink_s3_read_write_spark.plans import inspect as P
 
-        plan = P.formatted_plan(QG.q207_kcore_peeling(spark, sf))
-        assert "InMemoryTableScan" in plan
+        for qfn in (QG.q147_copurchase_pairs, QG.q159_triangle_count,
+                    QG.q206_association_rules, QG.q207_kcore_peeling):
+            plan = P.formatted_plan(qfn(spark, sf))
+            assert "InMemoryTableScan" in plan, qfn.__name__
         # customer_parts is shared by purchase_edges AND q164: after
         # the first materialization the second consumer adds edge/
         # repartition caches but must NOT duplicate the (c, p) distinct.

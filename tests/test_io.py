@@ -420,3 +420,36 @@ def test_streaming_jdbc_upsert_exactly_once(spark, tmp_path):
     handler(spark.createDataFrame([("c", 8)], "k string, total bigint"), 2)
     assert _derby_rows(spark, url, "SERVE", props) == {
         "a": (1,), "b": (7,), "c": (8,)}
+
+
+def test_jdbc_upsert_idempotence_property(spark, tmp_path):
+    """Property check for the exactly-once contract: for a SEEDED
+    random sequence of keyed batches, applying the sequence with
+    arbitrary per-batch replays (each batch re-applied up to 2 extra
+    times, with poisoned values on the replays) must leave the table
+    exactly equal to a dict fold of the clean sequence."""
+    import random
+
+    url = f"jdbc:derby:{tmp_path}/propdb;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    handler = jobs.jdbc_upsert_writer(url, "PROP", ["k"], properties=props)
+    rng = random.Random(1234)
+    keys = [f"k{i}" for i in range(8)]
+    expect: dict[str, int] = {}
+    for batch_id in range(6):
+        batch = [(rng.choice(keys), rng.randrange(1000)) for _ in range(4)]
+        # last write per key within the batch wins in the fold; the
+        # MERGE sees one row per key, so collapse first
+        folded = {}
+        for k, v in batch:
+            folded[k] = v
+        expect.update(folded)
+        df = spark.createDataFrame(sorted(folded.items()), "k string, total bigint")
+        handler(df, batch_id)
+        for _ in range(rng.randrange(3)):  # replays with poison
+            poison = spark.createDataFrame(
+                [(k, -1) for k in folded], "k string, total bigint")
+            handler(poison, batch_id)
+    got = {tuple(r)[0]: tuple(r)[1] for r in
+           io.read_jdbc(spark, url, "PROP", properties=props).collect()}
+    assert got == expect
