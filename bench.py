@@ -40,7 +40,9 @@ remains the honest end-to-end statistic (it is real wall time doing
 real work; repeated identical materialization was the artifact).
 Correctness runs (tools/check.py, the driver's oracle gate) still
 clear the cache per query so a warm cache can never mask a wrong
-plan.
+plan.  ``SPARK_GRAFT_BENCH_ISOLATED=1`` restores the old
+clear-per-query policy for an apples-to-apples cold comparison (the
+sidecar then records ``cache_policy: isolated``).
 """
 
 from __future__ import annotations
@@ -107,6 +109,7 @@ def main() -> int:
     # -1.0 sentinel there would silently poison any consumer that sums
     # or diffs timings round-over-round.
     repeat_sec = float(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_SEC", "1.5"))
+    isolated = os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "") == "1"
     times: dict[str, float] = {}
     failed: list[str] = []
     for name in names:
@@ -115,8 +118,12 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             failed.append(name)
-        # cache persists across queries — steady-state session policy
-        # (see module docstring); check.py keeps per-query isolation.
+        finally:
+            # Default: cache persists across queries — steady-state
+            # session policy (module docstring); check.py always keeps
+            # per-query isolation.  ISOLATED=1 restores cold runs.
+            if isolated:
+                spark.catalog.clearCache()
     # Second pass for slow queries, AFTER the full sweep: a back-to-back
     # min-of-2 shares whatever transient hurt the first run (early-
     # session C2/JIT compilation storms hit the alphabetically-first
@@ -147,6 +154,9 @@ def main() -> int:
                 times[name] = round(min(t, run_one(reg[name].fn, spark, sf_dir)), 3)
             except Exception:
                 pass
+            finally:
+                if isolated:
+                    spark.catalog.clearCache()
     total = round(sum(t for t in times.values() if t > 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
 
@@ -158,12 +168,18 @@ def main() -> int:
     # tools/bench_diff.py and the round protocol diff against (the r07
     # incident: a 6-query re-bench replaced the committed 207-entry
     # sidecar).
-    sidecar_name = "BENCH_QUERIES.json" if not sys.argv[1:] else "BENCH_QUERIES.partial.json"
+    if sys.argv[1:]:
+        sidecar_name = "BENCH_QUERIES.partial.json"
+    elif isolated:
+        sidecar_name = "BENCH_QUERIES.isolated.json"  # never the baseline
+    else:
+        sidecar_name = "BENCH_QUERIES.json"
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), sidecar_name)
     with open(sidecar, "w") as f:
         json.dump(
             {"sf": sf, "n_queries": len(times), "failed": failed,
-             "cache_policy": "session-persistent (r08+)", "queries": times},
+             "cache_policy": "isolated" if isolated else "session-persistent (r08+)",
+             "queries": times},
             f, indent=1, sort_keys=True,
         )
         f.write("\n")
