@@ -547,7 +547,8 @@ def test_stream_bench_smoke(spark, tmp_path, monkeypatch):
     assert out.returncode == 0, out.stderr[-2000:]
     line = json.loads(out.stdout.strip().splitlines()[-1])
     assert set(line["jobs"]) == {
-        "job1_uppercase", "job2_filter", "job3_keyed_avg", "ext_cms_sketch"
+        "job1_uppercase", "job2_filter", "job3_keyed_avg",
+        "ext_cms_sketch", "ext_jdbc_upsert_sink",
     }
     for job in line["jobs"].values():
         assert job["rows_per_sec"] > 0
