@@ -408,6 +408,8 @@ def minhash_dedup_pairs_verified(
     df: DataFrame, threshold: float = 0.6, *,
     verify_on: str = "tokens",
     threshold_frac: tuple[int, int] | None = None,
+    cand: DataFrame | None = None,
+    toks: DataFrame | None = None,
     **kwargs,
 ) -> DataFrame:
     """LSH candidates re-verified with exact Jaccard ≥ threshold.
@@ -423,14 +425,27 @@ def minhash_dedup_pairs_verified(
     ``threshold_frac=(num, den)`` replaces the double comparison with
     exact integer cross-multiplication (|∩|·den ≥ |∪|·num), removing
     any float-boundary ambiguity for rational thresholds.
+
+    ``cand`` / ``toks`` (r08) let callers inject precomputed candidate
+    pairs (``id_a``, ``id_b``) and per-doc comparison sets (``id_col``,
+    ``toks``) — the shared-cached-builder hook: several registry
+    queries verify against DIFFERENT thresholds over the SAME
+    signature→banding→bucket pipeline, and passing the one cached
+    candidate table here means that pipeline runs once per session
+    instead of once per query (the exact CacheManager pattern of
+    queries_graph.basket_pairs).  Semantics are unchanged: defaults
+    rebuild both inputs from ``df`` as before.
     """
     id_col = kwargs.get("id_col", "doc_id")
     text_col = kwargs.get("text_col", "text")
-    cand = minhash_lsh_pairs(df, **kwargs)
+    if cand is None:
+        cand = minhash_lsh_pairs(df, **kwargs)
     # Tokenize each document ONCE (n docs), not once per candidate side
     # (2·n_pairs) — the regex normalization is the expensive part and a
     # doc can appear in many candidate pairs.
-    if verify_on == "shingles":
+    if toks is not None:
+        pass
+    elif verify_on == "shingles":
         shingle_k = kwargs.get("shingle_k", 3)
         # Two staged projections, NOT one inline expression: the shingle
         # lambda references its token array k times per element, and
@@ -571,15 +586,35 @@ def simhash(
     """64-bit SimHash per document, pure Catalyst.
 
     Per token: xxhash64 → for each bit, +1/−1 vote; document hash =
-    sign bits of the 64 vote sums.  Implemented by exploding tokens
-    and aggregating 64 conditional sums — one shuffle keyed by doc id
+    sign bits of the 64 vote sums.  One shuffle keyed by doc id
     (pre-aggregated map-side), no UDF.
 
+    The votes are SWAR-packed (r08): instead of ``nbits`` conditional
+    ``SUM(CASE ...)`` aggregates (a 60/64-wide agg whose driver-side
+    plan build alone cost ~1.5 s and whose update path is one branch
+    per bit per token), each group of 4 hash bits packs into 14-bit
+    lanes of ONE long via a spread-multiply —
+
+        x = (h >>> 4g) & 15                  # the group's 4 bits
+        packed = (x * SPREAD) & LANE_MASK    # bit j → bit 14·j
+
+    where SPREAD = 1 + 2^13 + 2^26 + 2^39 places a copy of bit j at
+    position 13k + j for k = 0..3 (all 16 positions distinct since
+    j, k < 4 < 13), and LANE_MASK = 1 + 2^14 + 2^28 + 2^42 keeps
+    exactly the j-th bit of the j-th copy, i.e. position 14j.
+    Summing the packed longs advances the four set-bit counters in
+    parallel; a lane never carries into its neighbor because per-doc
+    token counts are capped at MAX_TOKENS = 10 000 < 2^14.  The
+    +1/−1 vote sum is recovered as v_i = 2·cnt_i − n (n = doc token
+    count), so the sign test "v_i > 0" becomes "2·cnt_i > n" —
+    bit-identical to the unpacked form.  Aggregate width drops 4×
+    (16 longs + a count for 64 bits) and the per-token update is 4
+    ALU ops per 4 bits instead of 4 branches.  x·SPREAD < 2^44: no
+    signed-overflow anywhere.
+
     ``hash_src="md5"`` votes over the 60-bit md5-derived token hash
-    (``_md5_h1h2`` h1) instead — a 60-bit SimHash whose bits DuckDB
-    can recompute exactly, making the near-pair query fully
-    oracle-checkable.  All values stay positive, so no bit-63 sign
-    special-casing.
+    instead — a 60-bit SimHash whose bits DuckDB can recompute
+    exactly, making the near-pair query fully oracle-checkable.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     if hash_src == "md5":
@@ -588,19 +623,34 @@ def simhash(
     else:
         h = F.xxhash64("tok")
         nbits = 64
+    # Stage the token hash once — the pack expressions reference it
+    # once per 4-bit group and interpreted fallbacks have no CSE.
+    hashed = tok.select(F.col(id_col), h.alias("_h"))
 
     def bit_i(i: int) -> int:
         # bit 63 as a signed-64 literal (1 << 63 overflows LongType)
         return (1 << i) if i < 63 else -(1 << 63)
 
-    votes = [
-        F.sum(F.when(h.bitwiseAND(F.lit(bit_i(i))) != 0, 1).otherwise(-1)).alias(f"v{i}")
-        for i in range(nbits)
+    spread = 1 + (1 << 13) + (1 << 26) + (1 << 39)
+    lane_mask = 1 + (1 << 14) + (1 << 28) + (1 << 42)
+    ngroups = (nbits + 3) // 4
+    packs = [
+        F.sum(
+            (
+                F.shiftrightunsigned(F.col("_h"), 4 * g).bitwiseAND(F.lit(15))
+                * F.lit(spread)
+            ).bitwiseAND(F.lit(lane_mask))
+        ).alias(f"s{g}")
+        for g in range(ngroups)
     ]
-    agg = tok.groupBy(id_col).agg(*votes)
+    agg = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *packs)
+    n = F.col("_n")
     bits = None
     for i in range(nbits):
-        term = F.when(F.col(f"v{i}") > 0, F.lit(bit_i(i))).otherwise(F.lit(0))
+        cnt = F.shiftrightunsigned(F.col(f"s{i // 4}"), 14 * (i % 4)).bitwiseAND(
+            F.lit((1 << 14) - 1)
+        )
+        term = F.when(cnt * 2 > n, F.lit(bit_i(i))).otherwise(F.lit(0))
         bits = term if bits is None else bits.bitwiseOR(term)
     return agg.select(F.col(id_col), bits.alias("simhash"))
 

@@ -81,6 +81,15 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "q164_item_item_cf",
     "q206_association_rules",
     "q207_kcore_peeling",
+    # r08 dedup/fuzzy perf arc: q190 levenshtein on post-block tails
+    # (prefix-strip reduction), q34 SWAR-packed vote counters, q33/q54
+    # on the shared cached minhash_candidates/doc_shingle_sets builders
+    # (q54 also switched to the md5 hash engine).  All four re-verified
+    # against their oracles at sf0.01 AND sf0.1 this session.
+    "q190_fuzzy_string_join",
+    "q34_simhash_near_pairs",
+    "q33_minhash_dedup_pairs",
+    "q54_dedup_keep_list",
 )
 
 

@@ -3655,24 +3655,34 @@ def q189_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and hot blocks are frequency-capped like q33's LSH buckets), "
         "then the exact levenshtein() verify runs only inside blocks. "
         "Identical edit-distance semantics in DuckDB makes the whole "
-        "join hash-replayable. No cross join anywhere in the plan."
+        "join hash-replayable. No cross join anywhere in the plan. "
+        "The Spark verify runs the DP only on the post-block TAILS: "
+        "blk equality guarantees a common prefix of len(blk) chars, "
+        "and stripping a common prefix provably preserves Levenshtein "
+        "distance (the standard trim reduction), so lev(nm_a, nm_b) = "
+        "lev(tail_a, tail_b) — an O(|tail|^2) check instead of "
+        "O(|name|^2) per pair, the dominant cost at C(block,2) pairs."
     ),
 )
 def q190_fuzzy_string_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     c = cust.select(
         F.col("c_custkey").alias("k"),
+        # tail = everything past the 16-char block prefix; empty for
+        # names <= 16 chars (then blk IS the whole name and equality
+        # of blk implies equality of the strings, dist 0).
         F.col("c_name").alias("nm"),
         F.substring("c_name", 1, 16).alias("blk"),
+        F.expr("substring(c_name, 17)").alias("tl"),
     )
-    a = c.select(F.col("k").alias("custkey_a"), F.col("nm").alias("nm_a"), "blk")
-    b = c.select(F.col("k").alias("custkey_b"), F.col("nm").alias("nm_b"), "blk")
+    a = c.select(F.col("k").alias("custkey_a"), F.col("tl").alias("tl_a"), "blk")
+    b = c.select(F.col("k").alias("custkey_b"), F.col("tl").alias("tl_b"), "blk")
     return (
         a.join(b, "blk")
         .filter(F.col("custkey_a") < F.col("custkey_b"))
         .select(
             "custkey_a", "custkey_b",
-            F.levenshtein("nm_a", "nm_b").cast("bigint").alias("dist"),
+            F.levenshtein("tl_a", "tl_b").cast("bigint").alias("dist"),
         )
         .filter(F.col("dist") <= 1)
     )

@@ -221,19 +221,24 @@ def test_md5_short_docs_excluded_from_lsh_banding(spark):
     assert D.minhash_lsh_pairs(df, hash_src="md5").count() == 0
 
 
-def test_shingle_verified_lsh_equals_brute_force(spark, sf_dir):
+@pytest.mark.parametrize("hash_src", ["xxhash64", "md5"])
+def test_shingle_verified_lsh_equals_brute_force(spark, sf_dir, hash_src):
     """Soundness condition of q54's DuckDB oracle: on the test corpus,
     LSH candidates catch EVERY pair with shingle-Jaccard >= 0.9 (the
     16x4 S-curve miss probability at 0.9 is ~3e-8 per pair), so the
     verified pair set equals the exact brute-force pair set and the
-    oracle may skip the banding step entirely."""
+    oracle may skip the banding step entirely.  Parametrized over both
+    hash engines: q54 runs the md5 family (shared cached candidates
+    with q33 since r08), the xxhash64 family remains the default
+    operator path — the recall argument must hold for each."""
     from pyspark.sql import functions as F
 
     from flink_s3_read_write_spark.sources.io import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     lsh = D.minhash_dedup_pairs_verified(
-        docs, threshold=0.9, verify_on="shingles", threshold_frac=(9, 10)
+        docs, threshold=0.9, verify_on="shingles", threshold_frac=(9, 10),
+        hash_src=hash_src,
     )
     got = {tuple(sorted((r["id_a"], r["id_b"]))) for r in lsh.collect()}
 
@@ -250,3 +255,52 @@ def test_shingle_verified_lsh_equals_brute_force(spark, sf_dir):
     want = {(r["id_a"], r["id_b"]) for r in exact.select("id_a", "id_b").collect()}
     assert got == want
     assert want  # non-vacuous: the corpus does contain planted near-dups
+
+
+def test_minhash_shared_builders_materialize_once(spark):
+    """r08 shared-builder mechanism for the dedup arc: repeated calls
+    to minhash_candidates / doc_shingle_sets construct the identical
+    analyzed plan, so the plan-keyed CacheManager materializes each
+    once per session, and both q33 and q54 read InMemoryTableScans of
+    the candidate build instead of re-running signatures + banding."""
+    from flink_s3_read_write_spark import queries_llmdata as QL
+    from flink_s3_read_write_spark.plans import inspect as P
+
+    sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    try:
+        jsc = spark.sparkContext._jsc.sc()
+
+        def n_cached():
+            return len([i for i in jsc.getRDDStorageInfo()])
+
+        c1 = QL.minhash_candidates(spark, sf)
+        c1.count()
+        n_after_first = n_cached()
+        c2 = QL.minhash_candidates(spark, sf)  # fresh call, same plan
+        c2.count()
+        assert n_cached() == n_after_first  # no second materialization
+
+        plan = P.formatted_plan(QL.q33_minhash_dedup_pairs(spark, sf))
+        assert "InMemoryTableScan" in plan, "q33 must read the cached candidates"
+
+        # q54's FINAL plan hides behind connected_components'
+        # localCheckpoint (lineage deliberately truncated), so assert
+        # on its verify stage instead: candidate pairs AND shingle
+        # sets must both come from InMemoryRelations.
+        from flink_s3_read_write_spark.operators import dedup as D2
+        from flink_s3_read_write_spark.sources.io import load_table
+
+        docs = load_table(spark, sf, "documents")
+        verified = D2.minhash_dedup_pairs_verified(
+            docs, threshold=0.9, verify_on="shingles", threshold_frac=(9, 10),
+            cand=QL.minhash_candidates(spark, sf),
+            toks=QL.doc_shingle_sets(spark, sf),
+        )
+        vplan = P.formatted_plan(verified)
+        assert vplan.count("InMemoryTableScan") >= 2, vplan
+        # and the end-to-end keep-list still runs green on the shared
+        # builders (the CC labels join back to every document).
+        assert QL.q54_dedup_keep_list(spark, sf).count() > 0
+    finally:
+        spark.catalog.clearCache()
