@@ -205,7 +205,12 @@ def minhash_signatures(
         x = x.bitwiseXOR(F.shiftleft(x, 21))
         return x.bitwiseXOR(F.shiftrightunsigned(x, 17))
 
-    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+    from flink_s3_read_write_spark.sources.io import fan_out
+
+    # Signature construction is pure per-row CPU (O(perms·shingles)
+    # interpreted HOF arithmetic): spread it across cores when the
+    # scan under-splits (no-op at scale — fan_out docstring).
+    toked = fan_out(df).select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
     shingled = toked.select(
         F.col(id_col), shingles_from_tokens(F.col("_tok"), shingle_k).alias("_sh")
     )
@@ -262,7 +267,12 @@ def minhash_signatures_numpy(
     import numpy as np
     import pandas as pd
 
-    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+    from flink_s3_read_write_spark.sources.io import fan_out
+
+    # Arrow batches inherit the input partitioning: a 1-split scan
+    # means ONE Python worker does every signature.  Fan out first
+    # (no-op at scale — fan_out docstring).
+    toked = fan_out(df).select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
     shingled = toked.select(
         F.col(id_col), shingles_from_tokens(F.col("_tok"), shingle_k).alias("_sh")
     )
@@ -443,6 +453,8 @@ def minhash_dedup_pairs_verified(
     # Tokenize each document ONCE (n docs), not once per candidate side
     # (2·n_pairs) — the regex normalization is the expensive part and a
     # doc can appear in many candidate pairs.
+    from flink_s3_read_write_spark.sources.io import fan_out
+
     if toks is not None:
         pass
     elif verify_on == "shingles":
@@ -453,7 +465,7 @@ def minhash_dedup_pairs_verified(
         # inline tokens() would re-run the normalize regexes O(k·shingles)
         # times per doc (measured 15x slower at sf0.1).  Same staging as
         # minhash_signatures.
-        toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+        toked = fan_out(df).select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
         toks = toked.select(
             F.col(id_col),
             F.array_distinct(
@@ -461,7 +473,7 @@ def minhash_dedup_pairs_verified(
             ).alias("toks"),
         )
     else:
-        toks = df.select(
+        toks = fan_out(df).select(
             F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
         )
     joined = (
@@ -616,7 +628,13 @@ def simhash(
     instead — a 60-bit SimHash whose bits DuckDB can recompute
     exactly, making the near-pair query fully oracle-checkable.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    from flink_s3_read_write_spark.sources.io import fan_out
+
+    # Tokenize + hash + pack is per-row CPU bounded by the scan's
+    # split count: fan out first (no-op at scale — fan_out docstring).
+    tok = fan_out(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     if hash_src == "md5":
         h = _md5_h60(F.md5("tok"))
         nbits = 60

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_s3_read_write_spark.functions.vectors import cosine_similarity
+from flink_s3_read_write_spark.sources.io import fan_out
 
 
 def brute_force_topk(
@@ -47,7 +48,11 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    # The per-pair cosine runs on the corpus side's partitioning:
+    # fan out when the scan under-splits (no-op at scale).
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    )
     pairs = c.join(F.broadcast(q), F.col("n_id") != F.col("q_id"))
     scored = pairs.select(
         "q_id", "n_id", cosine_similarity(F.col("q_vec"), F.col("n_vec")).alias("cosine")
@@ -112,7 +117,10 @@ def brute_force_topk_pandas(
                 out["cosine"].extend(col[sel])
             yield pd.DataFrame(out)
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(
+    # Arrow batches inherit the scan's split count: one split means
+    # one Python worker does every matmul.  Fan out first (no-op at
+    # scale).
+    partial = fan_out(corpus).select(id_col, vec_col).mapInPandas(
         batches, "q_id long, n_id long, cosine double"
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
@@ -214,7 +222,10 @@ def ann_ivf_topk(
         d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
         return pd.Series(d.argmin(1).astype("int32"))
 
-    assigned = corpus.select(
+    # Cell assignment (Arrow argmin) is bounded by the scan's split
+    # count; fan out AFTER training so the bounded training sample's
+    # plan stays untouched (no-op at scale).
+    assigned = fan_out(corpus).select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
         assign_cell(F.col(vec_col)).alias("cell"),
@@ -401,7 +412,7 @@ def ann_lsh_topk(
         # joined in via a broadcast `tables`-row table instead of
         # generated per-row with xxhash64 — same zero-shuffle bucketing,
         # fully hash-checkable candidate set.
-        c = _md5_table_buckets(corpus, id_col, vec_col, "n_id", "n_vec",
+        c = _md5_table_buckets(fan_out(corpus), id_col, vec_col, "n_id", "n_vec",
                                dim, bits, tables)
         q = _md5_table_buckets(queries, id_col, vec_col, "q_id", "q_vec",
                                dim, bits, tables)
@@ -409,7 +420,7 @@ def ann_lsh_topk(
             F.col("n_id") != F.col("q_id")
         )
     else:
-        c = corpus.select(
+        c = fan_out(corpus).select(
             F.col(id_col).alias("n_id"),
             F.col(vec_col).alias("n_vec"),
             F.explode(_table_buckets(F.col(vec_col), dim, bits, tables)).alias("tb"),
@@ -524,7 +535,9 @@ def pq_adc_topk(
             sub_dist2(F.col(vec_col)).alias("dist"),
         )
 
-    codes = dists(corpus, "n_id").groupBy("n_id", "s").agg(
+    # Encoding (128-row codebook crossJoin + HOF subspace distances)
+    # is the corpus-wide CPU stage; fan out first (no-op at scale).
+    codes = dists(fan_out(corpus), "n_id").groupBy("n_id", "s").agg(
         F.min_by("c", F.array(F.col("dist"), F.col("c").cast("double"))).alias("code")
     )
     qdist = dists(queries, "q_id")
@@ -569,7 +582,7 @@ def hard_negative_topk(
         F.col(vec_col).alias("q_vec"),
         F.col(label_col).alias("q_label"),
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
         F.col(label_col).alias("n_label"),
@@ -626,10 +639,10 @@ def semdedup_keep_list(
         # Single-table md5-seeded buckets (engine-independent — the
         # DuckDB oracle replays them; see md5_hyperplane_tables).
         b = _md5_table_buckets(
-            corpus, id_col, vec_col, "vec_id", "vec", dim, bits, 1
+            fan_out(corpus), id_col, vec_col, "vec_id", "vec", dim, bits, 1
         ).select("vec_id", "vec", F.col("b").alias("bucket"))
     else:
-        b = corpus.select(
+        b = fan_out(corpus).select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("vec"),
             lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),

@@ -145,8 +145,16 @@ def winnowing_fingerprints(
     bound column references inside the transforms, not inlined
     expressions — otherwise the regex normalization re-runs per gram
     and the gram array is rebuilt per window position (quadratic).
+
+    The per-doc gram/min work is the most CPU-dense projection in the
+    repo (~n_chars md5 calls + n_chars window mins per doc), so the
+    input fans out first — a no-op at scale where scan splits exceed
+    cores, a 1-task → all-cores fix on few-split local inputs (see
+    sources.io.fan_out).
     """
-    normed = df.select(
+    from flink_s3_read_write_spark.sources.io import fan_out
+
+    normed = fan_out(df).select(
         F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
     )
     n = F.length(F.col("_norm"))

@@ -90,6 +90,23 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "q34_simhash_near_pairs",
     "q33_minhash_dedup_pairs",
     "q54_dedup_keep_list",
+    # r08 fan_out arc: sources.io.fan_out spreads CPU-dense scan-side
+    # stages across cores when the scan under-splits (a no-op at scale;
+    # see its docstring).  Every consumer below gained one guarded
+    # round-robin exchange; all re-verified at sf0.01 this session.
+    "q35_topk_cosine",
+    "q36_ann_lsh_topk",
+    "q41_winnowing",
+    "q57_topk_cosine_pandas",
+    "q67_ann_ivf_topk",
+    "q97_semdedup",
+    "q124_source_overlap",
+    "q137_pq_ann_topk",
+    "q138_hard_negatives",
+    "q195_prefix_filter_ssjoin",
+    "q200_pmi_collocations",
+    "q202_skipgram_cooccurrence",
+    "q55_approx_sketches",
 )
 
 

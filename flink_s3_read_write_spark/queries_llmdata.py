@@ -71,7 +71,9 @@ def doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tokens materialized first — HOFs evaluate interpreted with no
     CSE, so inline tokenization would re-run its regexes per shingle).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from flink_s3_read_write_spark.sources.io import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toked = docs.select("doc_id", D.tokens(F.col("text")).alias("_tok"))
     return toked.select(
         "doc_id",
@@ -2205,7 +2207,9 @@ def q123_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q124_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from flink_s3_read_write_spark.sources.io import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toked = docs.select("source", D.tokens(F.col("text")).alias("_tok"))
     # The distinct (source, shingle) table is referenced THREE times
     # (frequency cap, both self-join sides); without the cache each
@@ -3789,7 +3793,11 @@ def q192_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q195_prefix_filter_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    from flink_s3_read_write_spark.sources.io import fan_out
+
+    # The shingle explode below is the CPU-dense stage; spread it when
+    # the scan under-splits (no-op at scale — fan_out docstring).
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     # 3-word shingle SETS, not token sets: the corpus vocabulary is
     # tiny (~31 tokens) so token prefixes can't discriminate; shingle
     # space is combinatorial, which is why practical SSJoin/dedup
@@ -3919,7 +3927,9 @@ def q195_prefix_filter_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q200_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    from flink_s3_read_write_spark.sources.io import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     w = docs.select("doc_id", D.tokens(F.col("text")).alias("w"))
     # Both count tables are Zipf-tiny (vocab-sized / distinct-bigram-
     # sized) but their plans re-scan + re-tokenize the corpus per use
@@ -4025,7 +4035,11 @@ def q200_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q202_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from flink_s3_read_write_spark.sources.io import fan_out
+
+    # The HOF pair-array build is the CPU-dense stage; spread it when
+    # the scan under-splits (no-op at scale - fan_out docstring).
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     w = docs.select(D.tokens(F.col("text")).alias("w"))
     n = F.size("w")
     pairs = T.skipgram_pairs(F.col("w"), window=2)

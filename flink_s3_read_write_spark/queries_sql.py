@@ -258,7 +258,18 @@ def q55_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1 (multi-distinct expand x full per-group sort); this shape is
     # two column-pruned scans + hash aggregates.
     li = load_table(spark, sf_dir, "lineitem")
-    base = li.select("l_returnflag", "l_orderkey", "l_partkey", "l_extendedprice")
+    from flink_s3_read_write_spark.sources.io import fan_out
+
+    # fan_out before the two consumers: parallelizes the sketch/
+    # multi-distinct partials on under-split scans (no-op at scale)
+    # AND makes both phases' inputs an identical exchange subtree, so
+    # ReuseExchange computes the scan+projection once.  Sketch merges
+    # are partitioning-safe here: HLL++ registers merge by max, and
+    # the percentile_approx drift across merge orders is orders of
+    # magnitude inside the 3x/±0.5pt bounds the booleans assert.
+    base = fan_out(
+        li.select("l_returnflag", "l_orderkey", "l_partkey", "l_extendedprice")
+    )
     sk = base.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("_ao"),
         F.approx_count_distinct("l_partkey").alias("_ap"),

@@ -95,6 +95,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Spread a CPU-heavy per-row stage across the session's cores
+    when the upstream scan under-splits.
+
+    Spark's map-side parallelism is bounded by the SCAN's split count
+    (files × row groups), not by the cluster: a single-row-group
+    parquet file is one task, so an expensive projection chained on it
+    (interpreted higher-order functions, md5-per-gram hashing,
+    Arrow-batched mapInPandas) runs on one core while the rest idle.
+    At 100 TB this never happens — splits outnumber cores by orders of
+    magnitude and this guard is a NO-OP (the condition is false, no
+    exchange is added to the plan).  On few-split inputs it
+    round-robins the rows once, so the repartition cost is the small
+    input itself, repaid many times over by the parallel heavy stage.
+
+    Use it between the scan and a CPU-bound projection, never before a
+    key-partitioned shuffle (the shuffle already re-spreads).  Value-
+    neutral by construction: round-robin repartitioning changes only
+    WHERE rows are computed; every consumer here is per-row or
+    order-insensitive-aggregate logic.
+    """
+    spark = df.sparkSession
+    target = target or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_text_lines(spark: SparkSession, path: str, *, streaming: bool = False) -> DataFrame:
     """A1/A2: one row per line, single ``value: string`` column.
 

@@ -453,3 +453,20 @@ def test_jdbc_upsert_idempotence_property(spark, tmp_path):
     got = {tuple(r)[0]: tuple(r)[1] for r in
            io.read_jdbc(spark, url, "PROP", properties=props).collect()}
     assert got == expect
+
+
+def test_fan_out_guard(spark):
+    """fan_out: under-split inputs get repartitioned to the session
+    default parallelism; inputs already at/above it are returned with
+    the SAME plan (no exchange added) — the no-op-at-scale contract."""
+    from flink_s3_read_write_spark.sources.io import fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    spread = fan_out(narrow)
+    assert spread.rdd.getNumPartitions() == target
+    # values untouched, only placement changes
+    assert spread.count() == 1000
+    wide = spark.range(1000).repartition(target + 4)
+    same = fan_out(wide)
+    assert same is wide  # identical object: no plan change at scale

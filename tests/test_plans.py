@@ -228,7 +228,8 @@ def test_hard_negative_broadcasts_queries(t):
     )
     assert P.has(plan, "BroadcastNestedLoopJoin"), plan
     assert P.has(plan, "WindowGroupLimit"), plan
-    assert P.shuffle_exchanges(plan) <= 2
+    # top-k window shuffle + optional guarded fan_out round-robin
+    assert P.shuffle_exchanges(plan) <= 3
 
 
 def test_q141_covariance_is_long_partial_agg(t, spark, sf_dir):
@@ -813,11 +814,14 @@ def test_q202_skipgram_single_shuffle_no_join(spark, sf_dir):
     """q202: the co-occurrence matrix build is ONE pruned text scan,
     in-plan HOF pair generation (no posexplode self-join shuffling
     the corpus by doc), and a single partial-aggregated count
-    exchange bounded by vocab², not corpus size."""
+    exchange bounded by vocab², not corpus size.  A guarded fan_out
+    round-robin may precede the HOF stage on under-split local scans
+    (no-op at scale); the KEY shuffle count stays exactly one."""
     from flink_s3_read_write_spark.queries import registry
 
     plan = P.formatted_plan(registry()["q202_skipgram_cooccurrence"].fn(spark, sf_dir))
-    assert P.shuffle_exchanges(plan) == 1, plan
+    assert plan.count("hashpartitioning") == 1, plan
+    assert P.shuffle_exchanges(plan) <= 2, plan  # count + optional fan_out
     assert not P.has(plan, "Join"), plan
     assert P.has(plan, "partial_count"), plan
     for cols in P.read_schemas(plan):
