@@ -107,6 +107,12 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "q200_pmi_collocations",
     "q202_skipgram_cooccurrence",
     "q55_approx_sketches",
+    # r08: q189 reformulated — tie-averaged ranks via RANGE-frame
+    # windows over the grouped (flag, qty, price) joint table instead
+    # of rank windows over fact rows (3-value partition key = 3 sort
+    # tasks at any scale); moment sums are count-weighted, same exact
+    # decimals.  Re-verified at sf0.01 and sf0.1 this session.
+    "q189_spearman_rank_corr",
 )
 
 

@@ -260,16 +260,17 @@ def q55_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     from flink_s3_read_write_spark.sources.io import fan_out
 
-    # fan_out before the two consumers: parallelizes the sketch/
-    # multi-distinct partials on under-split scans (no-op at scale)
-    # AND makes both phases' inputs an identical exchange subtree, so
-    # ReuseExchange computes the scan+projection once.  Sketch merges
-    # are partitioning-safe here: HLL++ registers merge by max, and
+    # raw projection for the distinct collapses (they key-shuffle
+    # immediately — fanning them first would just add an exchange);
+    # fanned projection for the sketch partials and the verify sums,
+    # whose map-side work is the CPU stage (no-op at scale).  Sketch
+    # merges are partitioning-safe: HLL++ registers merge by max, and
     # the percentile_approx drift across merge orders is orders of
     # magnitude inside the 3x/±0.5pt bounds the booleans assert.
-    base = fan_out(
-        li.select("l_returnflag", "l_orderkey", "l_partkey", "l_extendedprice")
+    base_raw = li.select(
+        "l_returnflag", "l_orderkey", "l_partkey", "l_extendedprice"
     )
+    base = fan_out(base_raw)
     sk = base.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("_ao"),
         F.approx_count_distinct("l_partkey").alias("_ap"),
@@ -279,8 +280,6 @@ def q55_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = base.join(F.broadcast(sk), "l_returnflag")
     price = F.col("l_extendedprice")
     agg = j.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.when(price < F.col("_p50a"), 1).otherwise(0)).alias("_lt50"),
         F.sum(F.when(price <= F.col("_p50a"), 1).otherwise(0)).alias("_le50"),
@@ -288,6 +287,24 @@ def q55_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(price <= F.col("_p99a"), 1).otherwise(0)).alias("_le99"),
         F.first("_ao").alias("_ao"),
         F.first("_ap").alias("_ap"),
+    )
+    # Exact distinct counts as pre-grouped collapses instead of two
+    # countDistinct()s in the aggregate above: multi-distinct forces an
+    # Expand that triples the fact rows through the shuffle; each
+    # (flag, key) collapse is map-side combined on the pruned 2-column
+    # scan, and the 3-row count tables attach by broadcast.
+    def ndistinct(key: str, out: str) -> DataFrame:
+        return (
+            base_raw.select("l_returnflag", key)
+            .groupBy("l_returnflag", key)
+            .agg(F.lit(1).alias("_one"))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    agg = (
+        agg.join(F.broadcast(ndistinct("l_orderkey", "exact_orders")), "l_returnflag")
+        .join(F.broadcast(ndistinct("l_partkey", "exact_parts")), "l_returnflag")
     )
 
     def within_rel(approx, exact, rel=0.15):
@@ -3600,8 +3617,17 @@ def q188_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "EXACT DECIMAL(20,1) halves (ties make average ranks .5-"
         "valued; float ranks would break the exact moment sums), then "
         "the q88 decimal-moment Pearson runs on the ranks and "
-        "finishes in double (round 9). Both rank windows partition by "
-        "the group key - per-group sorts, no global order."
+        "finishes in double (round 9). The ranks are computed on "
+        "GROUPED value tables, never on fact rows (r08): a window "
+        "partitioned by a 3-value flag puts the whole fact table into "
+        "3 sort tasks - the one window shape the repo otherwise bans. "
+        "Instead one scan builds the joint (flag, qty, price) count "
+        "table (map-side combined); its two marginals get average "
+        "ranks via running-count windows over DISTINCT VALUES only "
+        "(bounded by the value domain - TPC-H prices grow with the "
+        "part catalog, not the fact table), and every moment sum is a "
+        "count-weighted sum over the joint table: sum(c*rx*ry) == "
+        "sum over rows of rx*ry exactly, in the same exact decimals."
     ),
 )
 def q189_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3609,26 +3635,41 @@ def q189_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
 
-    def avg_rank(col):
-        wr = Window.partitionBy("l_returnflag").orderBy(col)
-        wt = Window.partitionBy("l_returnflag", col)
-        return (
-            F.rank().over(wr).cast("decimal(20,1)")
-            + (F.count(F.lit(1)).over(wt) - 1) / F.lit(2).cast("decimal(2,1)")
-        ).cast("decimal(20,1)")
+    # ONE corpus pass: joint (flag, qty, price) counts.  Everything
+    # after operates on this domain-bounded grouped table.
+    jt = li.groupBy(
+        F.col("l_returnflag").alias("flag"), "l_quantity", "l_extendedprice"
+    ).agg(F.count(F.lit(1)).alias("c"))
 
-    r = li.select(
-        F.col("l_returnflag").alias("flag"),
-        avg_rank("l_quantity").alias("rx"),
-        avg_rank("l_extendedprice").alias("ry"),
+    def with_avg_rank(df: DataFrame, val_col: str, out: str) -> DataFrame:
+        # Both frames share ONE sort: cum = weighted count of rows with
+        # value <= v (RANGE..currentRow spans all ties whatever the row
+        # order), ties = weighted count of rows with value == v
+        # (RANGE 0,0).  competition rank = cum - ties + 1; tie-averaged
+        # rank adds (ties - 1)/2 — the exact decimal(20,1) halves of
+        # the row-level rank() + (tie_count - 1)/2 form.
+        w = Window.partitionBy("flag").orderBy(val_col)
+        cum = F.sum("c").over(
+            w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ties = F.sum("c").over(w.rangeBetween(Window.currentRow, Window.currentRow))
+        avg = (
+            (cum - ties + 1).cast("decimal(20,1)")
+            + (ties - 1) / F.lit(2).cast("decimal(2,1)")
+        ).cast("decimal(20,1)")
+        return df.withColumn(out, avg)
+
+    r = with_avg_rank(
+        with_avg_rank(jt, "l_quantity", "rx"), "l_extendedprice", "ry"
     )
+    c = F.col("c")
     m = r.groupBy("flag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("rx").alias("sx"),
-        F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(c).cast("bigint").alias("n"),
+        F.sum(c * F.col("rx")).alias("sx"),
+        F.sum(c * F.col("ry")).alias("sy"),
+        F.sum(c * (F.col("rx") * F.col("rx"))).alias("sxx"),
+        F.sum(c * (F.col("ry") * F.col("ry"))).alias("syy"),
+        F.sum(c * (F.col("rx") * F.col("ry"))).alias("sxy"),
     )
     n = F.col("n")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")

@@ -638,15 +638,25 @@ def test_q188_ks_cdf_runs_over_value_aggregate(spark, sf_dir):
     assert not P.has(plan, "SortMergeJoin"), plan
 
 
-def test_q189_spearman_rank_windows_partition_by_group(spark, sf_dir):
-    """q189: all four rank/tie windows partition by the returnflag
-    group — per-group sorts only — and the moment reduction is
-    map-side combined."""
+def test_q189_spearman_ranks_on_grouped_values_not_fact_rows(spark, sf_dir):
+    """q189 (r08 shape): the fact table is touched by exactly ONE
+    partial-aggregated count collapse into the joint (flag, qty,
+    price) table; both tie-averaged rank passes are RANGE-frame
+    windows over that domain-bounded grouped table — a rank window
+    over raw rows partitioned by the 3-value flag would serialize the
+    corpus into 3 sort tasks, the one window shape the repo bans."""
     from flink_s3_read_write_spark.queries import registry
 
     plan = P.formatted_plan(registry()["q189_spearman_rank_corr"].fn(spark, sf_dir))
-    assert P.has(plan, "partial_count"), plan
+    assert P.has(plan, "partial_count"), plan             # map-side collapse
+    assert plan.count("lineitem.parquet") == 1, plan      # one fact scan
     assert not P.has(plan, "Join"), plan
+    # the window input is the count aggregate, not fact rows: the agg's
+    # count column feeds the window's weighted sums.
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+    assert "specifiedwindowframe(RangeFrame" in plan, plan
 
 
 def test_q190_fuzzy_join_is_blocked_equi_join(spark, sf_dir):
