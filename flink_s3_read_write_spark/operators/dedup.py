@@ -445,6 +445,13 @@ def minhash_dedup_pairs_verified(
     instead of once per query (the exact CacheManager pattern of
     queries_graph.basket_pairs).  Semantics are unchanged: defaults
     rebuild both inputs from ``df`` as before.
+
+    CONTRACT (ADVICE r08): injected ``cand``/``toks`` are trusted —
+    they MUST have been built with the same ``hash_src`` / banding /
+    ``shingle_k`` as the kwargs passed here, or the verified pair set
+    silently reflects a different LSH family.  Callers should derive
+    both from one shared parameter dict (``queries_llmdata.
+    MINHASH_KW`` is the registry's single source of truth).
     """
     id_col = kwargs.get("id_col", "doc_id")
     text_col = kwargs.get("text_col", "text")

@@ -68,51 +68,27 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # editing any query; otherwise a pre-edit green row from the previous
 # round would count as post-touch confirmation and auto-demote an
 # edited query on stale evidence.
-_TOUCHED_SINCE_ROUND = 8
+_TOUCHED_SINCE_ROUND = 9
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # r08 shared-builder extraction (queries_graph): plans gained the
-    # customer_parts/basket_po/basket_pairs InMemoryRelations (values
-    # unchanged; re-verify priority per protocol).
-    "q146_pagerank_bipartite",
+    # r09 mechanical whale-basket cap (queries_graph.cap_baskets):
+    # basket_pairs / q164's self-join drop groups > MAX_BASKET before
+    # the quadratic expansion, mirrored in each oracle's HAVING <= 200
+    # (a no-op on TPC-H-sized baskets; values unchanged).
     "q147_copurchase_pairs",
-    "q148_bfs_hops",
-    "q158_wl_graph_fingerprint",
     "q159_triangle_count",
     "q164_item_item_cf",
     "q206_association_rules",
     "q207_kcore_peeling",
-    # r08 dedup/fuzzy perf arc: q190 levenshtein on post-block tails
-    # (prefix-strip reduction), q34 SWAR-packed vote counters, q33/q54
-    # on the shared cached minhash_candidates/doc_shingle_sets builders
-    # (q54 also switched to the md5 hash engine).  All four re-verified
-    # against their oracles at sf0.01 AND sf0.1 this session.
-    "q190_fuzzy_string_join",
-    "q34_simhash_near_pairs",
+    # r09: q195 now derives its shingle postings from the shared
+    # cached doc_shingle_sets builder (same table q33/q54 consume).
+    "q195_prefix_filter_ssjoin",
+    # r09 ADVICE fixes: q33/q54 kwargs now derive from the shared
+    # MINHASH_KW config (explicit shingle_k=3, same value as the old
+    # default); q55's ndistinct helper gained the NOT NULL filter
+    # (no-op on non-null TPC-H keys).  All re-verified at sf0.01.
     "q33_minhash_dedup_pairs",
     "q54_dedup_keep_list",
-    # r08 fan_out arc: sources.io.fan_out spreads CPU-dense scan-side
-    # stages across cores when the scan under-splits (a no-op at scale;
-    # see its docstring).  Every consumer below gained one guarded
-    # round-robin exchange; all re-verified at sf0.01 this session.
-    "q35_topk_cosine",
-    "q36_ann_lsh_topk",
-    "q41_winnowing",
-    "q57_topk_cosine_pandas",
-    "q67_ann_ivf_topk",
-    "q97_semdedup",
-    "q124_source_overlap",
-    "q137_pq_ann_topk",
-    "q138_hard_negatives",
-    "q195_prefix_filter_ssjoin",
-    "q200_pmi_collocations",
-    "q202_skipgram_cooccurrence",
     "q55_approx_sketches",
-    # r08: q189 reformulated — tie-averaged ranks via RANGE-frame
-    # windows over the grouped (flag, qty, price) joint table instead
-    # of rank windows over fact rows (3-value partition key = 3 sort
-    # tasks at any scale); moment sums are count-weighted, same exact
-    # decimals.  Re-verified at sf0.01 and sf0.1 this session.
-    "q189_spearman_rank_corr",
 )
 
 

@@ -63,6 +63,35 @@ def _decode_node(col: str) -> Column:
 # ---------------------------------------------------------------------------
 
 
+# Mechanical whale-basket cap (the dedup.py max_bucket rule, r09): a
+# single degenerate basket of n items fans C(n,2) pairs out of ONE
+# key — 10k items is ~50M pairs from one order/customer.  Every
+# within-group pair self-join in this family filters groups larger
+# than MAX_BASKET first; each consumer's DuckDB oracle mirrors the
+# same HAVING COUNT(*) <= cap, so the semantics are identical on both
+# engines (the q124 informative-shingle pattern).  Support/degree
+# counts stay GLOBAL (uncapped) — the cap guards only the quadratic
+# expansion, not the linear statistics.
+MAX_BASKET = 200
+
+
+def cap_baskets(df: DataFrame, key: str, max_basket: int = MAX_BASKET) -> DataFrame:
+    """Drop groups with more than ``max_basket`` members before a
+    within-group pair self-join.
+
+    Whale keys are few by definition (the cap exists because they are
+    outliers), so the key list broadcasts and the filter is a map-side
+    anti join — no shuffle of the big side, O(|df|) either way.
+    """
+    whales = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_basket)
+        .select(key)
+    )
+    return df.join(F.broadcast(whales), key, "left_anti")
+
+
 def customer_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (c=custkey, p=partkey) purchase set, cached.
 
@@ -95,17 +124,21 @@ def basket_po(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def basket_pairs(
+    spark: SparkSession, sf_dir: str, max_basket: int = MAX_BASKET
+) -> DataFrame:
     """Support>=2 co-purchase pair table (pa < pb, n_ab), cached.
 
     The A-priori 2-itemset step — the single most expensive shared
     stage of the basket arc (within-order self-join + pair aggregate,
-    C(basket,2) fan-out bounded by basket size; hot single items get
-    frequency-capped first at 100 TB, the q124 rule).  q147 attaches
+    C(basket,2) fan-out bounded by basket size).  Baskets larger than
+    ``max_basket`` are dropped MECHANICALLY before the self-join
+    (``cap_baskets``; mirrored in every consumer's oracle), so no
+    single degenerate order can fan out quadratically.  q147 attaches
     lift, q159 counts triangles on it, q206 directs it into rules,
     q207 peels its k-core — all from this one materialization.
     """
-    po = basket_po(spark, sf_dir)
+    po = cap_baskets(basket_po(spark, sf_dir), "o", max_basket)
     a = po.select("o", F.col("p").alias("pa"))
     b = po.select("o", F.col("p").alias("pb"))
     return (
@@ -216,9 +249,13 @@ def q146_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q147_copurchase_pairs",
     oracle="""
     WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    -- whale-basket cap, mirrors cap_baskets(max_basket=200)
+    pow AS (
+      SELECT po.o, po.p FROM po
+      JOIN (SELECT o FROM po GROUP BY o HAVING COUNT(*) <= 200) k USING (o)),
     pairs AS (
       SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
-      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+      FROM pow a JOIN pow b ON a.o = b.o AND a.p < b.p
       GROUP BY 1, 2),
     pc AS (SELECT p, COUNT(*) AS n FROM po GROUP BY p),
     nn AS (SELECT COUNT(DISTINCT o) AS n_orders FROM po)
@@ -234,9 +271,10 @@ def q146_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "co-purchased in the same order with support >= 2 and exact "
         "lift N*n_ab/(n_a*n_b). The within-order self-join is the "
         "classic bounded fan-out formulation - pair expansion is "
-        "C(basket,2) per order (baskets are small by construction; at "
-        "100 TB hot single items get frequency-capped first, the q124 "
-        "rule), never an all-pairs part x part join. Per-part counts "
+        "C(basket,2) per order (baskets are small by construction, "
+        "and whale baskets > MAX_BASKET are dropped mechanically by "
+        "cap_baskets, mirrored in the oracle's HAVING <= 200 - the "
+        "q124 rule), never an all-pairs part x part join. Per-part counts "
         "broadcast back; lift is one double division of exact "
         "integers, bit-identical cross-engine."
     ),
@@ -366,9 +404,13 @@ def q158_wl_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q159_triangle_count",
     oracle="""
     WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    -- whale-basket cap, mirrors cap_baskets(max_basket=200)
+    pow AS (
+      SELECT po.o, po.p FROM po
+      JOIN (SELECT o FROM po GROUP BY o HAVING COUNT(*) <= 200) k USING (o)),
     edges AS (
       SELECT a.p AS a, b.p AS b
-      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+      FROM pow a JOIN pow b ON a.o = b.o AND a.p < b.p
       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
     deg AS (
       SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
@@ -489,9 +531,14 @@ def q159_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH up AS (
       SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    -- whale-customer cap, mirrors cap_baskets(max_basket=200);
+    -- per-item counts (ic) stay global
+    upw AS (
+      SELECT up.u, up.i FROM up
+      JOIN (SELECT u FROM up GROUP BY u HAVING COUNT(*) <= 200) k USING (u)),
     co AS (
       SELECT a.i AS item_a, b.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
-      FROM up a JOIN up b ON b.u = a.u AND a.i < b.i
+      FROM upw a JOIN upw b ON b.u = a.u AND a.i < b.i
       GROUP BY 1, 2 HAVING COUNT(*) >= 3),
     ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM up GROUP BY i),
     sim AS (
@@ -517,7 +564,8 @@ def q159_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "customer co-occur; similarity is co-occurrence cosine "
         "n_ab/sqrt(n_a*n_b) and each item keeps its top-3 neighbors. "
         "Same bounded per-basket fan-out as q147 (C(basket,2) per "
-        "customer, frequency-capped hot items at 100 TB), support >= 3 "
+        "customer; whale customers > MAX_BASKET dropped mechanically "
+        "by cap_baskets, oracle-mirrored), support >= 3 "
         "prunes the pair table BEFORE the similarity join, per-item "
         "degree counts attach by planner choice (genuine dimension), "
         "and the top-3 is a rank window partitioned BY ITEM - "
@@ -533,8 +581,12 @@ def q164_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared orders x lineitem distinct (customer_parts, also the
     # purchase-graph prefix for q146/q148/q158); feeds the pair
     # self-join (both sides on u) + per-item counts — partition by u
-    # first so the self-join reads both sides co-located
-    up = customer_parts(spark, sf_dir).select(
+    # first so the self-join reads both sides co-located.  Whale
+    # customers (> MAX_BASKET distinct items) are dropped MECHANICALLY
+    # before the quadratic self-join (cap_baskets, mirrored in the
+    # oracle); per-item degree counts stay global.
+    base = customer_parts(spark, sf_dir)
+    up = cap_baskets(base, "c").select(
         F.col("c").alias("u"), F.col("p").alias("i")
     )
     up = up.repartition("u").cache()
@@ -547,7 +599,9 @@ def q164_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 3)
     )
-    ic = up.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
+    # per-item degree counts are GLOBAL (from the uncapped shared
+    # cache): the cap guards only the quadratic pair expansion
+    ic = base.groupBy(F.col("p").alias("i")).agg(F.count(F.lit(1)).alias("n"))
     sim = (
         co.join(ic.select(F.col("i").alias("item_a"), F.col("n").alias("n_a")), "item_a")
         .join(ic.select(F.col("i").alias("item_b"), F.col("n").alias("n_b")), "item_b")
@@ -662,9 +716,13 @@ def q197_min_cost_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
     n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets FROM po),
     sup AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS s FROM po GROUP BY p),
+    -- whale-basket cap, mirrors cap_baskets(max_basket=200)
+    pow AS (
+      SELECT po.o, po.p FROM po
+      JOIN (SELECT o FROM po GROUP BY o HAVING COUNT(*) <= 200) k USING (o)),
     pairs AS (
       SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS s_ab
-      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+      FROM pow a JOIN pow b ON a.o = b.o AND a.p < b.p
       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
     directed AS (
       SELECT pa AS antecedent, pb AS consequent, s_ab FROM pairs
@@ -747,8 +805,12 @@ def q206_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q207_kcore_peeling",
     oracle="""
     WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    -- whale-basket cap, mirrors cap_baskets(max_basket=200)
+    pow AS (
+      SELECT po.o, po.p FROM po
+      JOIN (SELECT o FROM po GROUP BY o HAVING COUNT(*) <= 200) k USING (o)),
     pairs2 AS (SELECT a.p AS a, b.p AS b, COUNT(*) AS c
-               FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+               FROM pow a JOIN pow b ON a.o = b.o AND a.p < b.p
                GROUP BY 1, 2 HAVING COUNT(*) >= 2),
     und AS (SELECT a AS u, v FROM (
               SELECT a, b AS v FROM pairs2

@@ -58,14 +58,29 @@ _MH_B_SQL = "[" + ",".join(map(str, _MH_B)) + "]"
 # ---------------------------------------------------------------------------
 
 
+# The ONE parameter set for the whole arc: builders AND consumer
+# kwargs both derive from it, so an injected cand/toks can never be
+# built under a different hash engine / shingle width than the
+# consumer believes it is verifying with (ADVICE r08).  Change it
+# here and every oracle's _MH_* constants must follow.
+MINHASH_KW: dict = {"hash_src": "md5", "shingle_k": 3}
+
+# NOTE on cache lifetime: these builders .cache() per call and rely on
+# the plan-keyed CacheManager to dedupe.  A long-lived session that
+# walks MANY sf_dirs should spark.catalog.clearCache() (or unpersist
+# the builder result) between dirs — the bench session uses one
+# sf_dir, and correctness runs clear the cache per query, so neither
+# accumulates (ADVICE r08).
+
+
 def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH candidate pairs (id_a < id_b) on the md5 engine, cached."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, hash_src="md5").cache()
+    return D.minhash_lsh_pairs(docs, **MINHASH_KW).cache()
 
 
 def doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 3-word shingle set per document, cached.
+    """Distinct MINHASH_KW['shingle_k']-word shingle set per doc, cached.
 
     The same staged two-projection build as the operator-internal path
     (tokens materialized first — HOFs evaluate interpreted with no
@@ -77,7 +92,9 @@ def doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select("doc_id", D.tokens(F.col("text")).alias("_tok"))
     return toked.select(
         "doc_id",
-        F.array_distinct(D.shingles_from_tokens(F.col("_tok"), 3)).alias("toks"),
+        F.array_distinct(
+            D.shingles_from_tokens(F.col("_tok"), MINHASH_KW["shingle_k"])
+        ).alias("toks"),
     ).cache()
 
 
@@ -222,7 +239,7 @@ def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q33_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_dedup_pairs_verified(
-        docs, threshold=0.5, hash_src="md5",
+        docs, threshold=0.5, **MINHASH_KW,
         cand=minhash_candidates(spark, sf_dir),
     )
 
@@ -687,7 +704,7 @@ def q54_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.9,
         verify_on="shingles",
         threshold_frac=(9, 10),
-        hash_src="md5",
+        **MINHASH_KW,
         cand=minhash_candidates(spark, sf_dir),
         toks=doc_shingle_sets(spark, sf_dir),
     )
@@ -3793,28 +3810,17 @@ def q192_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q195_prefix_filter_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from flink_s3_read_write_spark.sources.io import fan_out
-
-    # The shingle explode below is the CPU-dense stage; spread it when
-    # the scan under-splits (no-op at scale — fan_out docstring).
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
     # 3-word shingle SETS, not token sets: the corpus vocabulary is
     # tiny (~31 tokens) so token prefixes can't discriminate; shingle
     # space is combinatorial, which is why practical SSJoin/dedup
-    # operates on shingles (same representation as q32/q33).
-    words = docs.select("doc_id", D.tokens(F.col("text")).alias("w"))
-    n = F.size("w")
-    grams = F.transform(
-        F.sequence(F.lit(0), n - F.lit(3)),
-        lambda i: F.array_join(F.slice("w", i + 1, F.lit(3)), " "),
-    )
-    tok = words.select(
-        "doc_id",
-        F.explode(
-            F.when(n >= 3, F.array_distinct(grams)).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("tok"),
+    # operates on shingles (same representation as q32/q33).  The
+    # per-doc shingle set is the SAME table q33/q54 consume, so it
+    # comes from the shared cached builder (doc_shingle_sets) — the
+    # tokenize+shingle regex pass, the most expensive stage, runs once
+    # per session across the whole dedup arc; this query only pays the
+    # cheap explode from the InMemoryRelation.
+    tok = doc_shingle_sets(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
     )
     tok = tok.cache()  # feeds freq, sizes, prefixes AND the verify join
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))

@@ -294,8 +294,13 @@ def q55_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (flag, key) collapse is map-side combined on the pruned 2-column
     # scan, and the 3-row count tables attach by broadcast.
     def ndistinct(key: str, out: str) -> DataFrame:
+        # the NOT NULL filter keeps this exactly countDistinct-
+        # equivalent (a grouped collapse would otherwise count a NULL
+        # key as one distinct value; TPC-H keys are non-null, but the
+        # helper must not drift if reused — ADVICE r08)
         return (
             base_raw.select("l_returnflag", key)
+            .filter(F.col(key).isNotNull())
             .groupBy("l_returnflag", key)
             .agg(F.lit(1).alias("_one"))
             .groupBy("l_returnflag")

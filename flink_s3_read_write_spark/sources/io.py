@@ -115,12 +115,36 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     neutral by construction: round-robin repartitioning changes only
     WHERE rows are computed; every consumer here is per-row or
     order-insensitive-aggregate logic.
+
+    The split-count probe (``df.rdd.getNumPartitions()``) forces full
+    physical planning on the driver, so it is memoized per analyzed
+    plan (``semanticHash``): the builders call fan_out with identical
+    plans many times per session and only the first call pays the
+    planning round-trip (ADVICE r08).  Streaming DataFrames pass
+    through untouched — ``.rdd`` would raise on them, and a streaming
+    micro-batch's parallelism is the source's to decide.
     """
+    if df.isStreaming:
+        return df
     spark = df.sparkSession
     target = target or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        key = (id(spark), df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:  # non-JVM backends (Connect): probe unconditionally
+        key = None
+    n = _FAN_OUT_SPLITS.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            _FAN_OUT_SPLITS[key] = n
+    if n < target:
         return df.repartition(target)
     return df
+
+
+# analyzed-plan semanticHash -> split count; entries are two ints per
+# distinct (session, plan), so the map stays trivially small.
+_FAN_OUT_SPLITS: dict[tuple[int, int], int] = {}
 
 
 def read_text_lines(spark: SparkSession, path: str, *, streaming: bool = False) -> DataFrame:

@@ -304,3 +304,28 @@ def test_minhash_shared_builders_materialize_once(spark):
         assert QL.q54_dedup_keep_list(spark, sf).count() > 0
     finally:
         spark.catalog.clearCache()
+
+
+def test_q195_reads_shared_shingle_cache(spark):
+    """r09: q195's prefix-filter SSJoin derives its shingle postings
+    from the shared doc_shingle_sets builder (the table q33/q54 also
+    consume) — after the builder materializes once, q195's plan reads
+    the InMemoryRelation instead of re-running tokenize+shingle, and
+    executing it adds only its own postings cache (exactly one new
+    cached relation), never a second shingle-set materialization."""
+    from flink_s3_read_write_spark import queries_llmdata as QL
+    from flink_s3_read_write_spark.plans import inspect as P
+
+    sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    try:
+        QL.doc_shingle_sets(spark, sf).count()
+        jsc = spark.sparkContext._jsc.sc()
+        n_before = len([i for i in jsc.getRDDStorageInfo()])
+        q = QL.q195_prefix_filter_ssjoin(spark, sf)
+        assert "InMemoryTableScan" in P.formatted_plan(q)
+        assert q.count() > 0
+        n_after = len([i for i in jsc.getRDDStorageInfo()])
+        assert n_after - n_before <= 1, (n_before, n_after)
+    finally:
+        spark.catalog.clearCache()

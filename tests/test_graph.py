@@ -170,3 +170,43 @@ def test_shared_builders_materialize_once_across_queries(spark):
         assert n_cached() == n_after_edges
     finally:
         spark.catalog.clearCache()
+
+
+def test_cap_baskets_drops_whales(spark):
+    """r09 mechanical whale cap: a synthetic whale key (10 members,
+    cap 5) contributes ZERO rows to the capped table while normal
+    baskets pass through untouched, and the filter is a map-side
+    broadcast anti join (no shuffle of the big side)."""
+    from flink_s3_read_write_spark import queries_graph as QG
+    from flink_s3_read_write_spark.plans import inspect as P
+
+    rows = [("whale", i) for i in range(10)] + [("a", 1), ("a", 2), ("b", 7)]
+    df = spark.createDataFrame(rows, "o string, p int")
+    capped = QG.cap_baskets(df, "o", max_basket=5)
+    got = {(r["o"], r["p"]) for r in capped.collect()}
+    assert got == {("a", 1), ("a", 2), ("b", 7)}
+    plan = P.formatted_plan(capped)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_basket_cap_is_mechanical_not_prose(spark):
+    """The cap is enforced by code, not docstrings: with max_basket=1
+    every multi-item order is dropped before the pair self-join, so
+    the support>=2 pair table is EMPTY; at the default cap (200, a
+    no-op on TPC-H-sized baskets) pairs exist.  q164's plan carries
+    the same anti-join guard."""
+    from flink_s3_read_write_spark import queries_graph as QG
+    from flink_s3_read_write_spark.plans import inspect as P
+
+    sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    try:
+        assert QG.basket_pairs(spark, sf, max_basket=1).count() == 0
+        assert QG.basket_pairs(spark, sf).count() > 0
+        for qfn in (QG.q164_item_item_cf,):
+            plan = P.formatted_plan(qfn(spark, sf))
+            assert "LeftAnti" in plan, qfn.__name__
+        pplan = P.formatted_plan(QG.basket_pairs(spark, sf))
+        assert "LeftAnti" in pplan
+    finally:
+        spark.catalog.clearCache()

@@ -470,3 +470,27 @@ def test_fan_out_guard(spark):
     wide = spark.range(1000).repartition(target + 4)
     same = fan_out(wide)
     assert same is wide  # identical object: no plan change at scale
+
+
+def test_fan_out_streaming_passthrough_and_memoized_probe(spark):
+    """r09 (ADVICE r08): fan_out must (a) pass streaming DataFrames
+    through untouched — .rdd raises AnalysisException on them — and
+    (b) memoize the split-count probe per analyzed plan so repeated
+    builder calls with the identical plan don't re-trigger physical
+    planning on the driver."""
+    from flink_s3_read_write_spark.sources import io as io_mod
+
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    assert io_mod.fan_out(stream) is stream
+
+    io_mod._FAN_OUT_SPLITS.clear()
+    narrow = spark.range(1000).coalesce(1)
+    io_mod.fan_out(narrow)
+    assert len(io_mod._FAN_OUT_SPLITS) == 1
+    key, n = next(iter(io_mod._FAN_OUT_SPLITS.items()))
+    # same plan again: the memo must answer without re-probing —
+    # poison the cached value and observe fan_out trusting it.
+    io_mod._FAN_OUT_SPLITS[key] = 10_000_000
+    same = io_mod.fan_out(spark.range(1000).coalesce(1))
+    assert same.rdd.getNumPartitions() == 1  # trusted memo -> no repartition
+    io_mod._FAN_OUT_SPLITS.clear()
