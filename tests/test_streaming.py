@@ -540,7 +540,7 @@ def test_stream_bench_smoke(spark, tmp_path, monkeypatch):
     env = dict(**__import__("os").environ, SPARK_GRAFT_CPUS="4")
     out = subprocess.run(
         [sys.executable, "tools/stream_bench.py", "--lines", "20000",
-         "--files", "2", "--out", str(tmp_path / "sb.json")],
+         "--files", "2", "--repeat", "1", "--out", str(tmp_path / "sb.json")],
         capture_output=True, text=True, env=env, timeout=300,
         cwd="/root/repo",
     )
@@ -552,6 +552,7 @@ def test_stream_bench_smoke(spark, tmp_path, monkeypatch):
     }
     for job in line["jobs"].values():
         assert job["rows_per_sec"] > 0
+        assert len(job["samples_sec"]) == 1  # --repeat 1
 
 
 def test_streaming_ingest_dedup_against_static_index(spark, tmp_path):

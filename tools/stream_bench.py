@@ -17,6 +17,14 @@ final sink commit (awaitTermination of an AvailableNow run).  Input is
 generated fresh per run (text lines for job 1, salary-CSV lines for
 jobs 2-3) so numbers are self-contained and reproducible.
 
+Each job runs ``--repeat`` times (default 3) and the headline number
+is the BEST attempt; all samples are recorded alongside.  Rationale
+(r09, after the r08 sidecar committed a single cold sample that read
+as a 70% regression with zero code change): throughput micro-benches
+on a shared box swing 2-3x with scheduler/page-cache noise, and
+min-of-N is the standard way to report the code's capability rather
+than the machine's mood.
+
 Prints ONE JSON line:
   {"metric": "stream_rows_per_sec", "jobs": {name: {rows, sec,
    rows_per_sec}}, "lines": N, "files": K, "cpus": C}
@@ -92,6 +100,12 @@ def main() -> int:
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None)
     ap.add_argument("--out", default=None,
                     help="sidecar JSON path (default: STREAM_BENCH.json at repo root)")
+    ap.add_argument("--repeat", type=int, default=3,
+                    help="attempts per job; the sidecar records the BEST "
+                         "(min-sec) attempt plus every sample.  Single-sample "
+                         "throughput on a shared box swings 2-3x with "
+                         "scheduler noise — committing one cold sample is how "
+                         "the r08 sidecar published a phantom 70%% regression.")
     args = ap.parse_args()
 
     spark = build_session("stream-bench", cpus=args.cpus)
@@ -118,11 +132,19 @@ def main() -> int:
         }
         out = {}
         for name, (df, mode, rows) in jobs.items():
-            sec = _run(df, os.path.join(root, f"ckpt_{name}"), mode)
+            # fresh checkpoint per attempt: a reused AvailableNow
+            # checkpoint would mark the input already-processed and
+            # time an empty run
+            samples = [
+                _run(df, os.path.join(root, f"ckpt_{name}_{i}"), mode)
+                for i in range(args.repeat)
+            ]
+            sec = min(samples)
             out[name] = {
                 "rows": rows,
                 "sec": round(sec, 3),
                 "rows_per_sec": round(rows / sec),
+                "samples_sec": [round(s, 3) for s in samples],
             }
         # extension sink: the keyed-avg stream through the EXACTLY-ONCE
         # JDBC upsert (staging write + epoch-ledgered MERGE into
@@ -130,20 +152,26 @@ def main() -> int:
         # serving-table maintenance, vs job3's noop sink above.
         from flink_s3_read_write_spark.streaming.jobs import start_jdbc_upsert_sink
 
-        url = f"jdbc:derby:{root}/upsert_db;create=true"
-        t0 = time.time()
-        q = start_jdbc_upsert_sink(
-            avg_by_key_update_stream(spark, csv_dir),
-            url, "SERVE", ["city"], os.path.join(root, "ckpt_upsert"),
-            properties={"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"},
-        )
-        q.awaitTermination()
-        sec = time.time() - t0
+        samples = []
+        for i in range(args.repeat):
+            # fresh Derby db + checkpoint per attempt (a reused pair
+            # would replay nothing and MERGE zero rows)
+            url = f"jdbc:derby:{root}/upsert_db_{i};create=true"
+            t0 = time.time()
+            q = start_jdbc_upsert_sink(
+                avg_by_key_update_stream(spark, csv_dir),
+                url, "SERVE", ["city"], os.path.join(root, f"ckpt_upsert_{i}"),
+                properties={"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"},
+            )
+            q.awaitTermination()
+            samples.append(time.time() - t0)
+        sec = min(samples)
         rows = args.lines + 1
         out["ext_jdbc_upsert_sink"] = {
             "rows": rows,
             "sec": round(sec, 3),
             "rows_per_sec": round(rows / sec),
+            "samples_sec": [round(s, 3) for s in samples],
         }
         cpus = spark.sparkContext.defaultParallelism
         line = {
