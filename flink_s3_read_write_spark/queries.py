@@ -89,6 +89,13 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "q33_minhash_dedup_pairs",
     "q54_dedup_keep_list",
     "q55_approx_sketches",
+    # r09 shared doc_tokens builder: the tokenize pass materializes
+    # once per session; these four re-derive their explode/shingle
+    # grains from the cached token table (values unchanged).
+    "q68_boilerplate_ngrams",
+    "q192_inverted_index",
+    "q200_pmi_collocations",
+    "q202_skipgram_cooccurrence",
 )
 
 

@@ -79,21 +79,38 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, **MINHASH_KW).cache()
 
 
-def doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct MINHASH_KW['shingle_k']-word shingle set per doc, cached.
+def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w: array<string>) tokenized corpus, cached (r09).
 
-    The same staged two-projection build as the operator-internal path
-    (tokens materialized first — HOFs evaluate interpreted with no
-    CSE, so inline tokenization would re-run its regexes per shingle).
+    The normalize+tokenize regex pass is the single most repeated
+    stage of the text family — shingle sets (q33/q54/q195 via
+    doc_shingle_sets), boilerplate n-grams (q68), the inverted index
+    (q192), PMI bigrams (q200), and skipgram windows (q202) all start
+    from the same per-doc word array.  One cached materialization
+    serves every grain; at 100 TB this is the tokenized-corpus table
+    a pipeline persists next to the raw text (tokens-in-parquet), and
+    the session cache is its in-memory analogue.
     """
     from flink_s3_read_write_spark.sources.io import fan_out
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    toked = docs.select("doc_id", D.tokens(F.col("text")).alias("_tok"))
+    return docs.select("doc_id", D.tokens(F.col("text")).alias("w")).cache()
+
+
+def doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct MINHASH_KW['shingle_k']-word shingle set per doc, cached.
+
+    Derives from the cached doc_tokens materialization — HOFs evaluate
+    interpreted with no CSE, so the shingle lambda must read a
+    MATERIALIZED token array (here: the InMemoryRelation), never an
+    inline tokens() expression that would re-run its regexes per
+    shingle.
+    """
+    toked = doc_tokens(spark, sf_dir)
     return toked.select(
         "doc_id",
         F.array_distinct(
-            D.shingles_from_tokens(F.col("_tok"), MINHASH_KW["shingle_k"])
+            D.shingles_from_tokens(F.col("w"), MINHASH_KW["shingle_k"])
         ).alias("toks"),
     ).cache()
 
@@ -1033,11 +1050,12 @@ def q67_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q68_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", D.tokens(F.col("text")).alias("_tok"))
+    # 5-gram shingles off the shared cached token table (doc_tokens):
+    # the tokenize pass is reused across the whole text family.
+    toked = doc_tokens(spark, sf_dir)
     grams = toked.select(
         "doc_id",
-        F.explode(D.shingles_from_tokens(F.col("_tok"), 5)).alias("gram"),
+        F.explode(D.shingles_from_tokens(F.col("w"), 5)).alias("gram"),
     )
     return (
         grams.groupBy("gram")
@@ -3728,11 +3746,10 @@ def q175_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q192_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # postings explode off the shared cached token table (doc_tokens)
     tok = (
-        docs.select(
-            "doc_id", F.explode(D.tokens(F.col("text"))).alias("tok")
-        )
+        doc_tokens(spark, sf_dir)
+        .select("doc_id", F.explode("w").alias("tok"))
         .filter(F.col("tok") != "")
         .distinct()
     )
@@ -3933,10 +3950,8 @@ def q195_prefix_filter_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q200_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from flink_s3_read_write_spark.sources.io import fan_out
-
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    w = docs.select("doc_id", D.tokens(F.col("text")).alias("w"))
+    # per-doc word arrays from the shared cached token table
+    w = doc_tokens(spark, sf_dir)
     # Both count tables are Zipf-tiny (vocab-sized / distinct-bigram-
     # sized) but their plans re-scan + re-tokenize the corpus per use
     # (uni feeds ua, ub AND the nu total; big feeds nb) — cache the
@@ -4041,12 +4056,9 @@ def q200_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q202_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_s3_read_write_spark.sources.io import fan_out
-
-    # The HOF pair-array build is the CPU-dense stage; spread it when
-    # the scan under-splits (no-op at scale - fan_out docstring).
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    w = docs.select(D.tokens(F.col("text")).alias("w"))
+    # The HOF pair-array build reads MATERIALIZED word arrays from the
+    # shared cached token table (no inline re-tokenization per pair).
+    w = doc_tokens(spark, sf_dir).select("w")
     n = F.size("w")
     pairs = T.skipgram_pairs(F.col("w"), window=2)
     return (

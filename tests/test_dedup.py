@@ -329,3 +329,30 @@ def test_q195_reads_shared_shingle_cache(spark):
         assert n_after - n_before <= 1, (n_before, n_after)
     finally:
         spark.catalog.clearCache()
+
+
+def test_doc_tokens_shared_across_text_family(spark):
+    """r09: the tokenize pass materializes ONCE (doc_tokens) and the
+    whole text family reads it — repeated builder calls add no second
+    cache entry, and every consumer plan (shingle sets, boilerplate
+    n-grams, inverted index, PMI, skipgrams) reads an
+    InMemoryTableScan instead of re-running the normalize regexes."""
+    from flink_s3_read_write_spark import queries_llmdata as QL
+    from flink_s3_read_write_spark.plans import inspect as P
+
+    sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    try:
+        jsc = spark.sparkContext._jsc.sc()
+        QL.doc_tokens(spark, sf).count()
+        n1 = len([i for i in jsc.getRDDStorageInfo()])
+        QL.doc_tokens(spark, sf).count()  # identical plan -> same cache
+        assert len([i for i in jsc.getRDDStorageInfo()]) == n1
+        for qfn in (QL.q68_boilerplate_ngrams, QL.q192_inverted_index,
+                    QL.q200_pmi_collocations, QL.q202_skipgram_cooccurrence):
+            plan = P.formatted_plan(qfn(spark, sf))
+            assert "InMemoryTableScan" in plan, qfn.__name__
+        assert "InMemoryTableScan" in P.formatted_plan(
+            QL.doc_shingle_sets(spark, sf))
+    finally:
+        spark.catalog.clearCache()
