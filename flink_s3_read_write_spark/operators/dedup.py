@@ -174,6 +174,7 @@ def mh_affine_consts(num_perm: int = 64) -> tuple[list[int], list[int]]:
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_perm: int = 64, shingle_k: int = 3, hash_src: str = "xxhash64",
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document, fully in Catalyst.
 
@@ -207,13 +208,25 @@ def minhash_signatures(
 
     from flink_s3_read_write_spark.sources.io import fan_out
 
-    # Signature construction is pure per-row CPU (O(perms·shingles)
-    # interpreted HOF arithmetic): spread it across cores when the
-    # scan under-splits (no-op at scale — fan_out docstring).
-    toked = fan_out(df).select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
-    shingled = toked.select(
-        F.col(id_col), shingles_from_tokens(F.col("_tok"), shingle_k).alias("_sh")
-    )
+    if shingle_sets is not None:
+        # Injected per-doc shingle SETS (id_col, toks) — see the
+        # CONTRACT on minhash_dedup_pairs_verified: shingle_k must
+        # match.  MinHash is invariant under both dedup and reorder of
+        # the shingle list (min over per-element hashes), so signatures
+        # off the distinct set equal signatures off the raw multiset.
+        shingled = shingle_sets.select(
+            F.col(id_col), F.col("toks").alias("_sh")
+        )
+    else:
+        # Signature construction is pure per-row CPU (O(perms·shingles)
+        # interpreted HOF arithmetic): spread it across cores when the
+        # scan under-splits (no-op at scale — fan_out docstring).
+        toked = fan_out(df).select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_tok")
+        )
+        shingled = toked.select(
+            F.col(id_col), shingles_from_tokens(F.col("_tok"), shingle_k).alias("_sh")
+        )
     if hash_src == "md5":
         # Stage the base hash once per shingle (md5 + reduce mod P);
         # the 64 affine maps then reuse it (same no-recompute staging).
@@ -252,6 +265,7 @@ def minhash_signatures(
 def minhash_signatures_numpy(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_perm: int = 64, shingle_k: int = 3, hash_src: str = "xxhash64",
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures, vectorized permutation path.
 
@@ -269,13 +283,22 @@ def minhash_signatures_numpy(
 
     from flink_s3_read_write_spark.sources.io import fan_out
 
-    # Arrow batches inherit the input partitioning: a 1-split scan
-    # means ONE Python worker does every signature.  Fan out first
-    # (no-op at scale — fan_out docstring).
-    toked = fan_out(df).select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
-    shingled = toked.select(
-        F.col(id_col), shingles_from_tokens(F.col("_tok"), shingle_k).alias("_sh")
-    )
+    if shingle_sets is not None:
+        # Injected per-doc shingle SETS — same min-invariance argument
+        # as minhash_signatures (dedup/reorder never changes the min).
+        shingled = shingle_sets.select(
+            F.col(id_col), F.col("toks").alias("_sh")
+        )
+    else:
+        # Arrow batches inherit the input partitioning: a 1-split scan
+        # means ONE Python worker does every signature.  Fan out first
+        # (no-op at scale — fan_out docstring).
+        toked = fan_out(df).select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_tok")
+        )
+        shingled = toked.select(
+            F.col(id_col), shingles_from_tokens(F.col("_tok"), shingle_k).alias("_sh")
+        )
 
     if hash_src == "md5":
         al, bl = mh_affine_consts(num_perm)
@@ -334,6 +357,7 @@ def minhash_lsh_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
     max_bucket: int = 50, engine: str = "numpy", hash_src: str = "xxhash64",
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH on the signature.
 
@@ -352,7 +376,8 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     sig_fn = minhash_signatures_numpy if engine == "numpy" else minhash_signatures
-    sigs = sig_fn(df, text_col, id_col, num_perm, shingle_k, hash_src)
+    sigs = sig_fn(df, text_col, id_col, num_perm, shingle_k, hash_src,
+                  shingle_sets=shingle_sets)
     # Docs too short to shingle (< k words) have all-null signatures;
     # without this filter they would ALL share the hash-of-nulls band
     # bucket and pair with each other.  Sub-shingle docs are handled by
@@ -600,7 +625,7 @@ def dedup_keep_list(
 
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    hash_src: str = "xxhash64",
+    hash_src: str = "xxhash64", tok: DataFrame | None = None,
 ) -> DataFrame:
     """64-bit SimHash per document, pure Catalyst.
 
@@ -634,14 +659,21 @@ def simhash(
     ``hash_src="md5"`` votes over the 60-bit md5-derived token hash
     instead — a 60-bit SimHash whose bits DuckDB can recompute
     exactly, making the near-pair query fully oracle-checkable.
+
+    ``tok`` (r09) injects a precomputed exploded token frame
+    (``id_col``, ``tok: string``) — the shared-cached-builder hook
+    (see minhash_dedup_pairs_verified's CONTRACT): it must be exactly
+    ``explode(tokens(text))`` per doc, e.g. derived from
+    ``queries_llmdata.doc_tokens``.
     """
     from flink_s3_read_write_spark.sources.io import fan_out
 
-    # Tokenize + hash + pack is per-row CPU bounded by the scan's
-    # split count: fan out first (no-op at scale — fan_out docstring).
-    tok = fan_out(df).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    )
+    if tok is None:
+        # Tokenize + hash + pack is per-row CPU bounded by the scan's
+        # split count: fan out first (no-op at scale — fan_out docstring).
+        tok = fan_out(df).select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
     if hash_src == "md5":
         h = _md5_h60(F.md5("tok"))
         nbits = 60
@@ -683,6 +715,7 @@ def simhash(
 def simhash_near_pairs(
     df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id",
     max_bucket: int = 1000, hash_src: str = "xxhash64",
+    tok: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -694,7 +727,7 @@ def simhash_near_pairs(
     id+simhash so the Hamming check runs in-row), with a generous
     bucket cap against degenerate band-key collisions.
     """
-    sh = simhash(df, text_col, id_col, hash_src)
+    sh = simhash(df, text_col, id_col, hash_src, tok=tok)
     part_bits = 15 if hash_src == "md5" else 16
     mask = (1 << part_bits) - 1
     parts = [

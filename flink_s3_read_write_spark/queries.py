@@ -96,6 +96,12 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "q192_inverted_index",
     "q200_pmi_collocations",
     "q202_skipgram_cooccurrence",
+    # r09 doc_tokens round 2: q32's pair Jaccard reads materialized
+    # distinct token sets; q34 injects the exploded token frame into
+    # simhash; minhash_candidates injects doc_shingle_sets into the
+    # signature build (MinHash is min-invariant under set-dedup).
+    "q32_ngram_jaccard_pairs",
+    "q34_simhash_near_pairs",
 )
 
 

@@ -74,9 +74,17 @@ MINHASH_KW: dict = {"hash_src": "md5", "shingle_k": 3}
 
 
 def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-LSH candidate pairs (id_a < id_b) on the md5 engine, cached."""
+    """Banded-LSH candidate pairs (id_a < id_b) on the md5 engine, cached.
+
+    Signatures build off the shared doc_shingle_sets materialization
+    (r09) — MinHash is invariant under set-dedup of the shingle list,
+    so the candidate set is unchanged while the tokenize+shingle pass
+    is shared with q54's verify stage and q195.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, **MINHASH_KW).cache()
+    return D.minhash_lsh_pairs(
+        docs, **MINHASH_KW, shingle_sets=doc_shingle_sets(spark, sf_dir)
+    ).cache()
 
 
 def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,12 +174,18 @@ def q31_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact token-set Jaccard between adjacent doc pairs (array ops, no UDF).",
 )
 def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
-    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    # Distinct token sets come from the shared cached doc_tokens table
+    # — the inline jaccard_tokens(text_a, text_b) form would re-run
+    # the tokenize regexes on BOTH sides of every pair.
+    t = doc_tokens(spark, sf_dir)
+    a = t.select(F.col("doc_id").alias("id_a"), F.array_distinct("w").alias("_ta"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.array_distinct("w").alias("_tb"))
     pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    inter = F.size(F.array_intersect("_ta", "_tb")).cast("double")
+    union = F.size(F.array_union("_ta", "_tb")).cast("double")
     return pairs.select(
-        "id_a", "id_b", D.jaccard_tokens(F.col("text_a"), F.col("text_b")).alias("jaccard")
+        "id_a", "id_b",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard")
     )
 
 
@@ -310,7 +324,16 @@ def q33_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q34_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_near_pairs(load_table(spark, sf_dir, "documents"), hash_src="md5")
+    # token explode off the shared cached doc_tokens table — the
+    # tokenize pass is q34's dominant cost (SCALE.md r09 A/B) and it
+    # now runs once per session across the whole text family
+    return D.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"),
+        hash_src="md5",
+        tok=doc_tokens(spark, sf_dir).select(
+            "doc_id", F.explode("w").alias("tok")
+        ),
+    )
 
 
 @register(
