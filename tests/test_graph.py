@@ -210,3 +210,20 @@ def test_basket_cap_is_mechanical_not_prose(spark):
         assert "LeftAnti" in pplan
     finally:
         spark.catalog.clearCache()
+
+
+def test_basket_cap_oracle_mirror_in_sync():
+    """The whale cap lives in TWO places — cap_baskets(MAX_BASKET) on
+    the Spark side and a literal HAVING COUNT(*) <= N in each
+    consumer's DuckDB oracle.  Changing one without the other would
+    silently diverge the engines, so pin them together mechanically
+    (no Spark session needed)."""
+    from flink_s3_read_write_spark import queries_graph as QG
+    from flink_s3_read_write_spark.queries import registry
+
+    reg = registry()
+    for name in ("q147_copurchase_pairs", "q159_triangle_count",
+                 "q164_item_item_cf", "q206_association_rules",
+                 "q207_kcore_peeling"):
+        oracle = reg[name].oracle
+        assert f"HAVING COUNT(*) <= {QG.MAX_BASKET}" in oracle, name

@@ -821,7 +821,9 @@ def test_q201_merge_is_one_full_outer_key_join(spark, sf_dir):
 
 
 def test_q202_skipgram_single_shuffle_no_join(spark, sf_dir):
-    """q202: the co-occurrence matrix build is ONE pruned text scan,
+    """q202: the co-occurrence matrix build is ONE pruned scan of the
+    shared doc_tokens table (doc_id+text — doc_id rides along because
+    the cached token table serves the whole text family, r09),
     in-plan HOF pair generation (no posexplode self-join shuffling
     the corpus by doc), and a single partial-aggregated count
     exchange bounded by vocab², not corpus size.  A guarded fan_out
@@ -835,7 +837,7 @@ def test_q202_skipgram_single_shuffle_no_join(spark, sf_dir):
     assert not P.has(plan, "Join"), plan
     assert P.has(plan, "partial_count"), plan
     for cols in P.read_schemas(plan):
-        assert set(cols) == {"text"}, cols
+        assert set(cols) <= {"doc_id", "text"}, cols
 
 
 def test_q203_mau_explodes_activity_grain_not_events(spark, sf_dir):
