@@ -3859,12 +3859,13 @@ def q195_prefix_filter_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+shingle regex pass, the most expensive stage, runs once
     # per session across the whole dedup arc; this query only pays the
     # cheap explode from the InMemoryRelation.
-    tok = doc_shingle_sets(spark, sf_dir).select(
-        "doc_id", F.explode("toks").alias("tok")
-    )
-    tok = tok.cache()  # feeds freq, sizes, prefixes AND the verify join
+    shing = doc_shingle_sets(spark, sf_dir)
+    tok = shing.select("doc_id", F.explode("toks").alias("tok"))
+    tok = tok.cache()  # feeds the frequency table AND the prefix rank
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # |toks| IS the set size (the sets are distinct by construction) —
+    # no second postings aggregate needed.
+    sz = shing.select("doc_id", F.size("toks").alias("n"))
     ranked = (
         tok.join(freq, "tok")
         .join(F.broadcast(sz), "doc_id")
@@ -3875,9 +3876,14 @@ def q195_prefix_filter_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rn"),
         )
     )
+    # Materialize the prefix table: BOTH sides of the candidate
+    # self-join read it, and without the cache the whole
+    # freq-join-window pipeline executes twice (one copy per join
+    # side — r09 plan audit).  At 100 TB this ~n/5-sized prefix
+    # posting list is exactly the index an SSJoin pipeline persists.
     pref = ranked.filter(
         F.col("rn") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
-    ).select("doc_id", "tok")
+    ).select("doc_id", "tok").cache()
     a = pref.select(F.col("doc_id").alias("doc_a"), "tok")
     b = pref.select(F.col("doc_id").alias("doc_b"), "tok")
     cand = (
@@ -3886,24 +3892,29 @@ def q195_prefix_filter_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    # Verify: candidates are FEW by construction (the whole point of
+    # prefix filtering), so the exact intersection is an in-row
+    # array_intersect of the two cached shingle sets — never a join +
+    # re-aggregation of the full postings table (r09: that verify was
+    # the most expensive stage of the query, two corpus-sized shuffles
+    # for a candidate-sized answer).
+    sa = shing.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("_ta"))
+    sb = shing.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("_tb"))
+    i = F.size(F.array_intersect("_ta", "_tb")).cast("long")
+    n_a = F.size("_ta").cast("long")
+    n_b = F.size("_tb").cast("long")
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            i.alias("i"), n_a.alias("n_a"), n_b.alias("n_b"),
+        )
         .filter(F.lit(9) * F.col("i") >= F.lit(4) * (F.col("n_a") + F.col("n_b")))
         .select(
             "doc_a", "doc_b",
-            F.col("i").cast("bigint").alias("n_common"),
-            F.col("n_a").cast("bigint"), F.col("n_b").cast("bigint"),
+            F.col("i").alias("n_common"),
+            F.col("n_a"), F.col("n_b"),
             F.round(
                 F.col("i").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("i")).cast("double"),
