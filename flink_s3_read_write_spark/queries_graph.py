@@ -138,7 +138,10 @@ def basket_pairs(
     lift, q159 counts triangles on it, q206 directs it into rules,
     q207 peels its k-core — all from this one materialization.
     """
-    po = cap_baskets(basket_po(spark, sf_dir), "o", max_basket)
+    # Cache the capped table: BOTH self-join sides read it, and an
+    # uncached derived table executes its whale agg + anti join once
+    # per side (the q195 r09 plan-audit pattern).
+    po = cap_baskets(basket_po(spark, sf_dir), "o", max_basket).cache()
     a = po.select("o", F.col("p").alias("pa"))
     b = po.select("o", F.col("p").alias("pb"))
     return (
