@@ -176,3 +176,86 @@ def test_order_sensitive_queries_invariant_under_partitioning(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# r09 properties: the claims behind this round's shared-builder rewires.
+# ---------------------------------------------------------------------------
+
+
+def py_h60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def py_minhash_md5(shingles, num_perm: int = 8):
+    """Pure-python twin of the md5-engine MinHash signature
+    (dedup._md5_h60 % MH_PRIME, then Carter-Wegman affine mins)."""
+    from flink_s3_read_write_spark.operators.dedup import MH_PRIME, mh_affine_consts
+
+    a, b = mh_affine_consts(num_perm)
+    hs = [py_h60(s) % MH_PRIME for s in shingles]
+    if not hs:
+        return [None] * num_perm
+    return [min((a[j] * h + b[j]) % MH_PRIME for h in hs) for j in range(num_perm)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(alphabet="abc ", min_size=1, max_size=12), max_size=30))
+def test_minhash_invariant_under_set_dedup_and_reorder(shingles):
+    """The r09 claim that lets minhash_candidates build signatures off
+    the shared doc_shingle_sets SET table: MinHash over the raw shingle
+    MULTISET equals MinHash over its distinct set, in any order (min of
+    per-element hashes ignores duplicates and order)."""
+    base = py_minhash_md5(shingles)
+    assert py_minhash_md5(sorted(set(shingles))) == base
+    assert py_minhash_md5(list(reversed(shingles))) == base
+
+
+def py_prefix(tokens_by_doc):
+    """Prefix sets per q195's rule: order each doc's distinct tokens by
+    global (frequency, token) ascending, keep the first
+    n - (4n+4)//5 + 1."""
+    from collections import Counter
+
+    freq = Counter(t for toks in tokens_by_doc.values() for t in toks)
+    out = {}
+    for d, toks in tokens_by_doc.items():
+        n = len(toks)
+        keep = n - (4 * n + 4) // 5 + 1
+        ranked = sorted(toks, key=lambda t: (freq[t], t))
+        out[d] = set(ranked[:keep])
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(0, 9),
+        st.frozensets(st.integers(0, 25).map(lambda i: f"t{i}"), min_size=1, max_size=20),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_prefix_filter_has_no_false_negatives(docs):
+    """q195's correctness hinges on the prefix-filter theorem: any two
+    sets with Jaccard >= 0.8 MUST share a token within their
+    (f, tok)-ordered prefixes of length n - ceil(0.8 n) + 1 — the
+    integer (4n+4)//5 arithmetic implements ceil(0.8 n) exactly.  A
+    bound off by one would silently drop true pairs (zero-false-
+    negative is the operator's whole contract vs MinHash)."""
+    docs = {d: set(toks) for d, toks in docs.items()}
+    pref = py_prefix(docs)
+    ids = sorted(docs)
+    for i, da in enumerate(ids):
+        for db in ids[i + 1:]:
+            a, b = docs[da], docs[db]
+            inter, union = len(a & b), len(a | b)
+            if union and 9 * inter >= 4 * (len(a) + len(b)):  # Jaccard >= 0.8
+                assert pref[da] & pref[db], (sorted(a), sorted(b))
+    # and ceil-correctness of the integer form itself
+    for n in range(1, 200):
+        import math
+
+        assert (4 * n + 4) // 5 == math.ceil(0.8 * n)
