@@ -102,6 +102,10 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # signature build (MinHash is min-invariant under set-dedup).
     "q32_ngram_jaccard_pairs",
     "q34_simhash_near_pairs",
+    # r09: q124's (source, shingle) postings derive from the shared
+    # doc_shingle_sets cache + a thin source join; the capped posting
+    # table is cached before the self-join (per-side audit).
+    "q124_source_overlap",
 )
 
 
