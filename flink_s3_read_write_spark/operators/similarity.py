@@ -647,6 +647,12 @@ def semdedup_keep_list(
             F.col(vec_col).alias("vec"),
             lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
         )
+    # The bucketed table feeds THREE consumers (representative ids,
+    # representative vectors, the member pairing) — uncached, the
+    # per-row hyperplane bucket projection executes once per consumer
+    # (the q195 r09 per-side audit pattern).  At 100 TB this is the
+    # persisted bucket-partitioned table SemDeDup maintains anyway.
+    b = b.cache()
     rep_ids = b.groupBy("bucket").agg(F.min("vec_id").alias("rep_id"))
     rep_vecs = (
         b.withColumnRenamed("vec_id", "rep_id")
