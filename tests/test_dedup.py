@@ -356,3 +356,42 @@ def test_doc_tokens_shared_across_text_family(spark):
             QL.doc_shingle_sets(spark, sf))
     finally:
         spark.catalog.clearCache()
+
+
+def test_q195_matches_brute_force_exact_ssjoin(spark):
+    """End-to-end zero-false-negative check on REAL data: the oracle
+    mirrors the same prefix-filter algorithm, so a shared algorithmic
+    bug would hash-match anyway — this test instead compares q195
+    against the quadratic brute-force spec (all doc pairs, exact
+    shingle-set Jaccard >= 0.8 via the same integer cross-multiplied
+    threshold) at sf0.001."""
+    import pyspark.sql.functions as F
+
+    from flink_s3_read_write_spark import queries_llmdata as QL
+
+    sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    try:
+        got = {
+            (r["doc_a"], r["doc_b"], r["n_common"], r["n_a"], r["n_b"])
+            for r in QL.q195_prefix_filter_ssjoin(spark, sf).collect()
+        }
+        shing = QL.doc_shingle_sets(spark, sf)
+        a = shing.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+        b = shing.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+        i = F.size(F.array_intersect("ta", "tb")).cast("long")
+        na, nb = F.size("ta").cast("long"), F.size("tb").cast("long")
+        brute = (
+            a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", i.alias("i"), na.alias("n_a"), nb.alias("n_b"))
+            .filter((F.col("n_a") > 0)
+                    & (F.lit(9) * F.col("i") >= F.lit(4) * (F.col("n_a") + F.col("n_b"))))
+        )
+        want = {
+            (r["doc_a"], r["doc_b"], r["i"], r["n_a"], r["n_b"])
+            for r in brute.collect()
+        }
+        assert got == want
+        assert want  # non-vacuous: planted near-dups exist in the corpus
+    finally:
+        spark.catalog.clearCache()
