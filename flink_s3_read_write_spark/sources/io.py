@@ -136,6 +136,8 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     if n is None:
         n = df.rdd.getNumPartitions()
         if key is not None:
+            if len(_FAN_OUT_SPLITS) >= 4096:  # bound a pathological session
+                _FAN_OUT_SPLITS.clear()
             _FAN_OUT_SPLITS[key] = n
     if n < target:
         return df.repartition(target)
