@@ -106,6 +106,12 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # doc_shingle_sets cache + a thin source join; the capped posting
     # table is cached before the self-join (per-side audit).
     "q124_source_overlap",
+    # r09: q190's hot-block cap made mechanical (cap_baskets,
+    # max 1000, oracle-mirrored) — previously a docstring claim.
+    "q190_fuzzy_string_join",
+    # r09 per-side audit: q97's bucketed table cached before its
+    # three consumers (code inside operators/similarity.py).
+    "q97_semdedup",
 )
 
 

@@ -3696,10 +3696,15 @@ def q189_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT c_custkey AS k, c_name AS nm, substring(c_name, 1, 16) AS blk
       FROM customer),
+    -- hot-block cap, mirrors the Spark side's mechanical guard
+    cw AS (
+      SELECT c.k, c.nm, c.blk FROM c
+      JOIN (SELECT blk FROM c GROUP BY blk HAVING COUNT(*) <= 1000) g
+      USING (blk)),
     pairs AS (
       SELECT a.k AS custkey_a, b.k AS custkey_b,
              CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
-      FROM c a JOIN c b ON b.blk = a.blk AND a.k < b.k)
+      FROM cw a JOIN cw b ON b.blk = a.blk AND a.k < b.k)
     SELECT custkey_a, custkey_b, dist FROM pairs WHERE dist <= 1
     """,
     doc=(
@@ -3708,8 +3713,11 @@ def q189_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "built-in operator for. Composed as blocking -> equi-join -> "
         "verify: a prefix block key collapses the candidate space "
         "from O(n^2) to per-block C(b,2) (the q-gram/prefix-filter "
-        "family - at 100 TB the block key is length + first q-gram "
-        "and hot blocks are frequency-capped like q33's LSH buckets), "
+        "family - at 100 TB the block key is length + first q-gram), "
+        "and blocks larger than 1000 members are dropped MECHANICALLY "
+        "before the self-join (queries_graph.cap_baskets, mirrored in "
+        "the oracle's HAVING <= 1000 - no degenerate prefix can fan "
+        "out quadratically), "
         "then the exact levenshtein() verify runs only inside blocks. "
         "Identical edit-distance semantics in DuckDB makes the whole "
         "join hash-replayable. No cross join anywhere in the plan. "
@@ -3722,6 +3730,8 @@ def q189_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q190_fuzzy_string_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.queries_graph import cap_baskets
+
     cust = load_table(spark, sf_dir, "customer")
     c = cust.select(
         F.col("c_custkey").alias("k"),
@@ -3732,6 +3742,10 @@ def q190_fuzzy_string_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("c_name", 1, 16).alias("blk"),
         F.expr("substring(c_name, 17)").alias("tl"),
     )
+    # Hot-block guard, mechanical (cap_baskets, oracle-mirrored): a
+    # degenerate shared prefix would otherwise fan C(block,2) pairs
+    # out of one key.  Cached — both self-join sides read it.
+    c = cap_baskets(c, "blk", max_basket=1000).cache()
     a = c.select(F.col("k").alias("custkey_a"), F.col("tl").alias("tl_a"), "blk")
     b = c.select(F.col("k").alias("custkey_b"), F.col("tl").alias("tl_b"), "blk")
     return (

@@ -227,3 +227,5 @@ def test_basket_cap_oracle_mirror_in_sync():
                  "q207_kcore_peeling"):
         oracle = reg[name].oracle
         assert f"HAVING COUNT(*) <= {QG.MAX_BASKET}" in oracle, name
+    # q190's hot-block guard mirrors its own literal (1000)
+    assert "HAVING COUNT(*) <= 1000" in reg["q190_fuzzy_string_join"].oracle
