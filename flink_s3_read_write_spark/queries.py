@@ -90,10 +90,10 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "q54_dedup_keep_list",
     "q55_approx_sketches",
     # r09 shared doc_tokens builder: the tokenize pass materializes
-    # once per session; these four re-derive their explode/shingle
-    # grains from the cached token table (values unchanged).
+    # once per session; these re-derive their explode/shingle grains
+    # from the cached token table (values unchanged; q192 listed
+    # below with its spec change).
     "q68_boilerplate_ngrams",
-    "q192_inverted_index",
     "q200_pmi_collocations",
     "q202_skipgram_cooccurrence",
     # r09 doc_tokens round 2: q32's pair Jaccard reads materialized
@@ -112,6 +112,11 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # r09 per-side audit: q97's bucketed table cached before its
     # three consumers (code inside operators/similarity.py).
     "q97_semdedup",
+    # r09: q192's posting digest changed SPEC — additive per-doc-hash
+    # sum (mergeable, no collect_list group state) replaces the
+    # sorted-list md5; oracle updated in lockstep, values differ from
+    # prior rounds by design.
+    "q192_inverted_index",
 )
 
 

@@ -3750,7 +3750,8 @@ def q175_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE t <> ''),
     post AS (
       SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             md5(array_to_string(list_sort(list(doc_id)), ',')) AS posting_digest,
+             CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) % 2147483647) AS BIGINT) AS posting_digest,
              CAST(MIN(doc_id) AS BIGINT) AS min_doc,
              CAST(MAX(doc_id) AS BIGINT) AS max_doc
       FROM tok GROUP BY tok)
@@ -3760,17 +3761,24 @@ def q175_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Inverted-index build (the search/retrieval core): distinct "
         "(token, doc) postings -> one groupBy token producing document "
-        "frequency + a digest of the SORTED posting list (sort_array "
-        "makes the digest partition-order independent - a raw "
-        "collect_list digest would be nondeterministic). df >= 20 "
-        "bounds the emitted dictionary to the useful head. At 100 TB "
-        "this is the textbook build: the posting shuffle partitions "
-        "by token (skew-capped for stopwords like q130), postings "
-        "stay arrays-in-parquet segments, and per-segment indexes "
-        "merge by list concat - no driver-side state anywhere."
+        "frequency + an ADDITIVE posting digest: SUM of per-doc 60-bit "
+        "md5 hashes reduced mod 2^31-1 (r09; replaces the sorted "
+        "collect_list digest, which held a stopword's ENTIRE posting "
+        "list as one group's aggregation state - the one remaining "
+        "skew hazard in the family). The additive form is order- and "
+        "partition-independent, MERGEABLE (partial sums combine "
+        "map-side, and per-segment index digests at 100 TB merge by "
+        "addition the same way the HLL/CMS sketches do), and exact "
+        "int64: each term < 2^31, so billions of docs stay below "
+        "2^63. df >= 20 bounds the emitted dictionary to the useful "
+        "head. At 100 TB this is the textbook build: the posting "
+        "shuffle partitions by token and every aggregate is a "
+        "map-side-combined scalar - no per-group list state anywhere."
     ),
 )
 def q192_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_s3_read_write_spark.operators.dedup import _md5_h60
+
     # postings explode off the shared cached token table (doc_tokens)
     tok = (
         doc_tokens(spark, sf_dir)
@@ -3778,12 +3786,12 @@ def q192_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
         .distinct()
     )
+    h = _md5_h60(F.md5(F.col("doc_id").cast("string"))) % F.lit(2147483647)
     return (
         tok.groupBy("tok")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))))
-            .alias("posting_digest"),
+            F.sum(h).alias("posting_digest"),
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
         )

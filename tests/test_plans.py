@@ -694,12 +694,15 @@ def test_q193_sample_uses_window_group_limit(spark, sf_dir):
 
 def test_q192_inverted_index_single_token_shuffle_after_distinct(spark, sf_dir):
     """q192: distinct postings collapse before the per-token aggregate;
-    the posting digest is computed over sort_array (partition-order
-    independent), never a bare collect_list concat."""
+    the posting digest is the ADDITIVE per-doc-hash sum (r09) — a
+    plain mergeable SUM with map-side partials, never collect_list
+    (which holds a stopword's whole posting list as one group's
+    aggregation state)."""
     from flink_s3_read_write_spark.queries import registry
 
     plan = P.formatted_plan(registry()["q192_inverted_index"].fn(spark, sf_dir))
-    assert P.has(plan, "sort_array"), plan
+    assert not P.has(plan, "collect_list"), plan
+    assert P.has(plan, "partial_sum"), plan  # digest sum is map-side combined
     assert not P.has(plan, "Join"), plan
 
 
