@@ -126,7 +126,7 @@ def wl_refine(edges: DataFrame, rounds: int = 2) -> DataFrame:
     colour refinement behind graph-isomorphism tests and WL kernels).
 
     Nodes start labelled by degree; each round relabels
-    ``substr(md5(own || '|' || sorted neighbour labels), 1, 16)`` —
+    ``substr(md5(own || '|' || neighbour-multiset hash), 1, 16)`` —
     after k rounds two nodes share a label only if their k-hop
     neighbourhood trees agree, so the labels are structural
     fingerprints (graph dedup / similarity at the structure level).
@@ -134,20 +134,31 @@ def wl_refine(edges: DataFrame, rounds: int = 2) -> DataFrame:
     payload through the message shuffle; collision odds across ~n²/2
     pairs stay ≪ 1e-9 for n up to millions of distinct labels.
 
-    Relational per round: one edges⋈labels join + a collect_list
-    aggregate; the sort inside ``array_sort`` makes the neighbour
-    multiset canonical, so the md5 is engine-independent and the
-    whole refinement is SQL-replayable.  Per-round caching bounds
-    lineage (bpe.py rule); at 100 TB rounds checkpoint and the join
-    co-locates on the edge partitioning.
+    The neighbour multiset enters the relabel hash as an ADDITIVE
+    multiset hash (r09): SUM over neighbours of the 60-bit md5 of the
+    label reduced mod 2^31-1, plus the neighbour count.  Equal
+    multisets give equal (sum, count) exactly; unequal ones collide
+    only with hash probability.  This replaces the canonical
+    ``array_sort(collect_list(...))`` aggregate, which held a HUB
+    node's entire degree-sized label list as one group's aggregation
+    state — the additive form is a plain mergeable SUM/COUNT with
+    map-side partials (the q192 posting-digest rule).  Exact int64:
+    each term < 2^31, so degrees into the billions stay below 2^63.
+
+    Relational per round: one edges⋈labels join + one scalar
+    aggregate, engine-independent and SQL-replayable.  Per-round
+    caching bounds lineage (bpe.py rule); at 100 TB rounds checkpoint
+    and the join co-locates on the edge partitioning.
     """
+    _P = 2147483647
     lab = degree_table(edges).select("u", F.col("deg").cast("string").alias("lb"))
     lab = lab.cache()
     for _ in range(rounds):
+        h = F.conv(F.substring(F.md5("lb"), 1, 15), 16, 10).cast("long") % _P
         nb = (
             edges.join(lab, "u")
             .groupBy(F.col("v").alias("u"))
-            .agg(F.array_sort(F.collect_list("lb")).alias("_ns"))
+            .agg(F.sum(h).alias("_s"), F.count(F.lit(1)).alias("_d"))
         )
         lab = (
             lab.join(nb, "u", "left")
@@ -158,12 +169,8 @@ def wl_refine(edges: DataFrame, rounds: int = 2) -> DataFrame:
                         F.concat_ws(
                             "|",
                             F.col("lb"),
-                            F.array_join(
-                                F.coalesce(
-                                    "_ns", F.expr("cast(array() as array<string>)")
-                                ),
-                                ",",
-                            ),
+                            F.coalesce(F.col("_s").cast("string"), F.lit("")),
+                            F.coalesce(F.col("_d").cast("string"), F.lit("")),
                         )
                     ),
                     1,

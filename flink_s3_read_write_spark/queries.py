@@ -117,6 +117,11 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # sorted-list md5; oracle updated in lockstep, values differ from
     # prior rounds by design.
     "q192_inverted_index",
+    # r09: WL relabeling now hashes the neighbour multiset via the
+    # additive (sum mod P, count) form — same rule as q192; labels
+    # (and thus the class profile) intentionally differ from prior
+    # rounds; oracle updated in lockstep.
+    "q158_wl_graph_fingerprint",
 )
 
 

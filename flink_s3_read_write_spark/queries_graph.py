@@ -361,16 +361,26 @@ def q148_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab0 AS (
       SELECT u, CAST(COUNT(*) AS VARCHAR) AS lb FROM e GROUP BY u),
     nb1 AS (
-      SELECT e.v AS u, array_to_string(list_sort(list(c.lb)), ',') AS ns
+      SELECT e.v AS u,
+             CAST(SUM(CAST(('0x' || substr(md5(c.lb), 1, 15)) AS BIGINT)
+                      % 2147483647) AS BIGINT) AS s,
+             COUNT(*) AS d
       FROM e JOIN lab0 c ON c.u = e.u GROUP BY e.v),
     lab1 AS (
-      SELECT l.u, substr(md5(l.lb || '|' || COALESCE(n.ns, '')), 1, 16) AS lb
+      SELECT l.u, substr(md5(l.lb || '|'
+               || COALESCE(CAST(n.s AS VARCHAR), '') || '|'
+               || COALESCE(CAST(n.d AS VARCHAR), '')), 1, 16) AS lb
       FROM lab0 l LEFT JOIN nb1 n USING (u)),
     nb2 AS (
-      SELECT e.v AS u, array_to_string(list_sort(list(c.lb)), ',') AS ns
+      SELECT e.v AS u,
+             CAST(SUM(CAST(('0x' || substr(md5(c.lb), 1, 15)) AS BIGINT)
+                      % 2147483647) AS BIGINT) AS s,
+             COUNT(*) AS d
       FROM e JOIN lab1 c ON c.u = e.u GROUP BY e.v),
     lab2 AS (
-      SELECT l.u, substr(md5(l.lb || '|' || COALESCE(n.ns, '')), 1, 16) AS lb
+      SELECT l.u, substr(md5(l.lb || '|'
+               || COALESCE(CAST(n.s AS VARCHAR), '') || '|'
+               || COALESCE(CAST(n.d AS VARCHAR), '')), 1, 16) AS lb
       FROM lab1 l LEFT JOIN nb2 n USING (u)),
     classes AS (SELECT lb, COUNT(*) AS n FROM lab2 GROUP BY lb)
     SELECT CAST(SUM(n) AS BIGINT) AS n_nodes,
@@ -383,8 +393,10 @@ def q148_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Weisfeiler-Lehman structural fingerprinting (operators/"
         "graph.py wl_refine): 2 rounds of colour refinement over the "
         "purchase graph (INT-encoded nodes) - per round one co-located "
-        "edges-joins-labels join + a canonical (array_sort) "
-        "neighbour-multiset aggregate, relabelled by substr(md5, 16) "
+        "edges-joins-labels join + an ADDITIVE neighbour-multiset "
+        "hash (sum of per-label 60-bit md5 mod 2^31-1, plus count - "
+        "r09: a mergeable scalar SUM instead of a hub-degree-sized "
+        "collect_list group state), relabelled by substr(md5, 16) "
         "(64-bit collision space vs ~35k labels; half the per-round "
         "shuffle payload of full md5), so the inherently iterative "
         "isomorphism refinement is bit-replayable in SQL. Output is "
