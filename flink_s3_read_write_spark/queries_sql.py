@@ -1003,13 +1003,14 @@ def q93_timestamp_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array-of-struct column — collect_list(struct) → sort_array on "
         "the struct's lexicographic order (negated balance gives DESC, "
         "unique custkey breaks ties) → slice(3) → posexplode back to flat "
-        "rows. The grouped state is capped at k+input structs per group "
-        "and the plan is one hash shuffle with a partial collect on the "
-        "map side; the oracle states the same answer with a window "
-        "row_number. At 100 TB prefer q10's WindowGroupLimit for big "
-        "groups; the array-of-struct form is the one that matters when "
-        "the nested column itself is the product (feature lists, "
-        "session records)."
+        "rows, one hash shuffle with a partial collect on the map side; "
+        "the oracle states the same answer with a window row_number. "
+        "Honest caveat: collect_list's accumulator holds the FULL group "
+        "before the slice (group = one nation's customers here, bounded "
+        "by the 25-nation dimension), so at 100 TB with unbounded "
+        "groups prefer q10's WindowGroupLimit; the array-of-struct form "
+        "is the one that matters when the nested column itself is the "
+        "product (feature lists, session records)."
     ),
 )
 def q94_nested_struct_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
