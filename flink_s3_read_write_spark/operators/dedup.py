@@ -431,12 +431,20 @@ def minhash_lsh_pairs(
     return pairs.select("p.id_a", "p.id_b").distinct()
 
 
-def jaccard_tokens(a: Column, b: Column) -> Column:
-    """Token-set Jaccard of two texts (distinct word sets)."""
-    ta, tb = F.array_distinct(tokens(a)), F.array_distinct(tokens(b))
+def jaccard_sets(ta: Column, tb: Column) -> Column:
+    """Jaccard of two DISTINCT element-array columns (empty-union
+    convention: 0.0).  The single source of truth for the set-level
+    formula — jaccard_tokens and the registry's set-side consumers
+    (q32) delegate here so the empty-union convention can never
+    drift between call sites."""
     inter = F.size(F.array_intersect(ta, tb)).cast("double")
     union = F.size(F.array_union(ta, tb)).cast("double")
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def jaccard_tokens(a: Column, b: Column) -> Column:
+    """Token-set Jaccard of two texts (distinct word sets)."""
+    return jaccard_sets(F.array_distinct(tokens(a)), F.array_distinct(tokens(b)))
 
 
 def minhash_dedup_pairs_verified(

@@ -135,30 +135,43 @@ def wl_refine(edges: DataFrame, rounds: int = 2) -> DataFrame:
     pairs stay ≪ 1e-9 for n up to millions of distinct labels.
 
     The neighbour multiset enters the relabel hash as an ADDITIVE
-    multiset hash (r09): SUM over neighbours of the 60-bit md5 of the
-    label reduced mod 2^31-1, plus the neighbour count.  Equal
-    multisets give equal (sum, count) exactly; unequal ones collide
-    only with hash probability.  This replaces the canonical
-    ``array_sort(collect_list(...))`` aggregate, which held a HUB
-    node's entire degree-sized label list as one group's aggregation
-    state — the additive form is a plain mergeable SUM/COUNT with
-    map-side partials (the q192 posting-digest rule).  Exact int64:
-    each term < 2^31, so degrees into the billions stay below 2^63.
+    multiset hash (r09): TWO independent sums over neighbours — the
+    60-bit md5 of the label reduced mod two distinct 31-bit primes,
+    with independent key prefixes — plus the neighbour count.  Equal
+    multisets give equal (s1, s2, count) exactly; unequal ones
+    collide only when BOTH lanes collide, ~2^-62 per pair, restoring
+    the sorted-list digest's collision budget (one 31-bit lane alone
+    would give expected collisions at millions of labels).  This
+    replaces the canonical ``array_sort(collect_list(...))``
+    aggregate, which held a HUB node's entire degree-sized label list
+    as one group's aggregation state — the additive form is plain
+    mergeable SUMs/COUNT with map-side partials (the q192
+    posting-digest rule).  Exact int64: each term < 2^31, so degrees
+    into the billions stay below 2^63.
 
     Relational per round: one edges⋈labels join + one scalar
     aggregate, engine-independent and SQL-replayable.  Per-round
     caching bounds lineage (bpe.py rule); at 100 TB rounds checkpoint
     and the join co-locates on the edge partitioning.
     """
-    _P = 2147483647
+    _P1 = 2147483647
+    _P2 = 2147483629
     lab = degree_table(edges).select("u", F.col("deg").cast("string").alias("lb"))
     lab = lab.cache()
     for _ in range(rounds):
-        h = F.conv(F.substring(F.md5("lb"), 1, 15), 16, 10).cast("long") % _P
+        h1 = F.conv(F.substring(F.md5("lb"), 1, 15), 16, 10).cast("long") % _P1
+        h2 = (
+            F.conv(F.substring(F.md5(F.concat(F.lit("w2|"), F.col("lb"))), 1, 15), 16, 10)
+            .cast("long") % _P2
+        )
         nb = (
             edges.join(lab, "u")
             .groupBy(F.col("v").alias("u"))
-            .agg(F.sum(h).alias("_s"), F.count(F.lit(1)).alias("_d"))
+            .agg(
+                F.sum(h1).alias("_s1"),
+                F.sum(h2).alias("_s2"),
+                F.count(F.lit(1)).alias("_d"),
+            )
         )
         lab = (
             lab.join(nb, "u", "left")
@@ -169,7 +182,8 @@ def wl_refine(edges: DataFrame, rounds: int = 2) -> DataFrame:
                         F.concat_ws(
                             "|",
                             F.col("lb"),
-                            F.coalesce(F.col("_s").cast("string"), F.lit("")),
+                            F.coalesce(F.col("_s1").cast("string"), F.lit("")),
+                            F.coalesce(F.col("_s2").cast("string"), F.lit("")),
                             F.coalesce(F.col("_d").cast("string"), F.lit("")),
                         )
                     ),

@@ -363,23 +363,29 @@ def q148_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb1 AS (
       SELECT e.v AS u,
              CAST(SUM(CAST(('0x' || substr(md5(c.lb), 1, 15)) AS BIGINT)
-                      % 2147483647) AS BIGINT) AS s,
+                      % 2147483647) AS BIGINT) AS s1,
+             CAST(SUM(CAST(('0x' || substr(md5('w2|' || c.lb), 1, 15)) AS BIGINT)
+                      % 2147483629) AS BIGINT) AS s2,
              COUNT(*) AS d
       FROM e JOIN lab0 c ON c.u = e.u GROUP BY e.v),
     lab1 AS (
       SELECT l.u, substr(md5(l.lb || '|'
-               || COALESCE(CAST(n.s AS VARCHAR), '') || '|'
+               || COALESCE(CAST(n.s1 AS VARCHAR), '') || '|'
+               || COALESCE(CAST(n.s2 AS VARCHAR), '') || '|'
                || COALESCE(CAST(n.d AS VARCHAR), '')), 1, 16) AS lb
       FROM lab0 l LEFT JOIN nb1 n USING (u)),
     nb2 AS (
       SELECT e.v AS u,
              CAST(SUM(CAST(('0x' || substr(md5(c.lb), 1, 15)) AS BIGINT)
-                      % 2147483647) AS BIGINT) AS s,
+                      % 2147483647) AS BIGINT) AS s1,
+             CAST(SUM(CAST(('0x' || substr(md5('w2|' || c.lb), 1, 15)) AS BIGINT)
+                      % 2147483629) AS BIGINT) AS s2,
              COUNT(*) AS d
       FROM e JOIN lab1 c ON c.u = e.u GROUP BY e.v),
     lab2 AS (
       SELECT l.u, substr(md5(l.lb || '|'
-               || COALESCE(CAST(n.s AS VARCHAR), '') || '|'
+               || COALESCE(CAST(n.s1 AS VARCHAR), '') || '|'
+               || COALESCE(CAST(n.s2 AS VARCHAR), '') || '|'
                || COALESCE(CAST(n.d AS VARCHAR), '')), 1, 16) AS lb
       FROM lab1 l LEFT JOIN nb2 n USING (u)),
     classes AS (SELECT lb, COUNT(*) AS n FROM lab2 GROUP BY lb)
@@ -394,8 +400,9 @@ def q148_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "graph.py wl_refine): 2 rounds of colour refinement over the "
         "purchase graph (INT-encoded nodes) - per round one co-located "
         "edges-joins-labels join + an ADDITIVE neighbour-multiset "
-        "hash (sum of per-label 60-bit md5 mod 2^31-1, plus count - "
-        "r09: a mergeable scalar SUM instead of a hub-degree-sized "
+        "hash (two independent per-label 60-bit-md5 sums mod distinct "
+        "31-bit primes, plus count: ~2^-62 per-pair collision - r09: "
+        "mergeable scalar SUMs instead of a hub-degree-sized "
         "collect_list group state), relabelled by substr(md5, 16) "
         "(64-bit collision space vs ~35k labels; half the per-round "
         "shuffle payload of full md5), so the inherently iterative "

@@ -181,11 +181,9 @@ def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = t.select(F.col("doc_id").alias("id_a"), F.array_distinct("w").alias("_ta"))
     b = t.select(F.col("doc_id").alias("id_b"), F.array_distinct("w").alias("_tb"))
     pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
-    inter = F.size(F.array_intersect("_ta", "_tb")).cast("double")
-    union = F.size(F.array_union("_ta", "_tb")).cast("double")
     return pairs.select(
         "id_a", "id_b",
-        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard")
+        D.jaccard_sets(F.col("_ta"), F.col("_tb")).alias("jaccard")
     )
 
 

@@ -127,26 +127,39 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     if df.isStreaming:
         return df
     spark = df.sparkSession
-    target = target or spark.sparkContext.defaultParallelism
     try:
-        key = (id(spark), df._jdf.queryExecution().analyzed().semanticHash())
-    except Exception:  # non-JVM backends (Connect): probe unconditionally
-        key = None
-    n = _FAN_OUT_SPLITS.get(key) if key is not None else None
+        target = target or spark.sparkContext.defaultParallelism
+        # applicationId is unique per session lifetime (never recycled
+        # the way id(spark) could be after GC), so a new session can't
+        # inherit a dead session's memoized split counts.  Caveat: a
+        # path rewritten with a different split count inside ONE
+        # session keeps the stale memo — acceptable, fan_out is a
+        # perf guard, and the correctness of the plan never depends
+        # on it.
+        key = (
+            spark.sparkContext.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:
+        # Non-JVM backends (Spark Connect): no sparkContext and no
+        # .rdd either — pass through unchanged (the no-op-at-scale
+        # posture; Connect deployments run against real clusters
+        # where scans out-split cores anyway).
+        return df
+    n = _FAN_OUT_SPLITS.get(key)
     if n is None:
         n = df.rdd.getNumPartitions()
-        if key is not None:
-            if len(_FAN_OUT_SPLITS) >= 4096:  # bound a pathological session
-                _FAN_OUT_SPLITS.clear()
-            _FAN_OUT_SPLITS[key] = n
+        if len(_FAN_OUT_SPLITS) >= 4096:  # bound a pathological session
+            _FAN_OUT_SPLITS.clear()
+        _FAN_OUT_SPLITS[key] = n
     if n < target:
         return df.repartition(target)
     return df
 
 
-# analyzed-plan semanticHash -> split count; entries are two ints per
-# distinct (session, plan), so the map stays trivially small.
-_FAN_OUT_SPLITS: dict[tuple[int, int], int] = {}
+# (applicationId, analyzed-plan semanticHash) -> split count; a few
+# dozen entries per session in practice, cleared at 4096.
+_FAN_OUT_SPLITS: dict[tuple[str, int], int] = {}
 
 
 def read_text_lines(spark: SparkSession, path: str, *, streaming: bool = False) -> DataFrame:

@@ -311,8 +311,9 @@ def test_q195_reads_shared_shingle_cache(spark):
     from the shared doc_shingle_sets builder (the table q33/q54 also
     consume) — after the builder materializes once, q195's plan reads
     the InMemoryRelation instead of re-running tokenize+shingle, and
-    executing it adds only its own postings cache (exactly one new
-    cached relation), never a second shingle-set materialization."""
+    executing it adds only its own two caches (the exploded postings
+    and the prefix table feeding both candidate-join sides), never a
+    second shingle-set materialization."""
     from flink_s3_read_write_spark import queries_llmdata as QL
     from flink_s3_read_write_spark.plans import inspect as P
 
@@ -326,7 +327,7 @@ def test_q195_reads_shared_shingle_cache(spark):
         assert "InMemoryTableScan" in P.formatted_plan(q)
         assert q.count() > 0
         n_after = len([i for i in jsc.getRDDStorageInfo()])
-        assert n_after - n_before <= 1, (n_before, n_after)
+        assert n_after - n_before <= 2, (n_before, n_after)
     finally:
         spark.catalog.clearCache()
 
