@@ -494,3 +494,28 @@ def test_fan_out_streaming_passthrough_and_memoized_probe(spark):
     same = io_mod.fan_out(spark.range(1000).coalesce(1))
     assert same.rdd.getNumPartitions() == 1  # trusted memo -> no repartition
     io_mod._FAN_OUT_SPLITS.clear()
+
+
+def test_fan_out_passthrough_when_jvm_handles_unavailable(spark):
+    """r09 review fix: on backends without JVM plan handles (Spark
+    Connect), fan_out must pass the DataFrame through unchanged —
+    .rdd would raise there too, so probing after the key failure
+    would just move the crash one line down."""
+    from flink_s3_read_write_spark.sources import io as io_mod
+
+    narrow = spark.range(10).coalesce(1)
+
+    real = narrow._jdf
+
+    class _NoJvm:
+        def isStreaming(self):  # Connect implements isStreaming fine
+            return real.isStreaming()
+
+        def queryExecution(self):
+            raise RuntimeError("no JVM handle on this backend")
+
+    narrow._jdf = _NoJvm()
+    try:
+        assert io_mod.fan_out(narrow) is narrow
+    finally:
+        narrow._jdf = real
