@@ -146,9 +146,25 @@ def ivf_train_centroids(corpus: DataFrame, n_centroids: int = 16,
     100 TB swap the top-k for a catalog-stats-derived sample fraction;
     training never k-means the full corpus (standard IVF practice —
     a distributed KMeans buys ~10 barrier jobs of overhead for
-    nothing).  Exactly one driver round-trip.
+    nothing).  Exactly one driver round-trip — and the whole function
+    is DETERMINISTIC (hash-ordered sample, seeded k-means++), so the
+    result memoizes per (session, corpus plan, params): repeated
+    searches in one session skip the sample job entirely, and the
+    memo can never change an answer because re-running would produce
+    the bit-identical array (r09; the fan_out memo pattern).
     """
     import numpy as np
+
+    try:
+        memo_key = (
+            corpus.sparkSession.sparkContext.applicationId,
+            corpus._jdf.queryExecution().analyzed().semanticHash(),
+            n_centroids, vec_col,
+        )
+    except Exception:  # non-JVM backends: train unconditionally
+        memo_key = None
+    if memo_key is not None and memo_key in _IVF_CENTROIDS:
+        return _IVF_CENTROIDS[memo_key]
 
     target = max(2000, 50 * n_centroids)
     train_rows = (
@@ -174,7 +190,16 @@ def ivf_train_centroids(corpus: DataFrame, n_centroids: int = 16,
             m = lab == c
             if m.any():
                 centroids[c] = x[m].mean(0)
+    if memo_key is not None:
+        if len(_IVF_CENTROIDS) >= 256:  # bound a pathological session
+            _IVF_CENTROIDS.clear()
+        _IVF_CENTROIDS[memo_key] = centroids
     return centroids
+
+
+# (applicationId, corpus-plan semanticHash, n_centroids, vec_col) ->
+# trained centroid matrix; deterministic, so purely a perf memo.
+_IVF_CENTROIDS: dict = {}
 
 
 def ann_ivf_topk(
