@@ -149,7 +149,10 @@ def test_shared_builders_materialize_once_across_queries(spark):
         n_after_first = n_cached()
         p2 = QG.basket_pairs(spark, sf)  # fresh call, same plan
         p2.count()
-        assert n_cached() == n_after_first  # no second materialization
+        # <=, not ==: async unpersist from earlier tests can retire
+        # entries between the two reads; the invariant is only that
+        # the second call adds NO new materialization.
+        assert n_cached() <= n_after_first  # no second materialization
 
         # and every real consumer's plan reads the cache, not the raw
         # scan: all four basket queries must contain an
@@ -167,7 +170,7 @@ def test_shared_builders_materialize_once_across_queries(spark):
         QG.purchase_edges(spark, sf).count()
         n_after_edges = n_cached()
         QG.customer_parts(spark, sf).count()
-        assert n_cached() == n_after_edges
+        assert n_cached() <= n_after_edges  # no new materialization
     finally:
         spark.catalog.clearCache()
 
