@@ -149,9 +149,16 @@ def ivf_train_centroids(corpus: DataFrame, n_centroids: int = 16,
     nothing).  Exactly one driver round-trip — and the whole function
     is DETERMINISTIC (hash-ordered sample, seeded k-means++), so the
     result memoizes per (session, corpus plan, params): repeated
-    searches in one session skip the sample job entirely, and the
-    memo can never change an answer because re-running would produce
-    the bit-identical array (r09; the fan_out memo pattern).
+    searches in one session skip the sample job entirely.  Like the
+    fan_out memo (sources/io.py), the answer-preservation claim is
+    scoped to sources immutable within the session: the plan hash
+    does not fingerprint data, so if files under the same path are
+    rewritten mid-session the memo serves centroids trained on the
+    old bytes (still a valid IVF index — recall only, never wrong
+    rows — but call ``reset_plan_memos()`` after an in-place
+    rewrite).  The cached array is returned read-only
+    (``writeable=False``) so no caller can mutate the memo in place
+    (ADVICE r09).
     """
     import numpy as np
 
@@ -190,6 +197,11 @@ def ivf_train_centroids(corpus: DataFrame, n_centroids: int = 16,
             m = lab == c
             if m.any():
                 centroids[c] = x[m].mean(0)
+    # Freeze before memoizing: downstream consumers only read the
+    # matrix, and a read-only view makes accidental in-place mutation
+    # (which would silently poison every later hit) an immediate
+    # ValueError instead.
+    centroids.flags.writeable = False
     if memo_key is not None:
         if len(_IVF_CENTROIDS) >= 256:  # bound a pathological session
             _IVF_CENTROIDS.clear()

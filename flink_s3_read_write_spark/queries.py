@@ -68,60 +68,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # editing any query; otherwise a pre-edit green row from the previous
 # round would count as post-touch confirmation and auto-demote an
 # edited query on stale evidence.
-_TOUCHED_SINCE_ROUND = 9
+_TOUCHED_SINCE_ROUND = 10
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # r09 mechanical whale-basket cap (queries_graph.cap_baskets):
-    # basket_pairs / q164's self-join drop groups > MAX_BASKET before
-    # the quadratic expansion, mirrored in each oracle's HAVING <= 200
-    # (a no-op on TPC-H-sized baskets; values unchanged).
-    "q147_copurchase_pairs",
-    "q159_triangle_count",
-    "q164_item_item_cf",
-    "q206_association_rules",
-    "q207_kcore_peeling",
-    # r09: q195 now derives its shingle postings from the shared
-    # cached doc_shingle_sets builder (same table q33/q54 consume).
-    "q195_prefix_filter_ssjoin",
-    # r09 ADVICE fixes: q33/q54 kwargs now derive from the shared
-    # MINHASH_KW config (explicit shingle_k=3, same value as the old
-    # default); q55's ndistinct helper gained the NOT NULL filter
-    # (no-op on non-null TPC-H keys).  All re-verified at sf0.01.
-    "q33_minhash_dedup_pairs",
-    "q54_dedup_keep_list",
-    "q55_approx_sketches",
-    # r09 shared doc_tokens builder: the tokenize pass materializes
-    # once per session; these re-derive their explode/shingle grains
-    # from the cached token table (values unchanged; q192 listed
-    # below with its spec change).
-    "q68_boilerplate_ngrams",
-    "q200_pmi_collocations",
-    "q202_skipgram_cooccurrence",
-    # r09 doc_tokens round 2: q32's pair Jaccard reads materialized
-    # distinct token sets; q34 injects the exploded token frame into
-    # simhash; minhash_candidates injects doc_shingle_sets into the
-    # signature build (MinHash is min-invariant under set-dedup).
-    "q32_ngram_jaccard_pairs",
-    "q34_simhash_near_pairs",
-    # r09: q124's (source, shingle) postings derive from the shared
-    # doc_shingle_sets cache + a thin source join; the capped posting
-    # table is cached before the self-join (per-side audit).
-    "q124_source_overlap",
-    # r09: q190's hot-block cap made mechanical (cap_baskets,
-    # max 1000, oracle-mirrored) — previously a docstring claim.
-    "q190_fuzzy_string_join",
-    # r09 per-side audit: q97's bucketed table cached before its
-    # three consumers (code inside operators/similarity.py).
-    "q97_semdedup",
-    # r09: q192's posting digest changed SPEC — additive per-doc-hash
-    # sum (mergeable, no collect_list group state) replaces the
-    # sorted-list md5; oracle updated in lockstep, values differ from
-    # prior rounds by design.
+    # r10: q192's posting digest gained a second independent 31-bit
+    # lane (ADVICE r09) — spec change, oracle updated in lockstep;
+    # values differ from r09 by design.
     "q192_inverted_index",
-    # r09: WL relabeling now hashes the neighbour multiset via the
-    # additive (sum mod P, count) form — same rule as q192; labels
-    # (and thus the class profile) intentionally differ from prior
-    # rounds; oracle updated in lockstep.
-    "q158_wl_graph_fingerprint",
 )
 
 

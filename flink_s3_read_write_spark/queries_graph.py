@@ -694,10 +694,15 @@ def q164_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(supplier, part) pair, pure BIGINT addition/min - exact and "
         "mergeable, so rounds are SQL-replayable. Same scale shape "
         "as every graph op here: frontier-sized state, edge "
-        "partitioning by u, checkpoint between rounds at 100 TB."
+        "partitioning by u, checkpoint between rounds at 100 TB. "
+        "broadcast_frontier=False (r10) degrades the distance-table "
+        "probe to a shuffled co-located join for small-world graphs "
+        "where 2 hops reach node-scale - the bfs_levels escape hatch."
     ),
 )
-def q197_min_cost_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q197_min_cost_paths(
+    spark: SparkSession, sf_dir: str, *, broadcast_frontier: bool = True
+) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     em = (
         li.select(
@@ -719,8 +724,15 @@ def q197_min_cost_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("e.u", "e.v", "e.w").cache()
     d = em.sparkSession.createDataFrame([(1, 0)], "node bigint, cost bigint")
     for _ in range(2):
+        # broadcast_frontier=True ships the node-sized distance table
+        # to the edges so they are never shuffled; on a small-world
+        # 100 TB graph whose 2-hop reachable set is node-scale, pass
+        # False — the probe then shuffles and co-locates on und's u
+        # partitioning instead (same contract as bfs_levels,
+        # operators/graph.py).
+        probe = F.broadcast(d) if broadcast_frontier else d
         relax = (
-            und.join(F.broadcast(d), und.u == d.node)
+            und.join(probe, und.u == d.node)
             .select(F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
         )
         d = (

@@ -3750,10 +3750,12 @@ def q175_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                            AS BIGINT) % 2147483647) AS BIGINT) AS posting_digest,
+             CAST(SUM(CAST(('0x' || substr(md5('w2|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) % 2147483629) AS BIGINT) AS posting_digest2,
              CAST(MIN(doc_id) AS BIGINT) AS min_doc,
              CAST(MAX(doc_id) AS BIGINT) AS max_doc
       FROM tok GROUP BY tok)
-    SELECT tok, n_docs, posting_digest, min_doc, max_doc
+    SELECT tok, n_docs, posting_digest, posting_digest2, min_doc, max_doc
     FROM post WHERE n_docs >= 20
     """,
     doc=(
@@ -3763,7 +3765,11 @@ def q175_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "md5 hashes reduced mod 2^31-1 (r09; replaces the sorted "
         "collect_list digest, which held a stopword's ENTIRE posting "
         "list as one group's aggregation state - the one remaining "
-        "skew hazard in the family). The additive form is order- and "
+        "skew hazard in the family), plus a SECOND independent lane "
+        "(md5('w2|'||doc) mod 2147483629, r10 - the same two-prime "
+        "scheme wl_refine uses): one 31-bit lane expects birthday "
+        "collisions at ~V^2/2^32 for large vocabularies; two "
+        "independent lanes push that to ~V^2/2^62. The additive form is order- and "
         "partition-independent, MERGEABLE (partial sums combine "
         "map-side, and per-segment index digests at 100 TB merge by "
         "addition the same way the HLL/CMS sketches do), and exact "
@@ -3785,11 +3791,15 @@ def q192_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     h = _md5_h60(F.md5(F.col("doc_id").cast("string"))) % F.lit(2147483647)
+    h2 = _md5_h60(
+        F.md5(F.concat(F.lit("w2|"), F.col("doc_id").cast("string")))
+    ) % F.lit(2147483629)
     return (
         tok.groupBy("tok")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(h).alias("posting_digest"),
+            F.sum(h2).alias("posting_digest2"),
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
         )

@@ -92,3 +92,42 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def reset_plan_memos() -> None:
+    """Clear the Python-side plan-keyed memos (fan_out split counts,
+    IVF centroids).
+
+    ``spark.catalog.clearCache()`` only unpersists JVM-side cached
+    relations; these two module dicts live in the driver's Python
+    process and would otherwise survive a cache reset (ADVICE r09).
+    Both memos are perf-or-recall-only (fan_out: partition-count
+    guard; IVF: trained centroids), so clearing is always safe and
+    needed only when files under an already-read path were rewritten
+    in place mid-session.
+    """
+    from flink_s3_read_write_spark.operators import similarity
+    from flink_s3_read_write_spark.sources import io
+
+    io._FAN_OUT_SPLITS.clear()
+    similarity._IVF_CENTROIDS.clear()
+
+
+def release_shared_builders(spark: SparkSession) -> None:
+    """Release every session-lifetime shared materialization at once.
+
+    The shared builders (doc_tokens / doc_shingle_sets /
+    minhash_candidates in queries_llmdata, customer_parts /
+    basket_po / basket_pairs / purchase_edges in queries_graph)
+    ``.cache()`` per call and rely on the plan-keyed CacheManager to
+    dedupe — they deliberately have no per-builder unpersist, because
+    mid-session eviction would silently double-execute every
+    downstream consumer.  This helper is the callable form of the
+    cache-lifetime contract (queries_llmdata NOTE): a long-lived
+    session that walks many sf_dirs calls it between dirs, dropping
+    JVM cache storage to zero AND resetting the Python-side memos
+    that ``clearCache()`` cannot see.  Builders lazily re-materialize
+    on next use, so this is always safe.
+    """
+    spark.catalog.clearCache()
+    reset_plan_memos()

@@ -232,3 +232,21 @@ def test_basket_cap_oracle_mirror_in_sync():
         assert f"HAVING COUNT(*) <= {QG.MAX_BASKET}" in oracle, name
     # q190's hot-block guard mirrors its own literal (1000)
     assert "HAVING COUNT(*) <= 1000" in reg["q190_fuzzy_string_join"].oracle
+
+
+def test_q197_broadcast_escape_hatch_same_result(spark):
+    """r10: broadcast_frontier=False must produce identical min-cost
+    rows via a shuffled (non-broadcast) probe join — the bfs_levels
+    degradation contract, now mirrored on the weighted twin."""
+    from flink_s3_read_write_spark.queries_graph import q197_min_cost_paths
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(
+        (r["node"], r["cost"])
+        for r in q197_min_cost_paths(spark, sf).collect()
+    )
+    b = sorted(
+        (r["node"], r["cost"])
+        for r in q197_min_cost_paths(spark, sf, broadcast_frontier=False).collect()
+    )
+    assert a == b and len(a) > 0

@@ -929,3 +929,55 @@ def test_q207_peel_rounds_reuse_cached_edges(spark, sf_dir):
     assert P.count(plan, "InMemoryRelation") >= 2, plan
     assert not P.has(plan, "CartesianProduct"), plan
     assert P.count(plan, "BroadcastHashJoin") >= 2, plan
+
+
+def test_release_shared_builders_drops_storage_and_memos(spark, sf_dir):
+    """The cache-lifetime contract is callable (r10): after
+    release_shared_builders, JVM cache storage is zero AND the
+    Python-side plan memos (fan_out splits, IVF centroids) that
+    clearCache() cannot see are empty; builders re-materialize lazily
+    on next use."""
+    from flink_s3_read_write_spark import queries_llmdata as QL
+    from flink_s3_read_write_spark.operators import similarity as S
+    from flink_s3_read_write_spark.session import release_shared_builders
+    from flink_s3_read_write_spark.sources import io as IO
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    # Materialize a shared builder (populates the JVM cache and, via
+    # fan_out inside doc_tokens, the split-count memo) and train IVF
+    # centroids (populates the centroid memo).
+    QL.doc_tokens(spark, sf_dir).count()
+    S.ivf_train_centroids(
+        load_table(spark, sf_dir, "embeddings"), n_centroids=4, vec_col="embedding"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    assert len(jsc.getRDDStorageInfo()) >= 1
+    assert len(IO._FAN_OUT_SPLITS) >= 1
+    assert len(S._IVF_CENTROIDS) >= 1
+
+    release_shared_builders(spark)
+    assert len(jsc.getRDDStorageInfo()) == 0
+    assert IO._FAN_OUT_SPLITS == {}
+    assert S._IVF_CENTROIDS == {}
+
+    # Lazily rebuilds — same values, fresh materialization.
+    assert QL.doc_tokens(spark, sf_dir).count() > 0
+
+
+def test_ivf_centroid_memo_is_read_only(spark, sf_dir):
+    """The memoized centroid matrix is frozen (ADVICE r09): in-place
+    mutation by a caller raises instead of silently poisoning every
+    later memo hit."""
+    import numpy as np
+    import pytest as _pytest
+
+    from flink_s3_read_write_spark.operators import similarity as S
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = S.ivf_train_centroids(emb, n_centroids=4, vec_col="embedding")
+    assert not c1.flags.writeable
+    with _pytest.raises(ValueError):
+        c1[0, 0] = 0.0
+    c2 = S.ivf_train_centroids(emb, n_centroids=4, vec_col="embedding")
+    assert np.array_equal(c1, c2)
