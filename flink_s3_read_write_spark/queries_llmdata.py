@@ -3773,9 +3773,12 @@ def q175_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition-independent, MERGEABLE (partial sums combine "
         "map-side, and per-segment index digests at 100 TB merge by "
         "addition the same way the HLL/CMS sketches do), and exact "
-        "int64: each term < 2^31, so billions of docs stay below "
-        "2^63. df >= 20 bounds the emitted dictionary to the useful "
-        "head. At 100 TB this is the textbook build: the posting "
+        "int64 up to 2^63/2^31 = ~4.3e9 docs PER TOKEN; a stopword "
+        "in a >4e9-doc corpus crosses that, so segment-level digests "
+        "re-reduce mod p at each merge (mod-addition is associative, "
+        "every partial stays < 2^31) - the flat SUM here is the "
+        "bounded-count special case. df >= 20 bounds the emitted "
+        "dictionary to the useful head. At 100 TB this is the textbook build: the posting "
         "shuffle partitions by token and every aggregate is a "
         "map-side-combined scalar - no per-group list state anywhere."
     ),
