@@ -145,6 +145,17 @@ def _md5_h60(m):
     return F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
 
 
+# Two-lane additive digest scheme, shared by wl_refine
+# (operators/graph.py) and q192's posting digest: the two largest
+# primes below 2^31, with lane 2 keyed by an independent input prefix
+# so the lanes collide independently (~2^-62 per pair jointly).  The
+# SAME constants are interpolated into both the Spark Column
+# expressions and the DuckDB oracle SQL of every consumer, so the
+# lanes cannot drift between sites or engines (r10 review).
+DIGEST_P1 = 2147483647
+DIGEST_P2 = 2147483629
+DIGEST_LANE2_KEY = "w2|"
+
 # MinHash permutation family for the md5 engine: Carter–Wegman affine
 # maps H_j(h) = (a_j*h + b_j) mod P over the Mersenne prime P = 2^31-1.
 # With a_j in [1, P-1] each map is a bijection on Z_P (a genuine

@@ -154,15 +154,19 @@ def wl_refine(edges: DataFrame, rounds: int = 2) -> DataFrame:
     caching bounds lineage (bpe.py rule); at 100 TB rounds checkpoint
     and the join co-locates on the edge partitioning.
     """
-    _P1 = 2147483647
-    _P2 = 2147483629
+    from flink_s3_read_write_spark.operators.dedup import (
+        DIGEST_LANE2_KEY, DIGEST_P1, DIGEST_P2,
+    )
+
     lab = degree_table(edges).select("u", F.col("deg").cast("string").alias("lb"))
     lab = lab.cache()
     for _ in range(rounds):
-        h1 = F.conv(F.substring(F.md5("lb"), 1, 15), 16, 10).cast("long") % _P1
+        h1 = F.conv(F.substring(F.md5("lb"), 1, 15), 16, 10).cast("long") % DIGEST_P1
         h2 = (
-            F.conv(F.substring(F.md5(F.concat(F.lit("w2|"), F.col("lb"))), 1, 15), 16, 10)
-            .cast("long") % _P2
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(DIGEST_LANE2_KEY), F.col("lb"))), 1, 15),
+                16, 10,
+            ).cast("long") % DIGEST_P2
         )
         nb = (
             edges.join(lab, "u")

@@ -74,6 +74,12 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # lane (ADVICE r09) — spec change, oracle updated in lockstep;
     # values differ from r09 by design.
     "q192_inverted_index",
+    # r10: q197 gained the broadcast_frontier escape-hatch parameter
+    # (default path plan-identical, values unchanged) and q158/q192
+    # now read the digest primes from shared constants (pure
+    # refactor) — mechanical edits, listed per the registry rule.
+    "q197_min_cost_paths",
+    "q158_wl_graph_fingerprint",
 )
 
 

@@ -23,6 +23,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_s3_read_write_spark.operators.dedup import (
+    DIGEST_LANE2_KEY, DIGEST_P1, DIGEST_P2,
+)
 from flink_s3_read_write_spark.queries import register
 from flink_s3_read_write_spark.sources.io import load_table
 
@@ -363,9 +366,9 @@ def q148_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb1 AS (
       SELECT e.v AS u,
              CAST(SUM(CAST(('0x' || substr(md5(c.lb), 1, 15)) AS BIGINT)
-                      % 2147483647) AS BIGINT) AS s1,
-             CAST(SUM(CAST(('0x' || substr(md5('w2|' || c.lb), 1, 15)) AS BIGINT)
-                      % 2147483629) AS BIGINT) AS s2,
+                      % {DIGEST_P1}) AS BIGINT) AS s1,
+             CAST(SUM(CAST(('0x' || substr(md5('{DIGEST_LANE2_KEY}' || c.lb), 1, 15)) AS BIGINT)
+                      % {DIGEST_P2}) AS BIGINT) AS s2,
              COUNT(*) AS d
       FROM e JOIN lab0 c ON c.u = e.u GROUP BY e.v),
     lab1 AS (
@@ -377,9 +380,9 @@ def q148_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb2 AS (
       SELECT e.v AS u,
              CAST(SUM(CAST(('0x' || substr(md5(c.lb), 1, 15)) AS BIGINT)
-                      % 2147483647) AS BIGINT) AS s1,
-             CAST(SUM(CAST(('0x' || substr(md5('w2|' || c.lb), 1, 15)) AS BIGINT)
-                      % 2147483629) AS BIGINT) AS s2,
+                      % {DIGEST_P1}) AS BIGINT) AS s1,
+             CAST(SUM(CAST(('0x' || substr(md5('{DIGEST_LANE2_KEY}' || c.lb), 1, 15)) AS BIGINT)
+                      % {DIGEST_P2}) AS BIGINT) AS s2,
              COUNT(*) AS d
       FROM e JOIN lab1 c ON c.u = e.u GROUP BY e.v),
     lab2 AS (

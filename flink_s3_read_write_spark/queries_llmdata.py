@@ -3749,9 +3749,9 @@ def q175_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     post AS (
       SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                           AS BIGINT) % 2147483647) AS BIGINT) AS posting_digest,
-             CAST(SUM(CAST(('0x' || substr(md5('w2|' || CAST(doc_id AS VARCHAR)), 1, 15))
-                           AS BIGINT) % 2147483629) AS BIGINT) AS posting_digest2,
+                           AS BIGINT) % {D.DIGEST_P1}) AS BIGINT) AS posting_digest,
+             CAST(SUM(CAST(('0x' || substr(md5('{D.DIGEST_LANE2_KEY}' || CAST(doc_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) % {D.DIGEST_P2}) AS BIGINT) AS posting_digest2,
              CAST(MIN(doc_id) AS BIGINT) AS min_doc,
              CAST(MAX(doc_id) AS BIGINT) AS max_doc
       FROM tok GROUP BY tok)
@@ -3793,10 +3793,10 @@ def q192_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
         .distinct()
     )
-    h = _md5_h60(F.md5(F.col("doc_id").cast("string"))) % F.lit(2147483647)
+    h = _md5_h60(F.md5(F.col("doc_id").cast("string"))) % F.lit(D.DIGEST_P1)
     h2 = _md5_h60(
-        F.md5(F.concat(F.lit("w2|"), F.col("doc_id").cast("string")))
-    ) % F.lit(2147483629)
+        F.md5(F.concat(F.lit(D.DIGEST_LANE2_KEY), F.col("doc_id").cast("string")))
+    ) % F.lit(D.DIGEST_P2)
     return (
         tok.groupBy("tok")
         .agg(

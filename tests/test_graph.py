@@ -236,8 +236,14 @@ def test_basket_cap_oracle_mirror_in_sync():
 
 def test_q197_broadcast_escape_hatch_same_result(spark):
     """r10: broadcast_frontier=False must produce identical min-cost
-    rows via a shuffled (non-broadcast) probe join — the bfs_levels
-    degradation contract, now mirrored on the weighted twin."""
+    rows via a GENUINELY shuffled probe join — the bfs_levels
+    degradation contract, now mirrored on the weighted twin.  At test
+    scale the tiny frontier would auto-broadcast even without the
+    hint, silently comparing a broadcast plan against itself, so the
+    non-broadcast run pins autoBroadcastJoinThreshold=-1 (static and
+    adaptive) and asserts the probe join really planned as a
+    SortMergeJoin (r10 review)."""
+    from flink_s3_read_write_spark.plans import inspect as P
     from flink_s3_read_write_spark.queries_graph import q197_min_cost_paths
 
     sf = "/root/testdata/sf0.001"
@@ -245,8 +251,23 @@ def test_q197_broadcast_escape_hatch_same_result(spark):
         (r["node"], r["cost"])
         for r in q197_min_cost_paths(spark, sf).collect()
     )
-    b = sorted(
-        (r["node"], r["cost"])
-        for r in q197_min_cost_paths(spark, sf, broadcast_frontier=False).collect()
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
     )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        df = q197_min_cost_paths(spark, sf, broadcast_frontier=False)
+        plan = P.formatted_plan(df)
+        assert P.has(plan, "SortMergeJoin"), plan
+        assert not P.has(plan, "BroadcastHashJoin"), plan
+        b = sorted((r["node"], r["cost"]) for r in df.collect())
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     assert a == b and len(a) > 0
