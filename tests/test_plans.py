@@ -969,8 +969,16 @@ def test_release_shared_builders_drops_storage_and_memos(spark, sf_dir):
         _time.sleep(0.1)
     assert len(jsc.getRDDStorageInfo()) == 0
 
-    # Lazily rebuilds — same values, fresh materialization.
-    assert QL.doc_tokens(spark, sf_dir).count() > 0
+    # Lazily rebuilds — same values, fresh materialization.  Checked on
+    # an actual registry consumer, not just a row count: a mid-session
+    # release must be invisible to every downstream answer.
+    from flink_s3_read_write_spark.queries import registry
+
+    q33 = registry()["q33_minhash_dedup_pairs"].fn
+    before = sorted(map(tuple, q33(spark, sf_dir).collect()))
+    release_shared_builders(spark)
+    after = sorted(map(tuple, q33(spark, sf_dir).collect()))
+    assert before == after and len(before) > 0
 
 
 def test_ivf_centroid_memo_is_read_only(spark, sf_dir):
