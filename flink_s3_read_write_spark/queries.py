@@ -80,6 +80,11 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # refactor) — mechanical edits, listed per the registry rule.
     "q197_min_cost_paths",
     "q158_wl_graph_fingerprint",
+    # r10: q80's df ceiling made mechanical (count-only pre-aggregate
+    # + broadcast anti-join before the posting accumulator, oracle
+    # HAVING mirror) — previously a docstring claim; the default cap
+    # is non-binding on the driver corpora (values unchanged).
+    "q80_inverted_index",
 )
 
 

@@ -1430,9 +1430,20 @@ def q79_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q80's df ceiling: a token whose posting list would exceed this is
+# dropped BEFORE the collect_set accumulator ever sees it (the
+# cap_baskets discipline — the literal posting list is the product
+# here, so hot tokens cannot be kept; q192's additive digest is the
+# form that keeps them).  Mirrored in the DuckDB oracle's HAVING and
+# pinned by tests/test_query_extras.py's sync test.  Non-binding on
+# the driver corpora (max df 3923 at sf0.1); the drop path is
+# exercised by a synthetic hot token in the unit test.
+MAX_DF = 10_000
+
+
 @register(
     "q80_inverted_index",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token
       FROM documents
@@ -1445,22 +1456,40 @@ def q79_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS postings
     FROM pairs p
     GROUP BY p.token
+    -- df ceiling, mirrors the Spark side's mechanical hot-token drop
+    HAVING COUNT(*) <= {MAX_DF}
     """,
     doc=(
         "Inverted-index build: token -> document frequency, total term "
         "frequency, and the ordered posting list (sort_array over "
         "collect_set, serialized). One explode + one shuffle on token; "
-        "posting lists are bounded by df, so at 100 TB hot tokens "
-        "(stopwords) are dropped by a df ceiling or sharded by "
-        "(token, doc_id % k) before the collect -- same salting "
-        "pattern as operators/skew.py."
+        "the df ceiling is MECHANICAL (r10, previously a docstring "
+        "claim): stopword-grade tokens are found by a count-only "
+        "pre-aggregate and dropped by broadcast anti-join BEFORE the "
+        "posting accumulator, mirrored in the oracle's HAVING <= "
+        "MAX_DF, so no hot token can build a corpus-sized array in "
+        "one reducer. q192 is the digest-form twin that KEEPS hot "
+        "tokens by collapsing postings additively."
     ),
 )
-def q80_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q80_inverted_index(
+    spark: SparkSession, sf_dir: str, max_df: int = MAX_DF
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
+    # Hot-token guard: the pre-aggregate's countDistinct rewrites to a
+    # two-stage distinct aggregate (constant state per group — never a
+    # posting-sized accumulator), hot tokens are few by definition, so
+    # the drop is a map-side broadcast anti join of the token stream.
+    hot = (
+        toks.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("token")
+    )
+    toks = toks.join(F.broadcast(hot), "token", "left_anti")
     # df comes free as size(collect_set): no countDistinct, so no
     # distinct-expand — the groupBy stays a single exchange.
     agg = toks.groupBy("token").agg(

@@ -54,6 +54,41 @@ def test_inverted_index_consistency(spark, sf_dir):
         assert len(set(ids)) == len(ids)
 
 
+def test_inverted_index_df_cap_is_mechanical(spark, tmp_path):
+    """q80's df ceiling is enforced by code, not docstrings (r10): a
+    synthetic hot token present in more documents than max_df vanishes
+    from the index while normal tokens keep exact df/tf/postings, and
+    the plan carries the broadcast anti-join guard."""
+    from flink_s3_read_write_spark.plans import inspect as P
+    from flink_s3_read_write_spark.queries_llmdata import q80_inverted_index
+
+    rows = [(i, "the quick") if i < 8 else (i, "the") for i in range(10)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = q80_inverted_index(spark, str(tmp_path), max_df=9)
+    got = {r.token: (r.df, r.tf, r.postings) for r in out.collect()}
+    # "the" (df 10 > 9) is dropped; "quick" (df 8) survives intact.
+    assert got == {"quick": (8, 8, "0,1,2,3,4,5,6,7")}
+    plan = P.formatted_plan(q80_inverted_index(spark, str(tmp_path)))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_inverted_index_cap_oracle_mirror_in_sync():
+    """q80's cap lives in TWO places — the max_df default on the Spark
+    side and a literal HAVING in the DuckDB oracle.  Pin them together
+    mechanically (no Spark session needed)."""
+    import inspect
+
+    from flink_s3_read_write_spark import queries_llmdata as QL
+    from flink_s3_read_write_spark.queries import registry
+
+    oracle = registry()["q80_inverted_index"].oracle
+    assert f"HAVING COUNT(*) <= {QL.MAX_DF}" in oracle
+    sig = inspect.signature(QL.q80_inverted_index)
+    assert sig.parameters["max_df"].default == QL.MAX_DF
+
+
 def test_winsorize_clamps_within_group_range(spark, sf_dir):
     out = _q("q81_winsorize")(spark, sf_dir)
     # Clamped value never leaves the group's observed [min, max], row
