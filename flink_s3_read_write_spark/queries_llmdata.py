@@ -1468,8 +1468,11 @@ MAX_DF = 10_000
         "pre-aggregate and dropped by broadcast anti-join BEFORE the "
         "posting accumulator, mirrored in the oracle's HAVING <= "
         "MAX_DF, so no hot token can build a corpus-sized array in "
-        "one reducer. q192 is the digest-form twin that KEEPS hot "
-        "tokens by collapsing postings additively."
+        "one reducer. The pre-pass re-reads the pruned two-column "
+        "scan - cheaper at any scale than caching the exploded token "
+        "stream, the same trade cap_baskets makes. q192 is the "
+        "digest-form twin that KEEPS hot tokens by collapsing "
+        "postings additively."
     ),
 )
 def q80_inverted_index(
