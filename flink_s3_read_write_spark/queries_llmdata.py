@@ -1470,13 +1470,17 @@ MAX_DF = 10_000
         "MAX_DF, so no hot token can build a corpus-sized array in "
         "one reducer. The pre-pass re-reads the pruned two-column "
         "scan - cheaper at any scale than caching the exploded token "
-        "stream, the same trade cap_baskets makes. q192 is the "
-        "digest-form twin that KEEPS hot tokens by collapsing "
-        "postings additively."
+        "stream, the same trade cap_baskets makes - and the hot set "
+        "(the Zipf head, which GROWS with the corpus, unlike basket "
+        "whales) has the broadcast_hot=False escape hatch: a shuffled "
+        "anti join whose token partitioning the downstream groupBy "
+        "absorbs. q192 is the digest-form twin that KEEPS hot tokens "
+        "by collapsing postings additively."
     ),
 )
 def q80_inverted_index(
-    spark: SparkSession, sf_dir: str, max_df: int = MAX_DF
+    spark: SparkSession, sf_dir: str, max_df: int = MAX_DF,
+    broadcast_hot: bool = True,
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -1484,15 +1488,21 @@ def q80_inverted_index(
     )
     # Hot-token guard: the pre-aggregate's countDistinct rewrites to a
     # two-stage distinct aggregate (constant state per group — never a
-    # posting-sized accumulator), hot tokens are few by definition, so
-    # the drop is a map-side broadcast anti join of the token stream.
+    # posting-sized accumulator).  Unlike basket whales, the hot set
+    # under a FIXED df ceiling grows with the corpus (the Zipf head:
+    # at 10^12 docs, every token down to rank ~10^8 exceeds df 10^4),
+    # so the broadcast drop is an explicit choice with an escape
+    # hatch: broadcast_hot=False degrades to a shuffled anti join
+    # whose token hash-partitioning the downstream groupBy("token")
+    # exchange absorbs — the q197/bfs_levels degradation contract.
     hot = (
         toks.groupBy("token")
         .agg(F.countDistinct("doc_id").alias("_df"))
         .filter(F.col("_df") > max_df)
         .select("token")
     )
-    toks = toks.join(F.broadcast(hot), "token", "left_anti")
+    hot = F.broadcast(hot) if broadcast_hot else hot
+    toks = toks.join(hot, "token", "left_anti")
     # df comes free as size(collect_set): no countDistinct, so no
     # distinct-expand — the groupBy stays a single exchange.
     agg = toks.groupBy("token").agg(

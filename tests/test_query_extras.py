@@ -74,6 +74,39 @@ def test_inverted_index_df_cap_is_mechanical(spark, tmp_path):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
+def test_inverted_index_hot_drop_escape_hatch_same_result(spark, sf_dir):
+    """broadcast_hot=False must produce an identical index via a
+    GENUINELY shuffled anti join — the q197/bfs_levels degradation
+    contract for the Zipf-head hot set, which grows with the corpus
+    and outgrows broadcast at scale.  The non-broadcast run pins
+    autoBroadcastJoinThreshold=-1 (static and adaptive) so the guard
+    join really plans as a shuffled SortMergeJoin."""
+    from flink_s3_read_write_spark.plans import inspect as P
+    from flink_s3_read_write_spark.queries_llmdata import q80_inverted_index
+
+    a = sorted(map(tuple, q80_inverted_index(spark, sf_dir).collect()))
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        df = q80_inverted_index(spark, sf_dir, broadcast_hot=False)
+        plan = P.formatted_plan(df)
+        assert P.has(plan, "SortMergeJoin"), plan
+        assert not P.has(plan, "BroadcastHashJoin"), plan
+        b = sorted(map(tuple, df.collect()))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert a == b and len(a) > 0
+
+
 def test_inverted_index_cap_oracle_mirror_in_sync():
     """q80's cap lives in TWO places — the max_df default on the Spark
     side and a literal HAVING in the DuckDB oracle.  Pin them together
