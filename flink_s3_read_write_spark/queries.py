@@ -85,6 +85,14 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # HAVING mirror) — previously a docstring claim; the default cap
     # is non-binding on the driver corpora (values unchanged).
     "q80_inverted_index",
+    # r10 broadcast-growth audit: q195's per-doc size table (the one
+    # corpus-sized broadcast in the repo) eliminated by carrying
+    # size(toks) through the explode — one join fewer, values
+    # unchanged; q207's node-scale survivor set gained the
+    # bfs_levels/q197 broadcast_keep escape hatch (default path
+    # plan-identical, values unchanged).
+    "q195_prefix_filter_ssjoin",
+    "q207_kcore_peeling",
 )
 
 

@@ -880,12 +880,18 @@ def q206_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "until fixpoint with the same per-round plan (degree "
         "aggregate + two semi-joins on the cached u-partitioned edge "
         "list - frontier-sized state, one edge shuffle reused, "
-        "checkpoint between rounds at 100 TB). All counts integer; "
-        "the directed/2 edge count is exact (explode emits both "
-        "orientations, always even)."
+        "checkpoint between rounds at 100 TB). The survivor set is "
+        "NODE-scale (peeling trims only the low-degree tail), so the "
+        "endpoint joins carry the bfs_levels/q197 escape hatch: "
+        "broadcast_keep=False degrades the u-side to a shuffled join "
+        "the cached edge partitioning absorbs (r10, equivalence-"
+        "tested). All counts integer; the directed/2 edge count is "
+        "exact (explode emits both orientations, always even)."
     ),
 )
-def q207_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q207_kcore_peeling(
+    spark: SparkSession, sf_dir: str, broadcast_keep: bool = True
+) -> DataFrame:
     pairs = basket_pairs(spark, sf_dir)
     und = (
         pairs.select(
@@ -904,11 +910,18 @@ def q207_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     def peel(edges):
         deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= 3).select("u")
+        # The survivor set is NODE-scale (peeling drops only the
+        # low-degree tail each round), so the broadcast endpoint
+        # filters carry the bfs_levels/q197 escape hatch: with
+        # broadcast_keep=False the u-side join degrades to a shuffled
+        # join that the cached repartition("u") edge partitioning
+        # absorbs (the v-side pays the one unavoidable shuffle).
+        ku = F.broadcast(keep) if broadcast_keep else keep
+        kv = keep.select(F.col("u").alias("v"))
+        kv = F.broadcast(kv) if broadcast_keep else kv
         kept = (
-            edges.join(F.broadcast(keep), "u")
-            .join(
-                F.broadcast(keep.select(F.col("u").alias("v"))), "v"
-            )
+            edges.join(ku, "u")
+            .join(kv, "v")
             .select("u", "v")
             .cache()
         )

@@ -3923,15 +3923,18 @@ def q195_prefix_filter_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per session across the whole dedup arc; this query only pays the
     # cheap explode from the InMemoryRelation.
     shing = doc_shingle_sets(spark, sf_dir)
-    tok = shing.select("doc_id", F.explode("toks").alias("tok"))
+    # |toks| IS the set size (the sets are distinct by construction) —
+    # carried THROUGH the explode as one int per row, so no per-doc
+    # size table ever exists, let alone gets broadcast (r10: the old
+    # broadcast(sz) side was corpus-sized — one row per doc — the one
+    # growth law a broadcast must never have).
+    tok = shing.select(
+        "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("tok")
+    )
     tok = tok.cache()  # feeds the frequency table AND the prefix rank
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
-    # |toks| IS the set size (the sets are distinct by construction) —
-    # no second postings aggregate needed.
-    sz = shing.select("doc_id", F.size("toks").alias("n"))
     ranked = (
         tok.join(freq, "tok")
-        .join(F.broadcast(sz), "doc_id")
         .select(
             "doc_id", "tok", "n",
             F.row_number()

@@ -234,6 +234,44 @@ def test_basket_cap_oracle_mirror_in_sync():
     assert "HAVING COUNT(*) <= 1000" in reg["q190_fuzzy_string_join"].oracle
 
 
+def test_q207_broadcast_keep_escape_hatch_same_result(spark):
+    """r10 broadcast-growth audit: the k-core survivor set is
+    node-scale, so broadcast_keep=False must peel to identical
+    (round, n_nodes, n_edges) rows via genuinely shuffled endpoint
+    joins — pinned with autoBroadcastJoinThreshold=-1 like the q197
+    hatch test."""
+    from flink_s3_read_write_spark.plans import inspect as P
+    from flink_s3_read_write_spark.queries_graph import q207_kcore_peeling
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, q207_kcore_peeling(spark, sf).collect()))
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        # CacheManager canonicalization IGNORES join hints, so without
+        # this clear the hatch run would be served run-a's cached
+        # broadcast-built survivor edges and the plan assert would see
+        # InMemoryRelations instead of the shuffled joins.
+        spark.catalog.clearCache()
+        df = q207_kcore_peeling(spark, sf, broadcast_keep=False)
+        plan = P.formatted_plan(df)
+        assert P.has(plan, "SortMergeJoin"), plan
+        b = sorted(map(tuple, df.collect()))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.catalog.clearCache()
+    assert a == b and len(a) > 0
+
+
 def test_q197_broadcast_escape_hatch_same_result(spark):
     """r10: broadcast_frontier=False must produce identical min-cost
     rows via a GENUINELY shuffled probe join — the bfs_levels
