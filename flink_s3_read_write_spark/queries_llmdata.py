@@ -3906,8 +3906,11 @@ def q192_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the thin tail; stopwords never become join keys). Verify is "
         "the exact intersection count with the integer cross-"
         "multiplied threshold 9i >= 4(na+nb) - division only in the "
-        "reported jaccard. At 100 TB: freq table broadcast, prefix "
-        "explode is O(corpus tokens), candidates partition by token."
+        "reported jaccard. At 100 TB: the freq attach joins on the "
+        "shingle key (the planner broadcasts while the shingle "
+        "vocabulary fits, shuffles when it outgrows that - no hint "
+        "forces either), the prefix explode is O(corpus tokens) and "
+        "deliberately uncached, candidates partition by token."
     ),
 )
 def q195_prefix_filter_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3931,7 +3934,11 @@ def q195_prefix_filter_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = shing.select(
         "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("tok")
     )
-    tok = tok.cache()  # feeds the frequency table AND the prefix rank
+    # tok feeds the frequency table AND the prefix rank, but it is NOT
+    # cached (r10): the exploded stream is corpus×shingles rows — the
+    # one thing the cache policy rule says never to materialize — and
+    # re-running the explode is a cheap projection off the already-
+    # cached doc_shingle_sets InMemoryRelation.
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
     ranked = (
         tok.join(freq, "tok")

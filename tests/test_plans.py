@@ -708,9 +708,10 @@ def test_q192_inverted_index_single_token_shuffle_after_distinct(spark, sf_dir):
 
 def test_q195_ssjoin_prefix_equijoin_no_cartesian(spark, sf_dir):
     """q195: candidate generation must be an equi-join on the prefix
-    shingle and verify an equi-join on (doc, shingle) — the exact
-    SSJoin never degrades to a cartesian/BNL pair enumeration; doc
-    sizes attach by broadcast."""
+    shingle and verify an in-row array_intersect off the cached
+    shingle sets — the exact SSJoin never degrades to a cartesian/BNL
+    pair enumeration (r10: doc sizes ride the explode, no per-doc
+    broadcast exists any more)."""
     from flink_s3_read_write_spark.queries import registry
 
     plan = P.formatted_plan(registry()["q195_prefix_filter_ssjoin"].fn(spark, sf_dir))
