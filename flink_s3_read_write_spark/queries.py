@@ -68,32 +68,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # editing any query; otherwise a pre-edit green row from the previous
 # round would count as post-touch confirmation and auto-demote an
 # edited query on stale evidence.
-_TOUCHED_SINCE_ROUND = 10
-_TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # r10: q192's posting digest gained a second independent 31-bit
-    # lane (ADVICE r09) — spec change, oracle updated in lockstep;
-    # values differ from r09 by design.
-    "q192_inverted_index",
-    # r10: q197 gained the broadcast_frontier escape-hatch parameter
-    # (default path plan-identical, values unchanged) and q158/q192
-    # now read the digest primes from shared constants (pure
-    # refactor) — mechanical edits, listed per the registry rule.
-    "q197_min_cost_paths",
-    "q158_wl_graph_fingerprint",
-    # r10: q80's df ceiling made mechanical (count-only pre-aggregate
-    # + broadcast anti-join before the posting accumulator, oracle
-    # HAVING mirror) — previously a docstring claim; the default cap
-    # is non-binding on the driver corpora (values unchanged).
-    "q80_inverted_index",
-    # r10 broadcast-growth audit: q195's per-doc size table (the one
-    # corpus-sized broadcast in the repo) eliminated by carrying
-    # size(toks) through the explode — one join fewer, values
-    # unchanged; q207's node-scale survivor set gained the
-    # bfs_levels/q197 broadcast_keep escape hatch (default path
-    # plan-identical, values unchanged).
-    "q195_prefix_filter_ssjoin",
-    "q207_kcore_peeling",
-)
+_TOUCHED_SINCE_ROUND = 11
+_TOUCHED_THIS_ROUND: tuple[str, ...] = ()
 
 
 def stale_touched() -> list[str]:
