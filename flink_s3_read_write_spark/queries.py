@@ -69,7 +69,15 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # round would count as post-touch confirmation and auto-demote an
 # edited query on stale evidence.
 _TOUCHED_SINCE_ROUND = 11
-_TOUCHED_THIS_ROUND: tuple[str, ...] = ()
+_TOUCHED_THIS_ROUND: tuple[str, ...] = (
+    # r11 (ADVICE r10): q80's hot-token guard join is now UN-HINTED by
+    # default (planner/AQE decides; broadcast_hot=True is the opt-in
+    # small-corpus hint — the Zipf head grows with the corpus, so the
+    # forced broadcast was the growth-law violation the r10 audit
+    # removed elsewhere); plus an optional drop_observation hook and
+    # the non-default-max_df oracle-scope note.  Values unchanged.
+    "q80_inverted_index",
+)
 
 
 def stale_touched() -> list[str]:

@@ -1470,18 +1470,38 @@ MAX_DF = 10_000
         "MAX_DF, so no hot token can build a corpus-sized array in "
         "one reducer. The pre-pass re-reads the pruned two-column "
         "scan - cheaper at any scale than caching the exploded token "
-        "stream, the same trade cap_baskets makes - and the hot set "
-        "(the Zipf head, which GROWS with the corpus, unlike basket "
-        "whales) has the broadcast_hot=False escape hatch: a shuffled "
-        "anti join whose token partitioning the downstream groupBy "
-        "absorbs. q192 is the digest-form twin that KEEPS hot tokens "
-        "by collapsing postings additively."
+        "stream, the same trade cap_baskets makes. The guard join is "
+        "UN-HINTED by default (r11, ADVICE r10): the hot set is the "
+        "Zipf head, which GROWS with the corpus (unlike basket "
+        "whales), so the planner decides - AQE broadcasts while the "
+        "head fits, shuffles when it outgrows that, and the "
+        "downstream groupBy('token') exchange absorbs the shuffled "
+        "form's partitioning (the q192 freq-attach contract); "
+        "broadcast_hot=True is the opt-in small-corpus hint. q192 is "
+        "the digest-form twin that KEEPS hot tokens by collapsing "
+        "postings additively."
     ),
 )
 def q80_inverted_index(
     spark: SparkSession, sf_dir: str, max_df: int = MAX_DF,
-    broadcast_hot: bool = True,
+    broadcast_hot: bool = False,
+    drop_observation=None,
 ) -> DataFrame:
+    """Only the default ``max_df`` (== MAX_DF) is oracle-verified: the
+    registered DuckDB oracle freezes the ceiling as a literal HAVING at
+    registration time (kept in lockstep by the sync test), so calls
+    with a non-default ``max_df`` are covered by the unit tests, not
+    the driver's hash gate.
+
+    Truncation is observable (ADVICE r10): pass
+    ``drop_observation=pyspark.sql.Observation()`` and after any
+    action on the result ``observation.get["n_dropped_tokens"]`` is
+    the number of distinct tokens the df ceiling removed — a
+    CollectMetrics node on the guard side, zero extra jobs at any
+    scale.  Default None keeps the plan free of the node (metric
+    names must be unique per query, so an always-on name would break
+    callers composing two q80 plans into one query).
+    """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
@@ -1491,16 +1511,21 @@ def q80_inverted_index(
     # posting-sized accumulator).  Unlike basket whales, the hot set
     # under a FIXED df ceiling grows with the corpus (the Zipf head:
     # at 10^12 docs, every token down to rank ~10^8 exceeds df 10^4),
-    # so the broadcast drop is an explicit choice with an escape
-    # hatch: broadcast_hot=False degrades to a shuffled anti join
-    # whose token hash-partitioning the downstream groupBy("token")
-    # exchange absorbs — the q197/bfs_levels degradation contract.
+    # so the default join is UN-HINTED — the planner/AQE broadcasts
+    # only while the head actually fits — and broadcast_hot=True is
+    # the explicit small-corpus opt-in.  Either way the downstream
+    # groupBy("token") exchange absorbs the shuffled form's
+    # hash-partitioning — the q197/bfs_levels degradation contract.
     hot = (
         toks.groupBy("token")
         .agg(F.countDistinct("doc_id").alias("_df"))
         .filter(F.col("_df") > max_df)
         .select("token")
     )
+    if drop_observation is not None:
+        hot = hot.observe(
+            drop_observation, F.count(F.lit(1)).alias("n_dropped_tokens")
+        )
     hot = F.broadcast(hot) if broadcast_hot else hot
     toks = toks.join(hot, "token", "left_anti")
     # df comes free as size(collect_set): no countDistinct, so no

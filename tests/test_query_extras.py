@@ -70,21 +70,30 @@ def test_inverted_index_df_cap_is_mechanical(spark, tmp_path):
     got = {r.token: (r.df, r.tf, r.postings) for r in out.collect()}
     # "the" (df 10 > 9) is dropped; "quick" (df 8) survives intact.
     assert got == {"quick": (8, 8, "0,1,2,3,4,5,6,7")}
+    # Default plan (un-hinted, r11) still carries the anti-join guard;
+    # the opt-in broadcast_hot=True forces the hash-join form.
     plan = P.formatted_plan(q80_inverted_index(spark, str(tmp_path)))
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "LeftAnti" in plan, plan
+    plan_b = P.formatted_plan(
+        q80_inverted_index(spark, str(tmp_path), broadcast_hot=True)
+    )
+    assert "BroadcastHashJoin" in plan_b and "LeftAnti" in plan_b, plan_b
 
 
 def test_inverted_index_hot_drop_escape_hatch_same_result(spark, sf_dir):
-    """broadcast_hot=False must produce an identical index via a
-    GENUINELY shuffled anti join — the q197/bfs_levels degradation
-    contract for the Zipf-head hot set, which grows with the corpus
-    and outgrows broadcast at scale.  The non-broadcast run pins
-    autoBroadcastJoinThreshold=-1 (static and adaptive) so the guard
-    join really plans as a shuffled SortMergeJoin."""
+    """The DEFAULT (un-hinted, r11 — ADVICE r10 flipped the hint to
+    opt-in because the Zipf-head hot set grows with the corpus) must
+    produce an identical index via a GENUINELY shuffled anti join when
+    the planner can't broadcast, and the broadcast_hot=True opt-in
+    must match it.  The shuffled run pins autoBroadcastJoinThreshold=-1
+    (static and adaptive) so the guard join really plans as a
+    SortMergeJoin — the q197/bfs_levels degradation contract."""
     from flink_s3_read_write_spark.plans import inspect as P
     from flink_s3_read_write_spark.queries_llmdata import q80_inverted_index
 
-    a = sorted(map(tuple, q80_inverted_index(spark, sf_dir).collect()))
+    a = sorted(map(tuple,
+                   q80_inverted_index(spark, sf_dir,
+                                      broadcast_hot=True).collect()))
     keys = (
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.autoBroadcastJoinThreshold",
@@ -93,7 +102,7 @@ def test_inverted_index_hot_drop_escape_hatch_same_result(spark, sf_dir):
     try:
         for k in keys:
             spark.conf.set(k, "-1")
-        df = q80_inverted_index(spark, sf_dir, broadcast_hot=False)
+        df = q80_inverted_index(spark, sf_dir)
         plan = P.formatted_plan(df)
         assert P.has(plan, "SortMergeJoin"), plan
         assert not P.has(plan, "BroadcastHashJoin"), plan
@@ -105,6 +114,28 @@ def test_inverted_index_hot_drop_escape_hatch_same_result(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     assert a == b and len(a) > 0
+
+
+def test_inverted_index_drop_count_observable(spark, tmp_path):
+    """ADVICE r10: truncation must be observable — an Observation on
+    the guard side reports how many distinct tokens the df ceiling
+    removed, with zero extra jobs, on both join forms."""
+    from pyspark.sql import Observation
+
+    from flink_s3_read_write_spark.queries_llmdata import q80_inverted_index
+
+    rows = [(i, "the quick") if i < 8 else (i, "the") for i in range(10)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    for hint in (False, True):
+        obs = Observation()
+        out = q80_inverted_index(
+            spark, str(tmp_path), max_df=9, broadcast_hot=hint,
+            drop_observation=obs,
+        )
+        out.write.format("noop").mode("overwrite").save()
+        assert obs.get["n_dropped_tokens"] == 1  # "the", df 10 > 9
 
 
 def test_inverted_index_cap_oracle_mirror_in_sync():
