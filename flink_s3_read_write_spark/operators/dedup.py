@@ -369,6 +369,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
     max_bucket: int = 50, engine: str = "numpy", hash_src: str = "xxhash64",
     shingle_sets: DataFrame | None = None,
+    cap_bucket_prepass: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH on the signature.
 
@@ -384,6 +385,21 @@ def minhash_lsh_pairs(
     two more shuffles of the banded table; the in-array expansion is
     safe precisely because the guard bounds the bucket (≤ max_bucket
     ids ⇒ ≤ max_bucket² struct ops per row, memory-bounded).
+
+    ``cap_bucket_prepass`` (r11 — the callable form of the r10
+    collect-state disposition): the default size filter runs AFTER
+    collect_list, so one pathological bucket (n near-identical
+    boilerplate docs sharing a band key) still materializes an
+    n-element array in a single reducer before being dropped —
+    quantified at ~80 MB for n = 10M, survivable but not free.  True
+    opts into the q80/cap_baskets discipline: a count-only
+    pre-aggregate (constant state per group) finds over-cap
+    (band, bucket) keys and an UN-HINTED anti-join (planner/AQE
+    broadcasts while the degenerate-key set fits — it is
+    data-dependent, so no forced hint) drops their rows BEFORE the
+    accumulator.  Values are identical either way (over-cap buckets
+    emit no pairs on both paths — equivalence-tested on a synthetic
+    degenerate bucket); default False keeps the single-shuffle plan.
     """
     rows_per_band = num_perm // bands
     sig_fn = minhash_signatures_numpy if engine == "numpy" else minhash_signatures
@@ -420,6 +436,14 @@ def minhash_lsh_pairs(
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
+    if cap_bucket_prepass:
+        over = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(over, ["band", "band_hash"], "left_anti")
     bucketed = (
         banded.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
@@ -735,6 +759,7 @@ def simhash_near_pairs(
     df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id",
     max_bucket: int = 1000, hash_src: str = "xxhash64",
     tok: DataFrame | None = None,
+    cap_bucket_prepass: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -745,6 +770,12 @@ def simhash_near_pairs(
     collect-per-bucket scheme as ``minhash_lsh_pairs`` (struct of
     id+simhash so the Hamming check runs in-row), with a generous
     bucket cap against degenerate band-key collisions.
+
+    ``cap_bucket_prepass`` opts into the two-pass over-cap guard
+    (count-only pre-aggregate + un-hinted anti-join ahead of the
+    collect accumulator) — see ``minhash_lsh_pairs`` for the contract;
+    values are identical on both paths, default False keeps the
+    single-shuffle plan.
     """
     sh = simhash(df, text_col, id_col, hash_src, tok=tok)
     part_bits = 15 if hash_src == "md5" else 16
@@ -759,6 +790,14 @@ def simhash_near_pairs(
         id_col, "simhash",
         F.explode(F.array(*[F.struct(F.lit(p).alias("p"), parts[p]) for p in range(4)])).alias("b"),
     ).select(id_col, "simhash", "b.p", "b.k")
+    if cap_bucket_prepass:
+        over = (
+            banded.groupBy("p", "k")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("p", "k")
+        )
+        banded = banded.join(over, ["p", "k"], "left_anti")
     bucketed = (
         banded.groupBy("p", "k")
         .agg(

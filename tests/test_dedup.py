@@ -74,6 +74,46 @@ def test_lsh_bucket_guard_caps_blowup(spark):
     assert D.minhash_lsh_pairs(df, max_bucket=100).count() == 60 * 59 // 2
 
 
+def test_cap_bucket_prepass_equivalence(spark, docs):
+    """cap_bucket_prepass=True (count-only pre-aggregate + anti-join
+    BEFORE the collect accumulator — the callable form of the r10
+    collect-state disposition) must emit the identical pair set as the
+    default post-collect filter, on a mixed corpus AND on a synthetic
+    degenerate bucket where the cap binds (60 identical docs,
+    max_bucket=50: every band bucket is over-cap, zero pairs), and its
+    plan must carry the LeftAnti guard."""
+    from flink_s3_read_write_spark.plans import inspect as P
+
+    degen = spark.createDataFrame(
+        [(i, BASE) for i in range(60)] + [(100, NEAR), (101, FAR)],
+        "doc_id long, text string",
+    )
+    for frame in (docs, degen):
+        spark.catalog.clearCache()  # hint-blind CacheManager (SCALE.md)
+        a = sorted(map(tuple,
+                       D.minhash_lsh_pairs(frame, max_bucket=50).collect()))
+        b = sorted(map(tuple,
+                       D.minhash_lsh_pairs(frame, max_bucket=50,
+                                           cap_bucket_prepass=True).collect()))
+        assert a == b
+        sa = sorted(map(tuple, D.simhash_near_pairs(frame, max_bucket=3).collect()))
+        sb = sorted(map(tuple,
+                        D.simhash_near_pairs(frame, max_bucket=3,
+                                             cap_bucket_prepass=True).collect()))
+        assert sa == sb
+    # The degenerate corpus really exercises the binding cap on the
+    # prepass path: the 60-doc bucket vanishes, the near/far strays
+    # can't pair with anything at Jaccard-band granularity.
+    assert D.minhash_lsh_pairs(degen, max_bucket=50,
+                               cap_bucket_prepass=True).count() == 0
+    plan = P.formatted_plan(
+        D.minhash_lsh_pairs(degen, max_bucket=50, cap_bucket_prepass=True))
+    assert "LeftAnti" in plan, plan
+    plan_s = P.formatted_plan(
+        D.simhash_near_pairs(degen, max_bucket=3, cap_bucket_prepass=True))
+    assert "LeftAnti" in plan_s, plan_s
+
+
 def test_simhash_near_pairs(docs):
     got = {
         (r["id_a"], r["id_b"]): r["hamming"]
