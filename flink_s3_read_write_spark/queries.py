@@ -77,6 +77,12 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # removed elsewhere); plus an optional drop_observation hook and
     # the non-default-max_df oracle-scope note.  Values unchanged.
     "q80_inverted_index",
+    # r11 (plan-budget audit): q67's recall contract now consumes the
+    # IVF result ONCE via a full-outer pair join — the old left-join +
+    # separate n_ivf aggregate planned the entire IVF pipeline twice
+    # (12 scans / 6 Arrow nodes → 8 / 3).  Values unchanged
+    # (oracle-verified by hand at sf0.01 pre-commit).
+    "q67_ann_ivf_topk",
 )
 
 

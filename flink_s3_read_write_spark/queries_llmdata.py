@@ -1008,24 +1008,41 @@ def q67_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     k = 5
-    ivf = S.ann_ivf_topk(emb, queries, k=k, n_centroids=16, n_probe=4).select(
-        "q_id", "n_id"
+    # The IVF result feeds BOTH the recall check (hits against exact)
+    # and the per-query result-count check, and it is NOT cached — so
+    # consume it ONCE via a full-outer pair join (r11, plan-budget
+    # audit: the old left-join + separate n_ivf aggregate planned the
+    # whole IVF pipeline — corpus scan, Arrow cell assign, candidate
+    # join, top-k window — twice, 12 scans / 6 Arrow nodes in the
+    # static plan).  Both join sides are result-sized (n_queries × k
+    # rows), never corpus-sized.  Per-query counts fall out of null
+    # patterns: exact-only rows have hit NULL, IVF-only rows have ex
+    # NULL, sum() skips nulls on both.
+    ivf = (
+        S.ann_ivf_topk(emb, queries, k=k, n_centroids=16, n_probe=4)
+        .select("q_id", "n_id")
+        .withColumn("hit", F.lit(1))
     )
-    exact = S.brute_force_topk(emb, queries, k=k).select("q_id", "n_id", "cosine")
-    hit = ivf.withColumn("hit", F.lit(1)).select("q_id", "n_id", "hit")
+    exact = (
+        S.brute_force_topk(emb, queries, k=k)
+        .select("q_id", "n_id", "cosine")
+        .withColumn("ex", F.lit(1))
+    )
     per_q = (
-        exact.join(hit, ["q_id", "n_id"], "left")
+        exact.join(ivf, ["q_id", "n_id"], "full")
         .groupBy("q_id")
         .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+            F.sum("ex").alias("n_exact"),
+            F.sum("hit").alias("n_ivf"),
+            F.sum(
+                F.when(F.col("ex").isNotNull() & F.col("hit").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("n_hit"),
             F.sum(F.col("cosine").cast("decimal(30,6)")).alias("cos_d"),
         )
     )
-    n_ivf = ivf.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_ivf"))
     return (
-        per_q.join(n_ivf, "q_id")
-        .agg(
+        per_q.agg(
             F.count(F.lit(1)).alias("n_queries"),
             (F.min("n_exact") == k).alias("_ek"),
             (F.min("n_ivf") == k).alias("_ik"),
