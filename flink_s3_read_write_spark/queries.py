@@ -83,6 +83,11 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # (12 scans / 6 Arrow nodes → 8 / 3).  Values unchanged
     # (oracle-verified by hand at sf0.01 pre-commit).
     "q67_ann_ivf_topk",
+    # r11 (plan-budget audit): q172 rewritten single-pass — each fact
+    # table collapses to key grain once (13 scans → 4, 13 exchanges →
+    # 5, 6 broadcast-nested-loop check assemblies → 1 report explode).
+    # Values unchanged (oracle-verified by hand at sf0.01 pre-commit).
+    "q172_dq_constraint_suite",
 )
 
 

@@ -2551,15 +2551,19 @@ def q171_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Declarative data-quality constraint suite (the Deequ/"
         "dbt-test shape): primary-key uniqueness, two referential-"
-        "integrity checks (orphan lineitems / orphan orders, left-"
-        "anti joins), range and completeness checks, emitted as one "
-        "(check, n_checked, n_violations) report. Each check is a "
-        "conditional count or anti-join - partial-aggregated, no "
-        "row-level output - so the whole audit is a handful of "
-        "column-pruned scans plus key-partitioned anti-joins; at "
-        "100 TB every check merges per-partition counts, and the "
-        "anti-joins get the same broadcast/shuffle choice as any "
-        "dimension join."
+        "integrity checks (orphan lineitems / orphan orders), range "
+        "and completeness checks, emitted as one (check, n_checked, "
+        "n_violations) report. SINGLE-PASS (r11, plan-budget audit: "
+        "the per-check formulation scanned orders 7x and lineitem "
+        "6x): each fact table collapses to key grain ONCE - orders "
+        "by PK carrying the dup count, lineitem by FK carrying the "
+        "range-violation counts as conditional sums, orders by "
+        "custkey for the second FK - then every check is a null-"
+        "pattern sum over two key-grain joins (full-outer PK/FK "
+        "merge, left join onto the customer PK side). 13 scans -> 4, "
+        "and the key-grain joins land on the groupBy's own hash "
+        "partitioning; at 100 TB adding a constraint costs one more "
+        "conditional sum, not another corpus pass."
     ),
 )
 def q172_dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2567,41 +2571,69 @@ def q172_dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cust = load_table(spark, sf_dir, "customer")
 
-    def one(name, n_checked_df, n_viol_df):
-        a = n_checked_df.agg(F.count(F.lit(1)).alias("n_checked"))
-        b = n_viol_df.agg(F.count(F.lit(1)).alias("n_violations"))
-        return (
-            F.broadcast(a)
-            .crossJoin(F.broadcast(b))
-            .select(
-                F.lit(name).alias("check_name"),
-                F.col("n_checked").cast("bigint").alias("n_checked"),
-                F.col("n_violations").cast("bigint").alias("n_violations"),
-            )
+    # One pass per fact table, collapsed to key grain with every
+    # row-level predicate folded in as a conditional partial-agg sum.
+    okey = orders.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("oc"))
+    likey = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("ln"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")
+        ).alias("bd"),
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("bq"),
+    )
+    # Full-outer merge at key grain: orders-only rows have ln NULL,
+    # lineitem-only rows (orphans) have o_orderkey NULL; sum() skips
+    # nulls, so every orderkey-side check is one aggregate over this.
+    merged = okey.join(
+        likey, F.col("o_orderkey") == F.col("l_orderkey"), "full"
+    )
+    stats1 = merged.agg(
+        F.sum("oc").alias("n_orders"),
+        F.sum((F.col("oc") > 1).cast("long")).alias("pk_viol"),
+        F.sum("ln").alias("n_li"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), F.col("ln"))).alias(
+            "orphan_li"
+        ),
+        F.sum("bd").alias("bad_disc"),
+        F.sum("bq").alias("bad_qty"),
+    )
+    # Custkey-grain side: NULL custkeys form their own group, fail the
+    # customer match (matching the oracle's NOT EXISTS, where = NULL
+    # is never true), and feed both the completeness and FK checks.
+    cgrp = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("on2"))
+    j2 = cgrp.join(cust.select("c_custkey"),
+                   F.col("o_custkey") == F.col("c_custkey"), "left")
+    stats2 = j2.agg(
+        F.sum(F.when(F.col("c_custkey").isNull(), F.col("on2"))).alias(
+            "orphan_o"
+        ),
+        F.sum(F.when(F.col("o_custkey").isNull(), F.col("on2"))).alias(
+            "null_cust"
+        ),
+    )
+
+    def chk(name, checked, viol):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            F.coalesce(checked, F.lit(0)).cast("bigint").alias("n_checked"),
+            F.coalesce(viol, F.lit(0)).cast("bigint").alias("n_violations"),
         )
 
-    dup_pk = (
-        orders.groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-    )
-    orphan_li = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
-    orphan_o = orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
-    bad_disc = li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
-    bad_qty = li.filter(F.col("l_quantity") <= 0)
-    null_cust = orders.filter(F.col("o_custkey").isNull())
-    checks = [
-        one("orders_pk_unique", orders, dup_pk),
-        one("lineitem_fk_orders", li, orphan_li),
-        one("orders_fk_customer", orders, orphan_o),
-        one("discount_in_unit_range", li, bad_disc),
-        one("quantity_positive", li, bad_qty),
-        one("custkey_complete", orders, null_cust),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionByName(c)
-    return out
+    # Two 1-row stats sides -> 6 report rows by exploding a struct
+    # array: zero per-check scans, zero per-check joins.
+    wide = stats1.crossJoin(F.broadcast(stats2))
+    return wide.select(
+        F.explode(
+            F.array(
+                chk("orders_pk_unique", F.col("n_orders"), F.col("pk_viol")),
+                chk("lineitem_fk_orders", F.col("n_li"), F.col("orphan_li")),
+                chk("orders_fk_customer", F.col("n_orders"), F.col("orphan_o")),
+                chk("discount_in_unit_range", F.col("n_li"), F.col("bad_disc")),
+                chk("quantity_positive", F.col("n_li"), F.col("bad_qty")),
+                chk("custkey_complete", F.col("n_orders"), F.col("null_cust")),
+            )
+        ).alias("c")
+    ).select("c.check_name", "c.n_checked", "c.n_violations")
 
 
 @register(
