@@ -88,6 +88,15 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # 5, 6 broadcast-nested-loop check assemblies → 1 report explode).
     # Values unchanged (oracle-verified by hand at sf0.01 pre-commit).
     "q172_dq_constraint_suite",
+    # r11 (plan-budget audit): q199's coarser ladder levels now roll
+    # up from the cached finest QI count table (nested-floor identity;
+    # 4 customer scans → 2, 7 exchanges → 5) and q203's max-date bound
+    # rides a window over the per-day table instead of two fact-scan
+    # cross-joins (4 events scans → 2, both BroadcastNestedLoopJoins
+    # gone).  Values unchanged (oracle-verified by hand at sf0.01
+    # pre-commit).
+    "q199_k_anonymity_ladder",
+    "q203_rolling_mau",
 )
 
 

@@ -4208,14 +4208,18 @@ def q198_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FINEST generalization level whose equivalence class reaches "
         "k (L0 $1000 buckets -> L1 $4000 buckets -> L2 balance "
         "suppressed -> else fully suppressed), reporting records and "
-        "distinct classes per level. Three grouped counts (partial-"
-        "agg shuffles on the QI keys) joined back per record - the "
-        "lattice walk is CASE over pre-joined counts, never an "
-        "iterative per-record loop; bucket ids come from exact "
-        "DECIMAL cents so the floor is engine-identical (floor of a "
-        "double quotient near a bucket edge is not). At 100 TB the "
-        "three count tables are orders smaller than the fact and "
-        "broadcast; finer ladders just add join columns."
+        "distinct classes per level. ONE grouped count on the finest "
+        "QI key (the only fact shuffle, cached at its domain-bounded "
+        "grain); the coarser levels ROLL UP from it (r11 - the "
+        "buckets nest, floor(bal/4000) = floor(b0/4) by the nested-"
+        "floor identity, so the rollups shuffle the count table, not "
+        "the fact) and all three join back per record - the lattice "
+        "walk is CASE over pre-joined counts, never an iterative "
+        "per-record loop; bucket ids come from exact DECIMAL cents "
+        "so the floor is engine-identical (floor of a double "
+        "quotient near a bucket edge is not). At 100 TB the count "
+        "tables are orders smaller than the fact and broadcast; "
+        "finer ladders just add rollup levels."
     ),
 )
 def q199_k_anonymity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4231,9 +4235,25 @@ def q199_k_anonymity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("b1"),
     )
-    n0 = q.groupBy("nat", "seg", "b0").agg(F.count(F.lit(1)).alias("n0"))
-    n1 = q.groupBy("nat", "seg", "b1").agg(F.count(F.lit(1)).alias("n1"))
-    n2 = q.groupBy("nat", "seg").agg(F.count(F.lit(1)).alias("n2"))
+    # The finest QI count table is cached — domain-bounded grain
+    # (nation × segment × $1000-bucket, the cache-grain rule's
+    # "distinct vocab" class) with THREE consumers below.
+    n0 = (
+        q.groupBy("nat", "seg", "b0")
+        .agg(F.count(F.lit(1)).alias("n0"))
+        .cache()
+    )
+    # Coarser ladder levels ROLL UP from the finest count table rather
+    # than re-aggregating the fact (r11, plan-budget audit: 2 fewer
+    # fact scans + shuffles — the rollups shuffle the bounded QI-count
+    # table instead).  Exact because the buckets nest: b1 =
+    # floor(bal/4000) = floor(b0/4) by the nested-floor identity
+    # floor(floor(x/m)/n) = floor(x/(m*n)), valid for negatives too.
+    n1 = (
+        n0.groupBy("nat", "seg", F.floor(F.col("b0") / 4).alias("b1"))
+        .agg(F.sum("n0").alias("n1"))
+    )
+    n2 = n0.groupBy("nat", "seg").agg(F.sum("n0").alias("n2"))
     nat_s = F.col("nat").cast("string")
     lv = (
         q.join(F.broadcast(n0), ["nat", "seg", "b0"])
@@ -4414,22 +4434,31 @@ def q201_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q203_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
-    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
-    mx = F.broadcast(ev.agg(F.max(F.to_date("ts")).alias("md")))
     o = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o")
+    # r11 (plan-budget audit): events is scanned exactly TWICE (the
+    # two irreducible grains — distinct activity and per-day volume);
+    # the old max-date bound cost two more fact scans plus two
+    # nested-loop cross-joins.  The bound now rides a global window
+    # over the per-day count table (days-sized, single partition by
+    # construction — same cardinality the broadcast carried), and the
+    # MAU side needs no bound at all: its only over-the-edge targets
+    # (the ≤6 days past the last event day) are discarded by the final
+    # inner join against the bounded rev side, so the filter was
+    # redundant work at fact-activity grain.
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
     mau = (
         act.select("user_id", "d", o)
-        .crossJoin(mx)
-        .select("user_id", F.date_add("d", F.col("o")).alias("target"), "md")
-        .filter(F.col("target") <= F.col("md"))
+        .select("user_id", F.date_add("d", F.col("o")).alias("target"))
         .groupBy("target")
         .agg(F.countDistinct("user_id").alias("mau"))
     )
     evd = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count(F.lit(1)).alias("n"))
     rev = (
-        evd.select("d", "n", o)
-        .crossJoin(mx)
+        evd.withColumn("md", F.max("d").over(Window.partitionBy()))
+        .select("d", "n", "md", o)
         .select(F.date_add("d", F.col("o")).alias("target"), "n", "md")
         .filter(F.col("target") <= F.col("md"))
         .groupBy("target")
