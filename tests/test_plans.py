@@ -947,6 +947,26 @@ def test_release_shared_builders_drops_storage_and_memos(spark, sf_dir):
     from flink_s3_read_write_spark.sources import io as IO
     from flink_s3_read_write_spark.sources.io import load_table
 
+    import gc as _gc
+    import time as _time
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    # Baseline FIRST (r11 de-flake): catalog.clearCache() cannot drop
+    # RDD-LEVEL storage (localCheckpoint'd RDDs from earlier test
+    # modules linger until the ContextCleaner GCs them), so under a
+    # full-suite run the post-release storage set is "baseline", not
+    # "empty".  Release + GC + poll to a stable baseline id set, then
+    # assert the release below returns storage to a SUBSET of it.
+    release_shared_builders(spark)
+    _gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    for _ in range(100):
+        if len(jsc.getRDDStorageInfo()) == 0:
+            break
+        _time.sleep(0.1)
+    baseline_ids = {r.id() for r in jsc.getRDDStorageInfo()}
+
     # Materialize a shared builder (populates the JVM cache and, via
     # fan_out inside doc_tokens, the split-count memo) and train IVF
     # centroids (populates the centroid memo).
@@ -954,24 +974,22 @@ def test_release_shared_builders_drops_storage_and_memos(spark, sf_dir):
     S.ivf_train_centroids(
         load_table(spark, sf_dir, "embeddings"), n_centroids=4, vec_col="embedding"
     )
-    jsc = spark.sparkContext._jsc.sc()
-    assert len(jsc.getRDDStorageInfo()) >= 1
+    assert {r.id() for r in jsc.getRDDStorageInfo()} - baseline_ids
     assert len(IO._FAN_OUT_SPLITS) >= 1
     assert len(S._IVF_CENTROIDS) >= 1
 
     release_shared_builders(spark)
     # The Python-side memos clear synchronously; JVM storage-info
     # entries retire asynchronously after unpersist (the 9220586
-    # de-flake lesson), so poll briefly instead of asserting == 0 at
-    # the instant of return.
+    # de-flake lesson), so poll briefly instead of asserting at the
+    # instant of return.
     assert IO._FAN_OUT_SPLITS == {}
     assert S._IVF_CENTROIDS == {}
-    import time as _time
     for _ in range(100):
-        if len(jsc.getRDDStorageInfo()) == 0:
+        if {r.id() for r in jsc.getRDDStorageInfo()} <= baseline_ids:
             break
         _time.sleep(0.1)
-    assert len(jsc.getRDDStorageInfo()) == 0
+    assert {r.id() for r in jsc.getRDDStorageInfo()} <= baseline_ids
 
     # Lazily rebuilds — same values, fresh materialization.  Checked on
     # an actual registry consumer, not just a row count: a mid-session
