@@ -97,6 +97,15 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # pre-commit).
     "q199_k_anonymity_ladder",
     "q203_rolling_mau",
+    # r11 (collect-state follow-through): q129's per-user sequence
+    # accumulator — the last "spec'd output" collect exemption from
+    # the r9 grep-audit — now has the mechanical MAX_USER_EVENTS
+    # ceiling (count-only pre-aggregate + un-hinted anti-join before
+    # the accumulator, oracle HAVING mirror, sync test, synthetic
+    # whale-user drop test).  Default non-binding on driver corpora
+    # (max 99 events/user at sf0.1) — values unchanged
+    # (oracle-verified by hand at sf0.01 pre-commit).
+    "q129_event_sequences",
 )
 
 

@@ -1472,14 +1472,28 @@ def q128_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q129's per-user ceiling: a user whose event history would exceed
+# this is dropped BEFORE the sequence accumulator ever sees it (the
+# q80/cap_baskets discipline — the ordered sequence string is the
+# product, so whale users cannot be kept in this form; the streaming
+# twin's bounded state is the form that handles endless histories).
+# Mirrored in the DuckDB oracle's HAVING and pinned by the sync test
+# in tests/test_query_extras.py.  Non-binding on the driver corpora
+# (max 99 events/user at sf0.1); the drop path is exercised by a
+# synthetic whale user in the unit test.
+MAX_USER_EVENTS = 10_000
+
+
 @register(
     "q129_event_sequences",
-    oracle="""
+    oracle=f"""
     WITH seqs AS (
       SELECT user_id,
              string_agg(substring(event_type, 1, 1), ''
                         ORDER BY ts, event_id) AS seq
       FROM events GROUP BY user_id
+      -- per-user ceiling, mirrors the Spark side's mechanical whale drop
+      HAVING COUNT(*) <= {MAX_USER_EVENTS}
     )
     SELECT user_id,
            seq,
@@ -1497,12 +1511,34 @@ def q128_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "engine-independent — and pattern counting is literal substring "
         "arithmetic (no regex-dialect drift). Patterns over sequences "
         "become string ops on a per-user row: grep-able, joinable, "
-        "O(|user's events|) memory, one shuffle. The streaming twin is "
+        "O(|user's events|) memory, one shuffle — and that per-user "
+        "memory is now MECHANICALLY bounded (r11): a count-only "
+        "pre-aggregate drops whale users above MAX_USER_EVENTS by "
+        "un-hinted anti-join BEFORE the sequence accumulator, oracle "
+        "HAVING-mirrored, so no bot's history can build an unbounded "
+        "string in one reducer. The streaming twin is "
         "applyInPandasWithState (streaming/stateful.py)."
     ),
 )
-def q129_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q129_event_sequences(
+    spark: SparkSession, sf_dir: str, max_events: int = MAX_USER_EVENTS,
+) -> DataFrame:
+    """Only the default ``max_events`` (== MAX_USER_EVENTS) is
+    oracle-verified — the registered oracle freezes the ceiling as a
+    literal HAVING (sync-test-pinned); non-default callers are covered
+    by the unit tests only.  The guard join is un-hinted: the whale
+    set under a fixed ceiling grows with the user base, so the
+    planner/AQE broadcasts only while it actually fits (the q80 r11
+    contract), and the downstream groupBy("user_id") exchange absorbs
+    the shuffled form's partitioning."""
     ev = load_table(spark, sf_dir, "events")
+    whales = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_events)
+        .select("user_id")
+    )
+    ev = ev.join(whales, "user_id", "left_anti")
     seq = F.array_join(
         F.transform(
             F.sort_array(

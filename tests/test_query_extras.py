@@ -138,6 +138,48 @@ def test_inverted_index_drop_count_observable(spark, tmp_path):
         assert obs.get["n_dropped_tokens"] == 1  # "the", df 10 > 9
 
 
+def test_event_sequences_user_cap_is_mechanical(spark, tmp_path):
+    """q129's per-user ceiling is enforced by code (r11): a synthetic
+    whale user with more events than max_events vanishes from the
+    sequence table while normal users keep exact ordered sequences,
+    and the plan carries the anti-join guard."""
+    import datetime as dt
+
+    from flink_s3_read_write_spark.plans import inspect as P
+    from flink_s3_read_write_spark.queries_sql import q129_event_sequences
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=i), 1, "view")
+            for i in range(12)]                      # whale: 12 events
+    rows += [(100, t0, 2, "view"), (101, t0 + dt.timedelta(seconds=1), 2, "click"),
+             (102, t0 + dt.timedelta(seconds=2), 2, "purchase")]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = q129_event_sequences(spark, str(tmp_path), max_events=10)
+    got = {r.user_id: (r.seq, r.n_events, r.n_view_click_buy)
+           for r in out.collect()}
+    # user 1 (12 > 10) dropped; user 2 intact with ordered v,c,p.
+    assert got == {2: ("vcp", 3, 1)}
+    plan = P.formatted_plan(q129_event_sequences(spark, str(tmp_path)))
+    assert "LeftAnti" in plan, plan
+
+
+def test_event_sequences_cap_oracle_mirror_in_sync():
+    """q129's cap lives in TWO places — the max_events default on the
+    Spark side and a literal HAVING in the DuckDB oracle.  Pin them
+    together mechanically (no Spark session needed)."""
+    import inspect
+
+    from flink_s3_read_write_spark import queries_sql as QS
+    from flink_s3_read_write_spark.queries import registry
+
+    oracle = registry()["q129_event_sequences"].oracle
+    assert f"HAVING COUNT(*) <= {QS.MAX_USER_EVENTS}" in oracle
+    sig = inspect.signature(QS.q129_event_sequences)
+    assert sig.parameters["max_events"].default == QS.MAX_USER_EVENTS
+
+
 def test_inverted_index_cap_oracle_mirror_in_sync():
     """q80's cap lives in TWO places — the max_df default on the Spark
     side and a literal HAVING in the DuckDB oracle.  Pin them together
