@@ -106,6 +106,12 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # (max 99 events/user at sf0.1) — values unchanged
     # (oracle-verified by hand at sf0.01 pre-commit).
     "q129_event_sequences",
+    # r11 (global-window sweep): q200's top-20 now sorts+limits FIRST
+    # (TakeOrderedAndProject) and numbers the 20 survivors, instead of
+    # a single-partition window sort of the full vocab²-bounded lift
+    # table — the graph.top_ranked pattern.  Values unchanged
+    # (oracle-verified by hand at sf0.01 pre-commit).
+    "q200_pmi_collocations",
 )
 
 

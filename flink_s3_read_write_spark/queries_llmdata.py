@@ -4150,11 +4150,17 @@ def q200_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(nb)
         .select("bigram", "c_ab", "c_a", "c_b", lift_col.alias("lift"))
     )
-    r = lift.select(
+    # Sort+limit first (TakeOrderedAndProject — per-partition top-k,
+    # never a single-partition window sort of the full vocab²-bounded
+    # lift table), then number the 20 survivors (r11, the
+    # graph.top_ranked / SAX-probe pattern; total tie order keeps
+    # positions engine-independent).
+    topk = lift.orderBy(F.desc("lift"), "bigram").limit(20)
+    r = topk.select(
         "*",
         F.row_number().over(Window.orderBy(F.desc("lift"), "bigram")).alias("rank"),
     )
-    return r.filter(F.col("rank") <= 20).select(
+    return r.select(
         F.col("rank").cast("int"),
         "bigram", "c_ab", "c_a", "c_b",
         F.round("lift", 9).alias("lift"),
