@@ -138,6 +138,27 @@ def test_inverted_index_drop_count_observable(spark, tmp_path):
         assert obs.get["n_dropped_tokens"] == 1  # "the", df 10 > 9
 
 
+def test_q199_nested_floor_rollup_identity():
+    """q199's coarser ladder levels roll up from the finest bucket via
+    floor(bal/4000) == floor(floor(bal/1000)/4) — the nested-floor
+    identity floor(floor(x/m)/n) == floor(x/(m*n)).  Property-test it
+    over the full cents-grained acctbal domain including negatives, so
+    the rollup can never misalign a count with q's directly-computed
+    b1 key (pure Python — mirrors the exact decimal/int arithmetic
+    both engines use)."""
+    from hypothesis import given, strategies as st
+
+    @given(st.integers(min_value=-100_000_000, max_value=100_000_000))
+    def check(cents: int):
+        # bal = cents/100 exactly; floor(bal/k) == cents // (100*k) for
+        # integer cents (Python // is floor division, negatives too).
+        b0 = cents // (100 * 1000)
+        b1_direct = cents // (100 * 4000)
+        assert b0 // 4 == b1_direct
+
+    check()
+
+
 def test_event_sequences_user_cap_is_mechanical(spark, tmp_path):
     """q129's per-user ceiling is enforced by code (r11): a synthetic
     whale user with more events than max_events vanishes from the
