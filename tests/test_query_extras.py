@@ -138,6 +138,66 @@ def test_inverted_index_drop_count_observable(spark, tmp_path):
         assert obs.get["n_dropped_tokens"] == 1  # "the", df 10 > 9
 
 
+def test_q172_every_violation_path_fires(spark, tmp_path):
+    """The driver corpus is violation-free (all six n_violations are 0
+    there), so the r11 single-pass rewrite's null-pattern checks are
+    exercised here against a synthetic corpus carrying EVERY violation
+    class at once: a duplicated PK, an orphan lineitem, an orphan
+    order, an out-of-range discount, a non-positive quantity, and a
+    NULL custkey (which must count as BOTH incomplete and orphan, the
+    NOT-EXISTS convention)."""
+    from flink_s3_read_write_spark.queries_sql import q172_dq_constraint_suite
+
+    spark.createDataFrame(
+        [
+            (1, 10, 100.0),      # ok
+            (2, 20, 200.0),      # ok
+            (2, 20, 200.0),      # duplicate PK (o_orderkey=2 twice)
+            (3, 99, 300.0),      # orphan order (custkey 99 not in customer)
+            (4, None, 400.0),    # NULL custkey -> incomplete AND orphan
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [
+            (1, 0.05, 10.0),     # ok
+            (2, 1.50, 5.0),      # discount out of [0, 1]
+            (3, 0.10, 0.0),      # quantity <= 0
+            (777, 0.00, 1.0),    # orphan lineitem (no order 777)
+        ],
+        "l_orderkey long, l_discount double, l_quantity double",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(10,), (20,)], "c_custkey long"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+
+    got = {r.check_name: (r.n_checked, r.n_violations)
+           for r in q172_dq_constraint_suite(spark, str(tmp_path)).collect()}
+    assert got == {
+        "orders_pk_unique": (5, 1),        # 5 order rows, 1 duplicated key
+        "lineitem_fk_orders": (4, 1),      # the 777 orphan
+        "orders_fk_customer": (5, 2),      # custkey 99 + the NULL row
+        "discount_in_unit_range": (4, 1),
+        "quantity_positive": (4, 1),
+        "custkey_complete": (5, 1),
+    }
+    # Cross-engine: the registered oracle agrees on the same synthetic
+    # violations (the driver corpus never exercises these paths).
+    import duckdb
+
+    from flink_s3_read_write_spark.queries import registry
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    oracle_got = {r[0]: (r[1], r[2]) for r in con.execute(
+        registry()["q172_dq_constraint_suite"].oracle).fetchall()}
+    assert oracle_got == got
+
+
 def test_q199_nested_floor_rollup_identity():
     """q199's coarser ladder levels roll up from the finest bucket via
     floor(bal/4000) == floor(floor(bal/1000)/4) — the nested-floor
