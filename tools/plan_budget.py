@@ -55,6 +55,10 @@ CRITICAL = {
     "MapInPandas": "py_map",
     "FlatMapGroupsInPandas": "py_grouped",
     "FlatMapGroupsInPandasWithState": "py_stateful",
+    # Expand multiplies every input row by its projection count —
+    # the multi-distinct rewrite's silent 2-3x shuffle-volume cost
+    # (the reason q55/q80 pre-collapse instead of multi-countDistinct).
+    "Expand": "expand",
 }
 INFO = {
     "BroadcastExchange": "bcast",
