@@ -89,13 +89,19 @@ def test_cap_bucket_prepass_equivalence(spark, docs):
         "doc_id long, text string",
     )
     for frame in (docs, degen):
-        spark.catalog.clearCache()  # hint-blind CacheManager (SCALE.md)
-        a = sorted(map(tuple,
-                       D.minhash_lsh_pairs(frame, max_bucket=50).collect()))
-        b = sorted(map(tuple,
-                       D.minhash_lsh_pairs(frame, max_bucket=50,
-                                           cap_bucket_prepass=True).collect()))
-        assert a == b
+        # hash_src="md5" buckets on the RAW SLOT TUPLE (an ARRAY join
+        # key), so the prepass anti-join must hold for array-typed
+        # band keys too, not just the xxhash64 bigint key.
+        for hs in ("xxhash64", "md5"):
+            spark.catalog.clearCache()  # hint-blind CacheManager (SCALE.md)
+            a = sorted(map(tuple,
+                           D.minhash_lsh_pairs(frame, max_bucket=50,
+                                               hash_src=hs).collect()))
+            b = sorted(map(tuple,
+                           D.minhash_lsh_pairs(frame, max_bucket=50,
+                                               hash_src=hs,
+                                               cap_bucket_prepass=True).collect()))
+            assert a == b, hs
         sa = sorted(map(tuple, D.simhash_near_pairs(frame, max_bucket=3).collect()))
         sb = sorted(map(tuple,
                         D.simhash_near_pairs(frame, max_bucket=3,
