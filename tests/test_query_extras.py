@@ -198,6 +198,74 @@ def test_q172_every_violation_path_fires(spark, tmp_path):
     assert oracle_got == got
 
 
+def test_q172_q129_randomized_differential(spark, tmp_path):
+    """Seeded randomized differential check for the two r11-rewritten
+    queries with the most intricate null/violation semantics: random
+    small corpora (dup keys, orphans, NULL custkeys, whale users all
+    arise by construction) must agree with the registered DuckDB
+    oracle bit-for-bit.  Three seeds keep runtime bounded; failures
+    print the seed for replay."""
+    import datetime as dt
+    import random
+
+    import duckdb
+
+    from flink_s3_read_write_spark.queries import registry
+    from flink_s3_read_write_spark.queries_sql import (
+        q129_event_sequences,
+        q172_dq_constraint_suite,
+    )
+
+    reg = registry()
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        d = tmp_path / f"s{seed}"
+        # q172 corpus: keys drawn from small ranges so dups/orphans occur.
+        orders = [(rng.randrange(8), rng.choice([None] + list(range(6))),
+                   round(rng.uniform(-50, 500), 2)) for _ in range(30)]
+        lineitem = [(rng.randrange(12), round(rng.uniform(-0.3, 1.4), 2),
+                     float(rng.randrange(-2, 9))) for _ in range(40)]
+        customer = [(k,) for k in range(4)]
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long, o_totalprice double"
+        ).write.parquet(str(d / "orders.parquet"))
+        spark.createDataFrame(
+            lineitem, "l_orderkey long, l_discount double, l_quantity double"
+        ).write.parquet(str(d / "lineitem.parquet"))
+        spark.createDataFrame(customer, "c_custkey long").write.parquet(
+            str(d / "customer.parquet"))
+        # q129 corpus: few users, many events -> whales under a low cap.
+        t0 = dt.datetime(2024, 1, 1)
+        events = [(i, t0 + dt.timedelta(seconds=rng.randrange(10_000)),
+                   rng.randrange(5),
+                   rng.choice(["view", "click", "purchase", "error"]))
+                  for i in range(120)]
+        spark.createDataFrame(
+            events, "event_id long, ts timestamp, user_id long, event_type string"
+        ).write.parquet(str(d / "events.parquet"))
+
+        con = duckdb.connect()
+        for t in ("orders", "lineitem", "customer", "events"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{d}/{t}.parquet/*.parquet')")
+
+        got = sorted(map(tuple, (tuple(r) for r in
+                                 q172_dq_constraint_suite(spark, str(d)).collect())))
+        want = sorted(map(tuple,
+                          con.execute(reg["q172_dq_constraint_suite"].oracle)
+                          .fetchall()))
+        assert got == want, f"q172 seed={seed}"
+        # Low cap so the whale drop BINDS on this corpus (120 events
+        # over 5 users -> every user is near 24; cap 20 drops some).
+        got129 = sorted(map(tuple, (tuple(r) for r in
+                                    q129_event_sequences(spark, str(d),
+                                                         max_events=20).collect())))
+        want129 = sorted(map(tuple, con.execute(
+            reg["q129_event_sequences"].oracle.replace("<= 10000", "<= 20")
+        ).fetchall()))
+        assert got129 == want129, f"q129 seed={seed}"
+
+
 def test_q199_nested_floor_rollup_identity():
     """q199's coarser ladder levels roll up from the finest bucket via
     floor(bal/4000) == floor(floor(bal/1000)/4) — the nested-floor
