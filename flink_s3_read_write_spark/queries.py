@@ -68,50 +68,14 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # editing any query; otherwise a pre-edit green row from the previous
 # round would count as post-touch confirmation and auto-demote an
 # edited query on stale evidence.
-_TOUCHED_SINCE_ROUND = 11
+_TOUCHED_SINCE_ROUND = 12
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # r11 (ADVICE r10): q80's hot-token guard join is now UN-HINTED by
-    # default (planner/AQE decides; broadcast_hot=True is the opt-in
-    # small-corpus hint — the Zipf head grows with the corpus, so the
-    # forced broadcast was the growth-law violation the r10 audit
-    # removed elsewhere); plus an optional drop_observation hook and
-    # the non-default-max_df oracle-scope note.  Values unchanged.
-    "q80_inverted_index",
-    # r11 (plan-budget audit): q67's recall contract now consumes the
-    # IVF result ONCE via a full-outer pair join — the old left-join +
-    # separate n_ivf aggregate planned the entire IVF pipeline twice
-    # (12 scans / 6 Arrow nodes → 8 / 3).  Values unchanged
-    # (oracle-verified by hand at sf0.01 pre-commit).
+    # r12 (ADVICE r11): q67's per-query n_exact/n_ivf coalesced to 0
+    # so a hypothetical zero-result query fails the _ek/_ik == k
+    # contract explicitly instead of being skipped by F.min's NULL
+    # handling.  Values unchanged (both sides always non-empty on
+    # real data).
     "q67_ann_ivf_topk",
-    # r11 (plan-budget audit): q172 rewritten single-pass — each fact
-    # table collapses to key grain once (13 scans → 4, 13 exchanges →
-    # 5, 6 broadcast-nested-loop check assemblies → 1 report explode).
-    # Values unchanged (oracle-verified by hand at sf0.01 pre-commit).
-    "q172_dq_constraint_suite",
-    # r11 (plan-budget audit): q199's coarser ladder levels now roll
-    # up from the cached finest QI count table (nested-floor identity;
-    # 4 customer scans → 2, 7 exchanges → 5) and q203's max-date bound
-    # rides a window over the per-day table instead of two fact-scan
-    # cross-joins (4 events scans → 2, both BroadcastNestedLoopJoins
-    # gone).  Values unchanged (oracle-verified by hand at sf0.01
-    # pre-commit).
-    "q199_k_anonymity_ladder",
-    "q203_rolling_mau",
-    # r11 (collect-state follow-through): q129's per-user sequence
-    # accumulator — the last "spec'd output" collect exemption from
-    # the r9 grep-audit — now has the mechanical MAX_USER_EVENTS
-    # ceiling (count-only pre-aggregate + un-hinted anti-join before
-    # the accumulator, oracle HAVING mirror, sync test, synthetic
-    # whale-user drop test).  Default non-binding on driver corpora
-    # (max 99 events/user at sf0.1) — values unchanged
-    # (oracle-verified by hand at sf0.01 pre-commit).
-    "q129_event_sequences",
-    # r11 (global-window sweep): q200's top-20 now sorts+limits FIRST
-    # (TakeOrderedAndProject) and numbers the 20 survivors, instead of
-    # a single-partition window sort of the full vocab²-bounded lift
-    # table — the graph.top_ranked pattern.  Values unchanged
-    # (oracle-verified by hand at sf0.01 pre-commit).
-    "q200_pmi_collocations",
 )
 
 

@@ -957,6 +957,59 @@ def q64_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.hash_split(docs, "doc_id", test_frac=0.1)
 
 
+def ivf_recall_contract(exact: DataFrame, ivf: DataFrame, k: int) -> DataFrame:
+    """Assemble q67's self-check row from the two labeled top-k frames.
+
+    `exact` carries (q_id, n_id, cosine, ex=1); `ivf` carries
+    (q_id, n_id, hit=1).  Consumes each side ONCE via a full-outer
+    pair join (r11, plan-budget audit: the old left-join + separate
+    n_ivf aggregate planned the whole IVF pipeline — corpus scan,
+    Arrow cell assign, candidate join, top-k window — twice, 12 scans
+    / 6 Arrow nodes in the static plan).  Both join sides are
+    result-sized (n_queries × k rows), never corpus-sized.  Per-query
+    counts fall out of null patterns: exact-only rows have hit NULL,
+    IVF-only rows have ex NULL.  Extracted as a helper so the
+    zero-result-query path is unit-testable (tests/test_llmdata.py).
+    """
+    per_q = (
+        exact.join(ivf, ["q_id", "n_id"], "full")
+        .groupBy("q_id")
+        .agg(
+            # coalesce to 0: a side with zero rows for a query sums to
+            # NULL, and F.min skips NULLs — the _ek/_ik == k contract
+            # must FAIL explicitly for such a query, not ignore it
+            # (ADVICE r11; unreachable with current data since a query
+            # vector is always its own IVF candidate, but the contract
+            # should not depend on that).
+            F.coalesce(F.sum("ex"), F.lit(0)).alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_ivf"),
+            F.sum(
+                F.when(F.col("ex").isNotNull() & F.col("hit").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("n_hit"),
+            F.sum(F.col("cosine").cast("decimal(30,6)")).alias("cos_d"),
+        )
+    )
+    return (
+        per_q.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            (F.min("n_exact") == k).alias("_ek"),
+            (F.min("n_ivf") == k).alias("_ik"),
+            F.sum("n_hit").alias("_hits"),
+            F.sum("cos_d").cast("double").alias("exact_top5_cosine_sum"),
+        )
+        .select(
+            "n_queries",
+            (F.col("_ek") & F.col("_ik")).alias("all_have_k"),
+            # mean recall >= 0.40, integer cross-multiplication
+            (F.col("_hits") * 10 >= F.lit(4 * k) * F.col("n_queries")).alias(
+                "recall_ok"
+            ),
+            "exact_top5_cosine_sum",
+        )
+    )
+
+
 @register(
     "q67_ann_ivf_topk",
     # Oracle since round 5, q55-style self-check contract: IVF cell
@@ -1008,16 +1061,6 @@ def q67_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     k = 5
-    # The IVF result feeds BOTH the recall check (hits against exact)
-    # and the per-query result-count check, and it is NOT cached — so
-    # consume it ONCE via a full-outer pair join (r11, plan-budget
-    # audit: the old left-join + separate n_ivf aggregate planned the
-    # whole IVF pipeline — corpus scan, Arrow cell assign, candidate
-    # join, top-k window — twice, 12 scans / 6 Arrow nodes in the
-    # static plan).  Both join sides are result-sized (n_queries × k
-    # rows), never corpus-sized.  Per-query counts fall out of null
-    # patterns: exact-only rows have hit NULL, IVF-only rows have ex
-    # NULL, sum() skips nulls on both.
     ivf = (
         S.ann_ivf_topk(emb, queries, k=k, n_centroids=16, n_probe=4)
         .select("q_id", "n_id")
@@ -1028,37 +1071,7 @@ def q67_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id", "cosine")
         .withColumn("ex", F.lit(1))
     )
-    per_q = (
-        exact.join(ivf, ["q_id", "n_id"], "full")
-        .groupBy("q_id")
-        .agg(
-            F.sum("ex").alias("n_exact"),
-            F.sum("hit").alias("n_ivf"),
-            F.sum(
-                F.when(F.col("ex").isNotNull() & F.col("hit").isNotNull(), 1)
-                .otherwise(0)
-            ).alias("n_hit"),
-            F.sum(F.col("cosine").cast("decimal(30,6)")).alias("cos_d"),
-        )
-    )
-    return (
-        per_q.agg(
-            F.count(F.lit(1)).alias("n_queries"),
-            (F.min("n_exact") == k).alias("_ek"),
-            (F.min("n_ivf") == k).alias("_ik"),
-            F.sum("n_hit").alias("_hits"),
-            F.sum("cos_d").cast("double").alias("exact_top5_cosine_sum"),
-        )
-        .select(
-            "n_queries",
-            (F.col("_ek") & F.col("_ik")).alias("all_have_k"),
-            # mean recall >= 0.40, integer cross-multiplication
-            (F.col("_hits") * 10 >= F.lit(4 * k) * F.col("n_queries")).alias(
-                "recall_ok"
-            ),
-            "exact_top5_cosine_sum",
-        )
-    )
+    return ivf_recall_contract(exact, ivf, k)
 
 
 @register(

@@ -116,6 +116,34 @@ def test_ivf_recall_and_exactness(spark, sf_dir):
     assert recall >= 0.4, f"recall {recall}"
 
 
+def test_ivf_recall_contract_fails_on_zero_result_query(spark):
+    """q67's self-check must fail all_have_k when a query has ZERO rows
+    on one side of the full-outer pair join (ADVICE r11): sum() over no
+    rows is NULL and F.min skips NULLs, so without the coalesce-to-0 a
+    dropped query would silently pass the k-results contract."""
+    from flink_s3_read_write_spark.queries_llmdata import ivf_recall_contract
+
+    k = 2
+    # q1: full agreement on both sides; q2: exact rows but NO ivf rows.
+    exact = spark.createDataFrame(
+        [(1, 10, 0.9, 1), (1, 11, 0.8, 1), (2, 10, 0.7, 1), (2, 12, 0.6, 1)],
+        "q_id int, n_id int, cosine double, ex int",
+    )
+    ivf_full = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 1), (2, 10, 1), (2, 12, 1)],
+        "q_id int, n_id int, hit int",
+    )
+    ok = ivf_recall_contract(exact, ivf_full, k).collect()[0]
+    assert ok["all_have_k"] and ok["recall_ok"] and ok["n_queries"] == 2
+
+    ivf_missing_q2 = ivf_full.filter("q_id <> 2")
+    bad = ivf_recall_contract(exact, ivf_missing_q2, k).collect()[0]
+    assert bad["n_queries"] == 2
+    assert not bad["all_have_k"], (
+        "zero-IVF query must fail the k-results contract explicitly"
+    )
+
+
 def test_zero_norm_vector_never_ranks_first(spark):
     rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.5, 0.5])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")

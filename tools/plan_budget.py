@@ -114,6 +114,15 @@ def main() -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sidecar = os.path.join(root, "PLAN_BUDGET.json")
 
+    # --check against a missing sidecar is an error, not an implicit
+    # --write: silently regenerating would make the check vacuously
+    # pass in a tree where the committed budget was deleted/renamed.
+    if args.check and not os.path.exists(sidecar):
+        print(f"plan_budget: --check but {sidecar} is missing; "
+              "run --write (and commit the sidecar) first",
+              file=sys.stderr)
+        return 1
+
     budgets, errors = derive(args.sf)
     for e in errors:
         print(f"plan_budget: DERIVE FAILED {e}", file=sys.stderr)
