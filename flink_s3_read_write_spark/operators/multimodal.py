@@ -505,6 +505,10 @@ def image_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     """
     decode = _fake_decode if fake else _decode_image_real
     feature = _fake_feature if fake else _real_feature
+    # Arrow-input pruning: this fn DOES read meta (media_type/n_bytes
+    # passthrough), but a caller's extra columns must still stop at
+    # the boundary — mapInPandas serializes every input column.
+    df = df.select("doc_id", "content", "meta")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -573,7 +577,15 @@ def audio_features(df: DataFrame, frame_len: int = 256) -> DataFrame:
     ``mapInPandas``; at 100 TB the audio bytes stream through the scan
     and the DSP is C-speed per batch.
     """
-    auds = df.filter(F.col("meta.media_type") == "audio/wav")
+    # Prune the Arrow input to exactly what the Python fn reads:
+    # mapInPandas is a column-pruning barrier (Catalyst must feed it
+    # every input column), so an unused column here would be
+    # serialized into every Arrow batch.  meta is consumed by the
+    # Catalyst-side filter, then dropped BEFORE the boundary.
+    auds = (
+        df.filter(F.col("meta.media_type") == "audio/wav")
+        .select("doc_id", "content")
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -628,7 +640,13 @@ def resize_images(
     default fake path keeps the Spark-side contract testable on
     synthetic non-image bytes (digest stands in for pixels)."""
     tw, th = target
-    imgs = df.filter(F.col("meta.media_type") == "image/png")
+    # Arrow-input pruning: the fn reads (doc_id, content) only; meta
+    # is consumed by the Catalyst filter and must not cross the
+    # mapInPandas boundary (no column pruning through it).
+    imgs = (
+        df.filter(F.col("meta.media_type") == "image/png")
+        .select("doc_id", "content")
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -719,7 +737,11 @@ def video_metadata(df: DataFrame) -> DataFrame:
     aren't a parseable MP4 carry the error in ``parse_error`` instead
     of failing the batch — at 100 TB a poison row must never kill the
     task, it gets quarantined by a downstream filter."""
-    vids = df.filter(F.col("meta.media_type") == "video/mp4")
+    # Arrow-input pruning: (doc_id, content) only — see audio_features.
+    vids = (
+        df.filter(F.col("meta.media_type") == "video/mp4")
+        .select("doc_id", "content")
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -749,7 +771,11 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 4) -> D
     for decoded frame bytes.  Real decoder would replace the digest
     with pixel tensors; the schema/explode/partition shape is what
     matters for the pipeline."""
-    vids = df.filter(F.col("meta.media_type") == "video/mp4")
+    # Arrow-input pruning: (doc_id, content) only — see audio_features.
+    vids = (
+        df.filter(F.col("meta.media_type") == "video/mp4")
+        .select("doc_id", "content")
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -76,6 +76,17 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # handling.  Values unchanged (both sides always non-empty on
     # real data).
     "q67_ann_ivf_topk",
+    # r12 (Arrow-input-width sweep): the media operators now prune
+    # their mapInPandas input to exactly the columns the Python fn
+    # reads (mapInPandas blocks Catalyst column pruning, so the meta
+    # struct — and any caller-carried column — was serialized into
+    # every Arrow batch unused).  Plan gains one Project before the
+    # Arrow node; values unchanged (oracle-verified at sf0.01
+    # pre-commit; width pinned by tests/test_multimodal.py).
+    "q43_media_features",
+    "q44_frame_samples",
+    "q58_image_resize",
+    "q60_audio_features",
 )
 
 

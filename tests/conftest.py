@@ -54,3 +54,22 @@ def salary_raw(spark):
 @pytest.fixture(scope="session")
 def textlines_raw(spark):
     return spark.createDataFrame([(line,) for line in TEXT_LINES], "value string")
+
+
+def arrow_input_cols(df, node: str = "MapInPandas") -> set[str]:
+    """Column names fed into each `node` Arrow boundary of df's
+    physical plan.  mapInPandas/applyInPandas are column-pruning
+    barriers: every name here is serialized into every Arrow batch,
+    so operators must prune their input to exactly what the Python
+    fn reads (asserted per-operator in test_multimodal/test_dedup/
+    test_similarity)."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    cols = set()
+    for args in re.findall(rf"{node} \w+\(([^)]*)\)", plan):
+        for c in args.split(","):
+            c = c.strip()
+            if c:
+                cols.add(c.split("#")[0])
+    return cols

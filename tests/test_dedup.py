@@ -444,3 +444,18 @@ def test_q195_matches_brute_force_exact_ssjoin(spark):
         assert want  # non-vacuous: planted near-dups exist in the corpus
     finally:
         spark.catalog.clearCache()
+
+
+def test_minhash_arrow_input_width_pinned(spark):
+    """The minhash signature mapInPandas must receive exactly
+    (doc_id, hashed-shingle array) — a caller's extra columns (the
+    full text, metadata, ...) must be pruned before the Arrow
+    boundary, which blocks Catalyst column pruning."""
+    from tests.conftest import arrow_input_cols
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f", "fat" * 50)], "doc_id long, text string, fat string"
+    )
+    for hash_src in ("xxhash64", "md5"):
+        cols = arrow_input_cols(D.minhash_signatures_numpy(docs, hash_src=hash_src))
+        assert cols in ({"doc_id", "_h"}, {"doc_id", "_hh"}), cols

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from flink_s3_read_write_spark.operators import multimodal as M
 from flink_s3_read_write_spark.sources.io import load_table
+from tests.conftest import arrow_input_cols as _arrow_input_cols
 
 
 @pytest.fixture(scope="module")
@@ -274,3 +275,25 @@ def test_real_image_pipeline_png_and_jpeg(spark):
     assert rz[2]["resized_digest"] == _h.md5(
         M.resize_pixels(M.decode_image(jpg)[3], 4, 4).tobytes()
     ).hexdigest()
+
+
+def test_arrow_input_width_is_pinned(spark):
+    """Each media operator must ship EXACTLY the columns its Python fn
+    reads across the Arrow boundary — an unused column (e.g. the meta
+    struct, or anything a caller happens to carry) would be serialized
+    into every batch because Catalyst cannot prune through
+    mapInPandas.  Input carries a decoy 'fat' column to prove callers'
+    extra columns are pruned too."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcd"), ("audio/wav", 4), "x" * 64),
+         (2, bytearray(b"efgh"), ("image/png", 4), "y" * 64),
+         (3, bytearray(b"ijkl"), ("video/mp4", 4), "z" * 64)],
+        "doc_id long, content binary, "
+        "meta struct<media_type string, n_bytes int>, fat string",
+    )
+    assert _arrow_input_cols(M.audio_features(df)) == {"doc_id", "content"}
+    assert _arrow_input_cols(M.resize_images(df)) == {"doc_id", "content"}
+    assert _arrow_input_cols(M.video_metadata(df)) == {"doc_id", "content"}
+    assert _arrow_input_cols(M.sample_frames(df)) == {"doc_id", "content"}
+    # image_features genuinely reads meta (media_type/n_bytes passthrough)
+    assert _arrow_input_cols(M.image_features(df)) == {"doc_id", "content", "meta"}

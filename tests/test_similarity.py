@@ -426,3 +426,18 @@ def test_ivf_index_partition_pruned_probe(spark, tmp_path):
         spark.read.parquet(f"{path}/data").select(F.sum("n_id")).collect()
     reprobe = S.ivf_index_probe_topk(spark, path, queries, n_probe=4, k=5)
     assert {tuple(r) for r in reprobe.collect()} == want
+
+
+def test_matmul_topk_arrow_input_width_pinned(spark):
+    """brute_force_topk_pandas's matmul partial must ship exactly
+    (vec_id, embedding) into Arrow — extra corpus columns must stop at
+    the boundary (mapInPandas blocks Catalyst column pruning)."""
+    from tests.conftest import arrow_input_cols
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0], "fat"), (1, [0.9, 0.1], "fat")],
+        "vec_id long, embedding array<float>, fat string",
+    )
+    q = corpus.select("vec_id", "embedding").filter("vec_id = 0")
+    cols = arrow_input_cols(S.brute_force_topk_pandas(corpus, q, k=1))
+    assert cols == {"vec_id", "embedding"}, cols
