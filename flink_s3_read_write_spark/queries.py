@@ -87,6 +87,14 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "q44_frame_samples",
     "q58_image_resize",
     "q60_audio_features",
+    # r12 (scale-stress finding): q4/q5 oracles render their big money
+    # sums through VARCHAR — DuckDB's direct DECIMAL->DOUBLE cast
+    # double-rounds past unscaled 2^53 (hit at the 10x stress tier,
+    # 1-ulp divergence from Spark's correctly-rounded cast).  Oracle
+    # text only; values identical at gate SF (both forms equal below
+    # 2^53) and now hash-stable at ANY magnitude.
+    "q4_pricing_summary",
+    "q5_revenue_by_priority",
 )
 
 

@@ -41,15 +41,23 @@ _REV_SQL = (
 
 @register(
     "q4_pricing_summary",
+    # The big money sums render through VARCHAR (r12): DuckDB's direct
+    # DECIMAL->DOUBLE cast double-rounds (int128 then /10^s) once the
+    # unscaled value exceeds 2^53 — at scale 6 that is sums past
+    # ~$9e9, which the 10x scale-stress replica reaches (sum_charge
+    # diverged from Spark's correctly-rounded cast by 1 ulp).
+    # VARCHAR->DOUBLE is strtod, correctly rounded, and matches
+    # Spark's BigDecimal path exactly at ANY magnitude; below 2^53
+    # both forms are identical, so gate-SF values are unchanged.
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM({_REV_SQL}) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM({_REV_SQL} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM({_REV_SQL}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM({_REV_SQL} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -76,9 +84,11 @@ def q4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_revenue_by_priority",
+    # VARCHAR-rendered money sum: see q4 — per-priority revenue at the
+    # 10x stress tier is ~$4e10, past DuckDB's 2^53 direct-cast edge.
     oracle=f"""
     SELECT o_orderpriority,
-           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM({_REV_SQL}) AS VARCHAR) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority

@@ -81,6 +81,13 @@ def main() -> int:
 
     spark = build_session("check")
     con = duckdb.connect()
+    # Bound the oracle side: an in-memory DuckDB connection cannot
+    # spill, so a heavy oracle (e.g. a brute-force witness run against
+    # a scale_stress replica) OOM-kills the whole sweep instead of
+    # degrading to disk.  Cap well under the box and give it a temp
+    # dir — no-ops at gate SF, survival at stress tiers.
+    con.sql("SET memory_limit='32GB'")
+    con.sql("SET temp_directory='/tmp/spark_graft_duckdb_tmp'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
 

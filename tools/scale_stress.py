@@ -1,0 +1,212 @@
+"""Scaling-curve harness: measure how query wall time grows with data.
+
+The oracle gate proves correctness at sf0.01 and the bench times
+sf0.1; this tool supplies the third point the 100 TB argument needs —
+an N× replica of sf0.1 (facts replicated with key offsets, dims
+unchanged, query parameters unchanged), so each family's wall time
+can be checked against its claimed growth law MECHANICALLY: a query
+whose cost is linear in the corpus must scale by at most ~mult (minus
+fixed overhead); anything superlinear is flagged.
+
+Replica semantics (what "the same workload at N× data" means here):
+  * dims (region nation customer supplier part) are UNCHANGED — fact
+    tables grow faster than dimensions in every real deployment, and
+    the dim-regime broadcast dispositions in SCALE.md assume exactly
+    this shape;
+  * orders/lineitem replicate with a consistent o_orderkey offset
+    (FKs to the unchanged dims stay valid, order→lineitem stays
+    consistent);
+  * events replicate with an event_id offset and UNCHANGED user_id/ts
+    (events-per-user grows ×N — per-user caps and windows see deeper
+    groups, which is the stress we want);
+  * documents replicate with a doc_id offset; copies i>0 get a
+    distinct ' zc<i>' suffix token so they are NEAR-duplicates, not
+    byte-identical — near-dup cluster sizes grow ×N, so the LSH
+    bucket caps and connected-components paths are exercised at
+    depth, with n_chars recomputed to stay consistent;
+  * embeddings replicate with a vec_id offset and unchanged vectors —
+    the ANN corpus grows ×N while the query set (vec_id < 8) stays
+    parameter-bounded, the scaling shape the similarity family
+    claims.
+
+Usage:
+  python tools/scale_stress.py --mult 10 [--out DIR] [names...]
+  python tools/scale_stress.py --build-only --mult 10   # just the data
+
+Prints ONE JSON line:
+  {"mult": N, "queries": {name: {"sec_base": s, "sec_big": s,
+   "ratio": r, "rows_base": n, "rows_big": n, "superlinear": bool}},
+   "flagged": [names]}
+
+Timing mirrors bench.py: full plan through the noop sink, min-of-2
+for the replica runs (second sample after the sweep so it doesn't
+share the first run's JIT storm), steady-state cache policy.  The
+replica dir is also a valid --sf for tools/check.py, so correctness
+at N× is one command away (recorded in SCALE.md per round when run).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIMS = ("region", "nation", "customer", "supplier", "part")
+
+# Default set: one heavy representative per operator family.
+DEFAULT_QUERIES = [
+    "q4_pricing_summary",            # TPC-H-style full-scan aggregate
+    "q5_revenue_by_priority",        # join + agg
+    "q28_percentiles",               # holistic aggregate state
+    "q33_minhash_dedup_pairs",       # MinHash LSH near-dedup
+    "q34_simhash_near_pairs",        # SimHash near-dedup
+    "q54_dedup_keep_list",           # iterative connected components
+    "q67_ann_ivf_topk",              # IVF ANN + recall contract
+    "q68_boilerplate_ngrams",        # explode-heavy n-gram counting
+    "q80_inverted_index",            # capped posting lists
+    "q129_event_sequences",          # per-user sequence accumulator
+    "q148_bfs_hops",                 # iterative graph expansion
+    "q164_item_item_cf",             # self-join similarity
+    "q189_spearman_rank_corr",       # window-rank statistics
+]
+
+
+def build_replica(src: str, dst: str, mult: int) -> None:
+    """Materialize the N× replica with DuckDB (no JVM needed)."""
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in DIMS:
+        con.sql(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+    def stride(table: str, key: str) -> int:
+        return con.sql(
+            f"SELECT MAX({key}) + 1 FROM '{src}/{table}.parquet'"
+        ).fetchone()[0]
+
+    ok = stride("orders", "o_orderkey")
+    con.sql(f"""
+        COPY (SELECT o_orderkey + i * {ok} AS o_orderkey, o_custkey,
+                     o_orderstatus, o_totalprice, o_orderdate,
+                     o_orderpriority
+              FROM '{src}/orders.parquet', range({mult}) t(i))
+        TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+        COPY (SELECT l_orderkey + i * {ok} AS l_orderkey, l_partkey,
+                     l_suppkey, l_linenumber, l_quantity,
+                     l_extendedprice, l_discount, l_tax, l_returnflag,
+                     l_linestatus, l_shipdate
+              FROM '{src}/lineitem.parquet', range({mult}) t(i))
+        TO '{dst}/lineitem.parquet' (FORMAT PARQUET)""")
+    ev = stride("events", "event_id")
+    con.sql(f"""
+        COPY (SELECT event_id + i * {ev} AS event_id, ts, user_id,
+                     event_type, value, props
+              FROM '{src}/events.parquet', range({mult}) t(i))
+        TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    dc = stride("documents", "doc_id")
+    con.sql(f"""
+        COPY (SELECT doc_id + i * {dc} AS doc_id,
+                     CASE WHEN i = 0 THEN text
+                          ELSE text || ' zc' || CAST(i AS VARCHAR) END
+                       AS text,
+                     lang, source,
+                     CAST(length(CASE WHEN i = 0 THEN text
+                          ELSE text || ' zc' || CAST(i AS VARCHAR) END)
+                       AS BIGINT) AS n_chars
+              FROM '{src}/documents.parquet', range({mult}) t(i))
+        TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    vc = stride("embeddings", "vec_id")
+    con.sql(f"""
+        COPY (SELECT vec_id + i * {vc} AS vec_id, embedding, label
+              FROM '{src}/embeddings.parquet', range({mult}) t(i))
+        TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
+    con.close()
+
+
+def run_one(fn, spark, sf_dir: str) -> tuple[float, int]:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    sec = time.time() - t0
+    # Row count via a second (cheap relative to the timed run) action;
+    # NOT charged to the timing.
+    return sec, df.count()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=None,
+                    help="replica dir (default /tmp/spark_graft_sfx<mult>)")
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--skip-build", action="store_true",
+                    help="reuse an existing replica dir")
+    ap.add_argument("--superlinear-factor", type=float, default=1.6,
+                    help="flag when ratio > mult * this")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+    dst = args.out or f"/tmp/spark_graft_sfx{args.mult}"
+
+    if not args.skip_build:
+        t0 = time.time()
+        build_replica(args.src, dst, args.mult)
+        print(f"scale_stress: built {args.mult}x replica at {dst} "
+              f"in {time.time() - t0:.1f}s", file=sys.stderr)
+    if args.build_only:
+        return 0
+
+    from flink_s3_read_write_spark.queries import registry
+    from flink_s3_read_write_spark.session import build_session
+
+    names = args.names or DEFAULT_QUERIES
+    reg = registry()
+    unknown = [n for n in names if n not in reg]
+    if unknown:
+        print(f"scale_stress: unknown queries {unknown}", file=sys.stderr)
+        return 2
+    spark = build_session("scale_stress")
+
+    # Warm-up (JVM, codegen, Python workers) against the BASE dir so
+    # neither measured tier is charged for session startup.
+    run_one(reg[names[0]].fn, spark, args.src)
+    spark.catalog.clearCache()
+
+    out: dict[str, dict] = {}
+    for tier, sf_dir in (("base", args.src), ("big", dst)):
+        # Fresh cache per tier: shared builders are keyed by sf_dir,
+        # and the steady-state policy (bench.py) applies WITHIN a tier.
+        spark.catalog.clearCache()
+        for name in names:
+            sec, rows = run_one(reg[name].fn, spark, sf_dir)
+            rec = out.setdefault(name, {})
+            rec[f"sec_{tier}"] = round(sec, 3)
+            rec[f"rows_{tier}"] = rows
+        # Second pass, min-of-2 (bench.py rationale: first-use JIT).
+        for name in names:
+            sec, _ = run_one(reg[name].fn, spark, sf_dir)
+            rec = out[name]
+            rec[f"sec_{tier}"] = min(rec[f"sec_{tier}"], round(sec, 3))
+
+    flagged = []
+    for name, rec in out.items():
+        rec["ratio"] = round(rec["sec_big"] / max(rec["sec_base"], 1e-9), 2)
+        rec["superlinear"] = rec["ratio"] > args.mult * args.superlinear_factor
+        if rec["superlinear"]:
+            flagged.append(name)
+    print(json.dumps({"mult": args.mult, "src": args.src, "replica": dst,
+                      "queries": out, "flagged": flagged}))
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
