@@ -95,3 +95,50 @@ def test_default_queries_registered():
     from flink_s3_read_write_spark.queries import registry
 
     assert set(DEFAULT_QUERIES) <= set(registry())
+
+
+def test_classify_shuffle_regimes():
+    """Pin the three byte-growth regimes against the values the first
+    100x --shuffle-metrics run actually produced (SCALE.md r12)."""
+    from tools.scale_stress import classify_shuffle
+
+    # q5-shaped: base shuffled 921 bytes (auto-broadcast) and 1.24 GB
+    # at 100x (SMJ) — plan transition, not a growth measurement.
+    r = {"shuffle_write_base": 921, "shuffle_write_big": 1_239_941_033,
+         "rows_base": 5, "rows_big": 5}
+    classify_shuffle(r, 100, 1.6)
+    assert r.get("shuffle_transition") and not r.get("shuffle_superlinear")
+
+    # q34-shaped: bytes grew 321x but OUTPUT grew 29,240x — bytes
+    # follow output, below the output-normalized bar.
+    r = {"shuffle_write_base": 2_199_114, "shuffle_write_big": 706_445_766,
+         "rows_base": 512, "rows_big": 14_971_469}
+    classify_shuffle(r, 100, 1.6)
+    assert not r.get("shuffle_transition")
+    assert not r.get("shuffle_superlinear")
+
+    # q54-shaped: bytes grew 2487x against 100x corpus and 100x output
+    # — over the bar, reported for disposition.
+    r = {"shuffle_write_base": 173_028, "shuffle_write_big": 430_290_738,
+         "rows_base": 5000, "rows_big": 500_000}
+    classify_shuffle(r, 100, 1.6)
+    assert r.get("shuffle_superlinear")
+
+    # Linear-in-corpus: well under the bar, no marks.
+    r = {"shuffle_write_base": 2_860_392, "shuffle_write_big": 372_715_647,
+         "rows_base": 31, "rows_big": 99}
+    classify_shuffle(r, 100, 1.6)
+    assert not r.get("shuffle_superlinear") and not r.get("shuffle_transition")
+
+
+def test_rest_timestamp_parse():
+    """The shuffle-metrics tier filters stages by submission time; the
+    REST API renders GMT-suffixed millis, which must round-trip to the
+    same epoch ms that time.time()*1000 produces on this (UTC) box."""
+    from tools.scale_stress import rest_ts_ms
+
+    assert rest_ts_ms("1970-01-01T00:00:00.000GMT") == 0.0
+    assert rest_ts_ms("1970-01-01T00:00:01.500GMT") == 1500.0
+    # A real-shaped stamp: strictly increasing with the millis field.
+    assert (rest_ts_ms("2026-08-16T01:33:40.124GMT")
+            - rest_ts_ms("2026-08-16T01:33:40.123GMT")) == 1.0

@@ -37,6 +37,19 @@ Prints ONE JSON line:
   {"mult": N, "queries": {name: {"sec_base": s, "sec_big": s,
    "ratio": r, "rows_base": n, "rows_big": n, "superlinear": bool}},
    "flagged": [names]}
+With --shuffle-metrics, each record also carries
+  shuffle_write_/shuffle_read_/input_bytes_{base,big} and
+  "shuffle_ratio" — bytes are deterministic for a given plan + data,
+  so the byte ratio is the box-noise-free growth check.  Byte growth
+  past factor x max(mult, output growth) sets "shuffle_superlinear"
+  and lands in "shuffle_flagged" for SCALE.md disposition (it does
+  not fail the gate — work drivers like candidate-edge sets are
+  per-query); a base tier shuffling <64 KB is marked
+  "shuffle_transition" instead (ratio-from-zero measures a plan
+  transition such as auto-broadcast backing off to SMJ, not growth).
+  Input-bytes ratios are confounded by parquet re-encoding in the
+  replica (offset keys and suffix tokens break dictionary/RLE), so
+  only SHUFFLE bytes are judged.
 
 Timing mirrors bench.py: full plan through the noop sink, min-of-2
 for the replica runs (second sample after the sweep so it doesn't
@@ -142,6 +155,72 @@ def run_one(fn, spark, sf_dir: str) -> tuple[float, int]:
     return sec, df.count()
 
 
+def rest_ts_ms(sub: str) -> float:
+    """Epoch ms of a Spark REST timestamp ("2026-08-16T01:33:40.123GMT")."""
+    import datetime as dt
+
+    return dt.datetime.strptime(
+        sub.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z"
+    ).timestamp() * 1000.0
+
+
+def _shuffle_since(spark, t0_ms: float) -> dict[str, int]:
+    """Bytes moved by stages submitted at/after ``t0_ms`` (epoch ms),
+    via the driver's REST status API (requires spark.ui.enabled).
+
+    Shuffle bytes are DETERMINISTIC for a given plan + data, unlike
+    wall time — so their base→big ratio is the noise-free form of the
+    growth-law check: a shuffle whose bytes grow superlinearly in the
+    corpus is the scale-killer signature even when wall time hides it
+    behind fixed overheads or box noise.
+    """
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages") as r:
+        stages = json.load(r)
+    tot = {"shuffle_write": 0, "shuffle_read": 0, "input_bytes": 0}
+    for st in stages:
+        sub = st.get("submissionTime")
+        if not sub or rest_ts_ms(sub) < t0_ms:
+            continue
+        tot["shuffle_write"] += st.get("shuffleWriteBytes", 0)
+        tot["shuffle_read"] += st.get("shuffleReadBytes", 0)
+        tot["input_bytes"] += st.get("inputBytes", 0)
+    return tot
+
+
+def classify_shuffle(rec: dict, mult: int, factor: float) -> None:
+    """Set shuffle_ratio and one of shuffle_transition /
+    shuffle_superlinear (or neither) on a record that carries
+    shuffle_write_{base,big} and rows_{base,big}.  See module
+    docstring for the three regimes."""
+    rec["shuffle_ratio"] = round(
+        rec["shuffle_write_big"] / max(rec["shuffle_write_base"], 1.0), 2)
+    if rec["shuffle_write_base"] < 1 << 16:
+        # Ratio-from-(near-)zero is a PLAN-TRANSITION regime, not a
+        # growth measurement: a base tier small enough to shuffle <64 KB
+        # typically ran broadcast/local plans that legitimately become
+        # shuffles at scale (e.g. a size-based auto-broadcast backing
+        # off to SMJ).  Mark it so the big-tier bytes get read on their
+        # own terms.
+        rec["shuffle_transition"] = True
+        return
+    # Bytes legitimately follow OUTPUT when a query emits result sets
+    # that grow faster than the corpus (pair enumeration under
+    # adversarial cluster growth), so the bar is
+    # factor x max(corpus growth, output growth).
+    rows_ratio = rec["rows_big"] / max(rec["rows_base"], 1)
+    if rec["shuffle_ratio"] > factor * max(mult, rows_ratio):
+        # Reported for disposition (SCALE.md), but does NOT fail the
+        # standing gate: a single scalar cannot encode per-query work
+        # drivers (e.g. CC cost is linear in the CANDIDATE-EDGE set,
+        # which the replica's cluster growth inflates quadratically by
+        # design while final output grows only x mult).
+        rec["shuffle_superlinear"] = True
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -153,6 +232,12 @@ def main() -> int:
                     help="reuse an existing replica dir")
     ap.add_argument("--superlinear-factor", type=float, default=1.6,
                     help="flag when ratio > mult * this")
+    ap.add_argument("--shuffle-metrics", action="store_true",
+                    help="also record per-query shuffle write/read and "
+                         "input bytes at each tier (REST status API; "
+                         "enables the Spark UI for this run) and report "
+                         "superlinear SHUFFLE growth for disposition — "
+                         "the noise-free form of the growth check")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     dst = args.out or f"/tmp/spark_graft_sfx{args.mult}"
@@ -174,7 +259,13 @@ def main() -> int:
     if unknown:
         print(f"scale_stress: unknown queries {unknown}", file=sys.stderr)
         return 2
-    spark = build_session("scale_stress")
+    extra = None
+    if args.shuffle_metrics:
+        # The REST status API needs the UI; retain enough stages that a
+        # whole tier's sweep stays addressable by submission time.
+        extra = {"spark.ui.enabled": "true",
+                 "spark.ui.retainedStages": "20000"}
+    spark = build_session("scale_stress", extra_conf=extra)
 
     # Warm-up (JVM, codegen, Python workers) against the BASE dir so
     # neither measured tier is charged for session startup.
@@ -187,10 +278,20 @@ def main() -> int:
         # and the steady-state policy (bench.py) applies WITHIN a tier.
         spark.catalog.clearCache()
         for name in names:
+            t0_ms = time.time() * 1000.0
             sec, rows = run_one(reg[name].fn, spark, sf_dir)
             rec = out.setdefault(name, {})
             rec[f"sec_{tier}"] = round(sec, 3)
             rec[f"rows_{tier}"] = rows
+            if args.shuffle_metrics:
+                # Taken on the FIRST pass only: the count() action and
+                # the min-of-2 re-run reuse cached shared builders, so
+                # pass 1 bounds the full steady-state byte movement.
+                # (Bytes include the untimed count(), which re-executes
+                # the un-cached tail of the plan — an overcount that is
+                # tier-consistent, so the RATIO stays meaningful.)
+                for k, v in _shuffle_since(spark, t0_ms).items():
+                    rec[f"{k}_{tier}"] = v
         # Second pass, min-of-2 (bench.py rationale: first-use JIT).
         for name in names:
             sec, _ = run_one(reg[name].fn, spark, sf_dir)
@@ -198,13 +299,20 @@ def main() -> int:
             rec[f"sec_{tier}"] = min(rec[f"sec_{tier}"], round(sec, 3))
 
     flagged = []
+    shuffle_flagged = []
     for name, rec in out.items():
         rec["ratio"] = round(rec["sec_big"] / max(rec["sec_base"], 1e-9), 2)
         rec["superlinear"] = rec["ratio"] > args.mult * args.superlinear_factor
+        if args.shuffle_metrics:
+            classify_shuffle(rec, args.mult, args.superlinear_factor)
+            if rec.get("shuffle_superlinear"):
+                shuffle_flagged.append(name)
         if rec["superlinear"]:
             flagged.append(name)
     print(json.dumps({"mult": args.mult, "src": args.src, "replica": dst,
-                      "queries": out, "flagged": flagged}))
+                      "queries": out, "flagged": flagged,
+                      **({"shuffle_flagged": shuffle_flagged}
+                         if args.shuffle_metrics else {})}))
     return 1 if flagged else 0
 
 
