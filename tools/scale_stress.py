@@ -85,6 +85,9 @@ DEFAULT_QUERIES = [
     "q148_bfs_hops",                 # iterative graph expansion
     "q164_item_item_cf",             # self-join similarity
     "q189_spearman_rank_corr",       # window-rank statistics
+    "q43_media_features",            # Arrow-batched mapInPandas (multimodal)
+    "q55_approx_sketches",           # mergeable sketch partials + verify pass
+    "q143_gaps_islands_sessions",    # window/sessionization over deep users
 ]
 
 
