@@ -103,11 +103,29 @@ def test_classify_shuffle_regimes():
     from tools.scale_stress import classify_shuffle
 
     # q5-shaped: base shuffled 921 bytes (auto-broadcast) and 1.24 GB
-    # at 100x (SMJ) — plan transition, not a growth measurement.
+    # at 100x — an SMJ whose column-pruned scan read only 33 MB
+    # ENCODED (the replica's repeated values dictionary-compress ~37x)
+    # — plan transition within the 64x decode-expansion envelope.
     r = {"shuffle_write_base": 921, "shuffle_write_big": 1_239_941_033,
-         "rows_base": 5, "rows_big": 5}
+         "rows_base": 5, "rows_big": 5, "input_bytes_big": 33_034_816}
     classify_shuffle(r, 100, 1.6)
     assert r.get("shuffle_transition") and not r.get("shuffle_superlinear")
+
+    # q135-shaped: transition with a fact-scale OUTPUT (60M join rows)
+    # — the 256 B/row output envelope covers the 4.6 GB shuffle.
+    r = {"shuffle_write_base": 171, "shuffle_write_big": 4_586_709_165,
+         "rows_base": 600_000, "rows_big": 60_000_000,
+         "input_bytes_big": 33_034_816}
+    classify_shuffle(r, 100, 1.6)
+    assert r.get("shuffle_transition") and not r.get("shuffle_superlinear")
+
+    # Runaway hidden behind a tiny base: 50 KB -> 500 GB on a 1.2 GB
+    # read with no output growth exceeds every envelope term — the
+    # transition label must NOT suppress the flag.
+    r = {"shuffle_write_base": 50_000, "shuffle_write_big": 500_000_000_000,
+         "rows_base": 5, "rows_big": 5, "input_bytes_big": 1_200_000_000}
+    classify_shuffle(r, 100, 1.6)
+    assert r.get("shuffle_transition") and r.get("shuffle_superlinear")
 
     # q34-shaped: bytes grew 321x but OUTPUT grew 29,240x — bytes
     # follow output, below the output-normalized bar.

@@ -46,13 +46,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def flaky(df, marker_dir: str):
     """Pass-through mapInPandas stage that fails (partition 0,
-    attempt 0) once, leaving a marker file as the injection witness."""
+    attempt 0) once — AFTER emitting its first batch, so the failed
+    attempt leaves partial output behind.  That is the harder half of
+    the retry-corruption class: downstream state / shuffle map output
+    fed by the doomed attempt must be fully discarded, not merged with
+    the retry's.  A marker file witnesses the injection (accumulator
+    updates from failed tasks are dropped by design)."""
 
     def gen(batches):
         from pyspark import TaskContext
 
         tc = TaskContext.get()
         if tc.partitionId() == 0 and tc.attemptNumber() == 0:
+            for b in batches:
+                yield b  # partial output from the attempt that dies
+                break
             open(os.path.join(marker_dir,
                               f"p{tc.partitionId()}_a{tc.attemptNumber()}"),
                  "w").close()

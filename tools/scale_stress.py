@@ -179,9 +179,18 @@ def _shuffle_since(spark, t0_ms: float) -> dict[str, int]:
     """
     import urllib.request
 
+    # The app-status store is fed ASYNCHRONOUSLY from the listener bus;
+    # an action returning does not mean its final stage's metrics are
+    # aggregated yet.  Drain the bus before reading, else the big-tier
+    # bytes of a heavy query can be silently undercounted.
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
     ui = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
-    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages") as r:
+    # status=complete: failed attempts don't register shuffle output and
+    # skipped stages reuse an earlier exchange's bytes (counting them
+    # would double-charge), and it keeps the payload proportional.
+    with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete") as r:
         stages = json.load(r)
     tot = {"shuffle_write": 0, "shuffle_read": 0, "input_bytes": 0}
     for st in stages:
@@ -207,8 +216,21 @@ def classify_shuffle(rec: dict, mult: int, factor: float) -> None:
         # typically ran broadcast/local plans that legitimately become
         # shuffles at scale (e.g. a size-based auto-broadcast backing
         # off to SMJ).  Mark it so the big-tier bytes get read on their
-        # own terms.
+        # own terms — but don't let the regime HIDE a runaway: a
+        # transitioned plan's shuffle is bounded by a generous multiple
+        # of what it read or of what it emits (256 B/row is a wide
+        # row).  The input multiple must cover parquet DECODE
+        # expansion, not just join fan-in: input bytes are encoded and
+        # shuffle bytes are raw rows, and dictionary/RLE on repetitive
+        # columns decodes 30-40x (measured 37x on q5's replica scan) —
+        # 64x bounds that with headroom while still catching the
+        # 1000x+ blow-ups this check exists for.
         rec["shuffle_transition"] = True
+        envelope = max(mult * (1 << 16),
+                       64 * rec.get("input_bytes_big", 0),
+                       256 * rec["rows_big"])
+        if rec["shuffle_write_big"] > factor * envelope:
+            rec["shuffle_superlinear"] = True
         return
     # Bytes legitimately follow OUTPUT when a query emits result sets
     # that grow faster than the corpus (pair enumeration under
@@ -281,7 +303,10 @@ def main() -> int:
         # and the steady-state policy (bench.py) applies WITHIN a tier.
         spark.catalog.clearCache()
         for name in names:
-            t0_ms = time.time() * 1000.0
+            # Floor: REST submissionTime is integer-truncated ms, so a
+            # fractional t0 could exclude a stage submitted within the
+            # same millisecond.
+            t0_ms = float(int(time.time() * 1000.0))
             sec, rows = run_one(reg[name].fn, spark, sf_dir)
             rec = out.setdefault(name, {})
             rec[f"sec_{tier}"] = round(sec, 3)
