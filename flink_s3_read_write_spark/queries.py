@@ -95,6 +95,12 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # 2^53) and now hash-stable at ANY magnitude.
     "q4_pricing_summary",
     "q5_revenue_by_priority",
+    # r12 (fuzz finding, seed 99): q142's oracle renders its >2^53
+    # integer regression moments (numer_i/denom_i) through VARCHAR —
+    # DuckDB's SCALE-0 int128->double is also not correctly rounded
+    # (one group one ulp off; Spark matched exact-integer ground
+    # truth).  Oracle text only; gate values unchanged.
+    "q142_groupwise_regression",
 )
 
 

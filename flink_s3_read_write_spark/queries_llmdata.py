@@ -2992,10 +2992,15 @@ def q141_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # where Java's BigDecimal.doubleValue rounds once — a last-ulp
     # difference that catastrophic cancellation in n·Σxy − Σx·Σy
     # amplifies into the 12th digit.  So the cancellation happens IN
-    # DECIMAL (exact), the numerator is rescaled to an INTEGER decimal
-    # (int→double is correctly rounded in both engines), and only
-    # then does the division go to double.  Explicit CASTs keep every
-    # intermediate inside both engines' 38-digit width.
+    # DECIMAL (exact), the numerator is rescaled to an INTEGER decimal,
+    # and only then does the division go to double.  Explicit CASTs
+    # keep every intermediate inside both engines' 38-digit width.
+    # r12 fuzz finding: DuckDB's SCALE-0 int128→double is ALSO not
+    # correctly rounded past 2^53 (upper·2⁶⁴ + lower in double — two
+    # roundings; hit by fuzz seed 99, one group one ulp off while
+    # Spark matched exact-integer ground truth), so numer_i/denom_i
+    # are rendered through VARCHAR (strtod rounds once) — the same
+    # convention as the q4/q5 stress fix, now applied at scale 0.
     oracle="""
     WITH pts AS (
       SELECT event_type,
@@ -3020,9 +3025,11 @@ def q141_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     )
     SELECT event_type, n,
-           CAST(numer_i AS DOUBLE) / CAST(denom_i AS DOUBLE) / 1000000.0 AS slope,
+           CAST(CAST(numer_i AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(denom_i AS VARCHAR) AS DOUBLE) / 1000000.0 AS slope,
            (CAST(sy AS DOUBLE)
-            - CAST(numer_i AS DOUBLE) / CAST(denom_i AS DOUBLE) / 1000000.0
+            - CAST(CAST(numer_i AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(denom_i AS VARCHAR) AS DOUBLE) / 1000000.0
               * CAST(sx AS DOUBLE)) / n AS intercept
     FROM d
     """,

@@ -1,0 +1,77 @@
+"""Randomized differential gate (tools/fuzz_corpus.py).
+
+The driver corpora are deterministic and tie-free on the axes where
+tie-break bugs live; the fuzz corpus is adversarial there by
+construction (duplicate order totals, 1-second-grid event timestamps,
+planted exact/near-duplicate documents and vectors, whale users,
+boundary discounts/balances) while keeping schemas, FK validity and
+categorical domains faithful so query preconditions hold.  A
+representative query per family must match its DuckDB oracle
+bit-for-bit on that corpus.  The full 207-query sweep per seed runs
+as a tool (`python tools/check.py --sf <fuzz dir>`, recorded in
+SCALE.md); this test pins the fast cross-family subset into the
+suite.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from tools.check import frame_summary  # noqa: E402
+from tools.fuzz_corpus import build  # noqa: E402
+
+# One representative per family, biased toward tie-sensitive shapes:
+# top-k over snapped totals, mode/median over colliding values,
+# sessions over gridded timestamps, dedup over planted duplicates.
+SUBSET = [
+    "q4_pricing_summary",
+    "q5_revenue_by_priority",
+    "q10_topk_orders_per_priority",
+    "q11_running_total_per_customer",
+    "q20_top10_orders",
+    "q28_percentiles",
+    "q30_dedup_exact",
+    "q33_minhash_dedup_pairs",
+    "q35_topk_cosine",
+    "q42_embedding_dedup_pairs",
+    "q53_json_props",
+    "q129_event_sequences",
+    "q143_gaps_islands_sessions",
+    "q172_dq_constraint_suite",
+    "q186_weighted_median",
+    "q194_mode_per_group",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fuzz") / "s7")
+    build(d, seed=7)
+    return d
+
+
+def test_fuzz_subset_matches_oracle(spark, fuzz_dir):
+    from flink_s3_read_write_spark.queries import registry
+    from flink_s3_read_write_spark.sources.io import TABLES
+
+    reg = registry()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{fuzz_dir}/{t}.parquet'")
+
+    bad = []
+    for name in SUBSET:
+        q = reg[name]
+        spark.catalog.clearCache()
+        sdf = q.fn(spark, fuzz_dir)
+        s = frame_summary(sdf.columns, [tuple(r) for r in sdf.collect()])
+        res = con.sql(q.oracle)
+        o = frame_summary(list(res.columns), res.fetchall())
+        if s != o:
+            bad.append(f"{name}: spark={s} oracle={o}")
+    assert not bad, "\n".join(bad)

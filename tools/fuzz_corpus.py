@@ -1,0 +1,240 @@
+"""Seeded randomized differential corpus — the "fuzz tier" of the
+oracle gate.
+
+The driver's sf corpora are deterministic and benign: no duplicate
+order totals, microsecond-unique event timestamps, no exact-duplicate
+documents outside the planted sets.  Queries can pass on such data
+while carrying latent tie-break or boundary bugs (a top-k whose
+ordering is only total BECAUSE revenues never collide, a window
+ordered by a timestamp that never repeats).  This tool generates a
+schema- and domain-faithful corpus whose randomness is ADVERSARIAL on
+exactly those axes:
+
+  * ties by construction — order totals snapped to whole hundreds,
+    event timestamps drawn partly from a coarse 1-second grid,
+    duplicate embedding vectors, exact- and near-duplicate documents;
+  * boundary values — zero discounts, negative account balances and
+    event values, 1-line and 6-line orders, whale users;
+  * valid FKs and the exact categorical domains of the driver data
+    (every o_custkey resolves, event_type/lang/priority/... drawn
+    from the same value sets), so query PRECONDITIONS hold and any
+    mismatch is a real engine/oracle divergence, not corpus abuse.
+
+The output dir is a drop-in --sf for tools/check.py, so one seed is a
+full 207-query differential run:
+
+    python tools/fuzz_corpus.py --seed 7 --out /tmp/spark_graft_fuzz7
+    python tools/check.py --sf /tmp/spark_graft_fuzz7
+
+Pure Python + pyarrow (no JVM): schemas are pinned to the driver
+parquet types (INT32 region/nation keys, FLOAT[] embeddings,
+TIMESTAMP micros).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MKTSEG = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITY = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+PTYPE = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+ETYPE = ["view", "click", "purchase", "signup", "error"]
+LANG = ["en", "de", "fr", "es", "zh"]
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+ADJ = ["small", "red", "blue", "green", "large", "shiny", "plain", "odd"]
+NOUN = ["ring", "widget", "bolt", "gear", "plate", "cog", "pin", "rod"]
+WORDS = ("key agg row scan slow fast table value part hash merge batch "
+         "spark order data column join small line customer query big the "
+         "a sort window group stream filter").split()
+
+SIZES = {"customer": 200, "supplier": 20, "part": 250, "orders": 1600,
+         "events": 1500, "documents": 120, "embeddings": 120}
+
+
+def _write(out: str, name: str, cols: dict, schema: pa.Schema) -> None:
+    pq.write_table(pa.table(cols, schema=schema),
+                   os.path.join(out, f"{name}.parquet"))
+
+
+def build(out: str, seed: int) -> None:
+    rng = random.Random(seed)
+    os.makedirs(out, exist_ok=True)
+
+    _write(out, "region",
+           {"r_regionkey": list(range(5)), "r_name": REGIONS},
+           pa.schema([("r_regionkey", pa.int32()), ("r_name", pa.string())]))
+    _write(out, "nation",
+           {"n_nationkey": list(range(25)),
+            "n_name": [f"NATION_{i}" for i in range(25)],
+            "n_regionkey": [i % 5 for i in range(25)]},
+           pa.schema([("n_nationkey", pa.int32()), ("n_name", pa.string()),
+                      ("n_regionkey", pa.int32())]))
+
+    nc = SIZES["customer"]
+    _write(out, "customer",
+           {"c_custkey": list(range(nc)),
+            "c_name": [f"Customer#{i:09d}" for i in range(nc)],
+            "c_nationkey": [rng.randrange(25) for _ in range(nc)],
+            # negative balances by design (boundary axis)
+            "c_acctbal": [round(rng.uniform(-999.99, 9999.99), 2)
+                          for _ in range(nc)],
+            "c_mktsegment": [rng.choice(MKTSEG) for _ in range(nc)]},
+           pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string()),
+                      ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+                      ("c_mktsegment", pa.string())]))
+
+    ns = SIZES["supplier"]
+    _write(out, "supplier",
+           {"s_suppkey": list(range(ns)),
+            "s_name": [f"Supplier#{i:09d}" for i in range(ns)],
+            "s_nationkey": [rng.randrange(25) for _ in range(ns)],
+            "s_acctbal": [round(rng.uniform(-999.99, 9999.99), 2)
+                          for _ in range(ns)]},
+           pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string()),
+                      ("s_nationkey", pa.int32()),
+                      ("s_acctbal", pa.float64())]))
+
+    np_ = SIZES["part"]
+    _write(out, "part",
+           {"p_partkey": list(range(np_)),
+            "p_name": [f"{rng.choice(ADJ)} {rng.choice(NOUN)}"
+                       for _ in range(np_)],
+            "p_brand": [f"Brand#{rng.randrange(1, 26)}" for _ in range(np_)],
+            "p_type": [rng.choice(PTYPE) for _ in range(np_)],
+            "p_size": [rng.randrange(1, 51) for _ in range(np_)],
+            "p_retailprice": [round(rng.uniform(100, 2000), 2)
+                              for _ in range(np_)]},
+           pa.schema([("p_partkey", pa.int64()), ("p_name", pa.string()),
+                      ("p_brand", pa.string()), ("p_type", pa.string()),
+                      ("p_size", pa.int32()),
+                      ("p_retailprice", pa.float64())]))
+
+    # orders: tie-rich totals (30% snapped to whole hundreds) and
+    # tie-rich dates (400 distinct days over the real range).
+    no = SIZES["orders"]
+    day0 = dt.datetime(1995, 1, 1)
+    days = [day0 + dt.timedelta(days=rng.randrange(0, 2400))
+            for _ in range(400)]
+    o_date = [rng.choice(days) for _ in range(no)]
+    o_total = [float(rng.randrange(1, 500) * 100) if rng.random() < 0.3
+               else round(rng.uniform(100.0, 50000.0), 2)
+               for _ in range(no)]
+    _write(out, "orders",
+           {"o_orderkey": list(range(no)),
+            "o_custkey": [rng.randrange(nc) for _ in range(no)],
+            "o_orderstatus": [rng.choice("FFOOP") for _ in range(no)],
+            "o_totalprice": o_total,
+            "o_orderdate": o_date,
+            "o_orderpriority": [rng.choice(PRIORITY) for _ in range(no)]},
+           pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                      ("o_orderstatus", pa.string()),
+                      ("o_totalprice", pa.float64()),
+                      ("o_orderdate", pa.timestamp("us")),
+                      ("o_orderpriority", pa.string())]))
+
+    li = {k: [] for k in ("l_orderkey", "l_partkey", "l_suppkey",
+                          "l_linenumber", "l_quantity", "l_extendedprice",
+                          "l_discount", "l_tax", "l_returnflag",
+                          "l_linestatus", "l_shipdate")}
+    for ok in range(no):
+        for ln in range(1, rng.randrange(1, 7) + 1):
+            qty = float(rng.randrange(1, 51))
+            li["l_orderkey"].append(ok)
+            li["l_partkey"].append(rng.randrange(np_))
+            li["l_suppkey"].append(rng.randrange(ns))
+            li["l_linenumber"].append(ln)
+            li["l_quantity"].append(qty)
+            li["l_extendedprice"].append(round(qty * rng.uniform(9, 99), 2))
+            li["l_discount"].append(rng.randrange(0, 11) / 100.0)  # incl 0
+            li["l_tax"].append(rng.randrange(0, 9) / 100.0)
+            li["l_returnflag"].append(rng.choice("ANR"))
+            li["l_linestatus"].append(rng.choice("OF"))
+            li["l_shipdate"].append(
+                o_date[ok] + dt.timedelta(days=rng.randrange(1, 121)))
+    _write(out, "lineitem", li,
+           pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+                      ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+                      ("l_quantity", pa.float64()),
+                      ("l_extendedprice", pa.float64()),
+                      ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+                      ("l_returnflag", pa.string()),
+                      ("l_linestatus", pa.string()),
+                      ("l_shipdate", pa.timestamp("us"))]))
+
+    # events: whale users (zipf-ish pick over 40 users) and timestamp
+    # TIES (30% drawn from a coarse 1-second grid).
+    ne = SIZES["events"]
+    t0 = dt.datetime(2024, 1, 1)
+    users = [rng.randrange(1 + min(39, int(rng.expovariate(0.12))))
+             for _ in range(ne)]
+    ts = [t0 + (dt.timedelta(seconds=rng.randrange(0, 5000))
+                if rng.random() < 0.3 else
+                dt.timedelta(seconds=rng.uniform(0, 2_592_000)))
+          for _ in range(ne)]
+    _write(out, "events",
+           {"event_id": list(range(ne)),
+            "ts": ts,
+            "user_id": users,
+            "event_type": [rng.choice(ETYPE) for _ in range(ne)],
+            "value": [round(rng.uniform(-10, 100), 3) for _ in range(ne)],
+            "props": ['{"k": %d}' % rng.randrange(100) for _ in range(ne)]},
+           pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                      ("user_id", pa.int64()), ("event_type", pa.string()),
+                      ("value", pa.float64()), ("props", pa.string())]))
+
+    # documents: planted exact duplicates (6 pairs) and near-duplicates
+    # (6 pairs, one word substituted) atop random texts.
+    nd = SIZES["documents"]
+    texts = [" ".join(rng.choice(WORDS)
+                      for _ in range(rng.randrange(20, 81)))
+             for _ in range(nd)]
+    for i in range(6):
+        texts[nd - 1 - i] = texts[i]                    # exact dup
+    for i in range(6, 12):
+        w = texts[i].split()
+        w[rng.randrange(len(w))] = rng.choice(WORDS)
+        texts[nd - 1 - i] = " ".join(w)                 # near dup
+    _write(out, "documents",
+           {"doc_id": list(range(nd)),
+            "text": texts,
+            "lang": [rng.choice(LANG) for _ in range(nd)],
+            "source": [f"src{rng.randrange(20)}" for _ in range(nd)],
+            "n_chars": [len(t) for t in texts]},
+           pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                      ("lang", pa.string()), ("source", pa.string()),
+                      ("n_chars", pa.int64())]))
+
+    # embeddings: 64-dim, 4 planted exact-duplicate vectors.
+    nv = SIZES["embeddings"]
+    vecs = [[round(rng.uniform(-1, 1), 4) for _ in range(64)]
+            for _ in range(nv)]
+    for i in range(4):
+        vecs[nv - 1 - i] = list(vecs[8 + i])
+    _write(out, "embeddings",
+           {"vec_id": list(range(nv)),
+            "embedding": vecs,
+            "label": [rng.randrange(10) for _ in range(nv)]},
+           pa.schema([("vec_id", pa.int64()),
+                      ("embedding", pa.list_(pa.float32())),
+                      ("label", pa.int32())]))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    out = args.out or f"/tmp/spark_graft_fuzz{args.seed}"
+    build(out, args.seed)
+    print(f"fuzz_corpus: seed={args.seed} written to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
