@@ -96,7 +96,8 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "q4_pricing_summary",
     "q5_revenue_by_priority",
     # r12 (fuzz finding, seed 99): q142's oracle renders its >2^53
-    # integer regression moments (numer_i/denom_i) through VARCHAR —
+    # integer regression moments (numer_i/denom_i — and, after the
+    # review pass, the boundary-adjacent sx/sy too) through VARCHAR —
     # DuckDB's SCALE-0 int128->double is also not correctly rounded
     # (one group one ulp off; Spark matched exact-integer ground
     # truth).  Oracle text only; gate values unchanged.

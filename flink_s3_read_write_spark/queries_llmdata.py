@@ -3001,6 +3001,10 @@ def q141_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark matched exact-integer ground truth), so numer_i/denom_i
     # are rendered through VARCHAR (strtod rounds once) — the same
     # convention as the q4/q5 stress fix, now applied at scale 0.
+    # sx/sy take the same render: below 2^53 the two forms are
+    # bit-identical (gate values unchanged), and the VARCHAR form
+    # keeps the intercept exact when a larger corpus pushes SUM(x)
+    # (~2e14 at the 100x tier, 45x of headroom) past the boundary.
     oracle="""
     WITH pts AS (
       SELECT event_type,
@@ -3027,10 +3031,10 @@ def q141_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n,
            CAST(CAST(numer_i AS VARCHAR) AS DOUBLE)
              / CAST(CAST(denom_i AS VARCHAR) AS DOUBLE) / 1000000.0 AS slope,
-           (CAST(sy AS DOUBLE)
+           (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
             - CAST(CAST(numer_i AS VARCHAR) AS DOUBLE)
               / CAST(CAST(denom_i AS VARCHAR) AS DOUBLE) / 1000000.0
-              * CAST(sx AS DOUBLE)) / n AS intercept
+              * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) / n AS intercept
     FROM d
     """,
     doc=(

@@ -7,23 +7,25 @@ planted exact/near-duplicate documents and vectors, whale users,
 boundary discounts/balances) while keeping schemas, FK validity and
 categorical domains faithful so query preconditions hold.  A
 representative query per family must match its DuckDB oracle
-bit-for-bit on that corpus.  The full 207-query sweep per seed runs
-as a tool (`python tools/check.py --sf <fuzz dir>`, recorded in
-SCALE.md); this test pins the fast cross-family subset into the
-suite.
+bit-for-bit on that corpus, through tools/check.py's own
+compare_query (one comparison protocol — the CLI gate and this test
+cannot drift apart).  The full 207-query sweep per seed runs as a
+tool (`python tools/check.py --sf <fuzz dir>`, recorded in SCALE.md);
+this test pins the fast cross-family subset into the suite.
 """
 
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
 import duckdb
 import pytest
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
-from tools.check import frame_summary  # noqa: E402
-from tools.fuzz_corpus import build  # noqa: E402
+from check import compare_query  # noqa: E402
+from fuzz_corpus import build  # noqa: E402
 
 # One representative per family, biased toward tie-sensitive shapes:
 # top-k over snapped totals, mode/median over colliding values,
@@ -41,6 +43,7 @@ SUBSET = [
     "q42_embedding_dedup_pairs",
     "q53_json_props",
     "q129_event_sequences",
+    "q142_groupwise_regression",
     "q143_gaps_islands_sessions",
     "q172_dq_constraint_suite",
     "q186_weighted_median",
@@ -66,12 +69,7 @@ def test_fuzz_subset_matches_oracle(spark, fuzz_dir):
 
     bad = []
     for name in SUBSET:
-        q = reg[name]
-        spark.catalog.clearCache()
-        sdf = q.fn(spark, fuzz_dir)
-        s = frame_summary(sdf.columns, [tuple(r) for r in sdf.collect()])
-        res = con.sql(q.oracle)
-        o = frame_summary(list(res.columns), res.fetchall())
+        s, o, _, _ = compare_query(spark, con, reg[name], fuzz_dir)
         if s != o:
             bad.append(f"{name}: spark={s} oracle={o}")
     assert not bad, "\n".join(bad)

@@ -100,7 +100,7 @@ def test_default_queries_registered():
 def test_classify_shuffle_regimes():
     """Pin the three byte-growth regimes against the values the first
     100x --shuffle-metrics run actually produced (SCALE.md r12)."""
-    from tools.scale_stress import classify_shuffle
+    from scale_stress import classify_shuffle
 
     # q5-shaped: base shuffled 921 bytes (auto-broadcast) and 1.24 GB
     # at 100x — an SMJ whose column-pruned scan read only 33 MB
@@ -153,7 +153,7 @@ def test_rest_timestamp_parse():
     """The shuffle-metrics tier filters stages by submission time; the
     REST API renders GMT-suffixed millis, which must round-trip to the
     same epoch ms that time.time()*1000 produces on this (UTC) box."""
-    from tools.scale_stress import rest_ts_ms
+    from scale_stress import rest_ts_ms
 
     assert rest_ts_ms("1970-01-01T00:00:00.000GMT") == 0.0
     assert rest_ts_ms("1970-01-01T00:00:01.500GMT") == 1500.0

@@ -47,6 +47,80 @@ def frame_summary(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], s
     return len(rows), sorted(cols), h
 
 
+class LossyColumns(Exception):
+    """A side of the comparison emits columns the driver's
+    dataframe-based fetch path coerces lossily (see the messages in
+    compare_query) — the pair cannot be trusted end-to-end even if the
+    Python-object values happen to match."""
+
+
+def compare_query(spark, con, q, sf_dir: str, pandas: bool = False):
+    """Run one registry query on Spark AND its DuckDB oracle (table
+    views must already exist on ``con``) and return
+    ``(spark_summary, oracle_summary, srows, orows)`` where each
+    summary is ``frame_summary``'s (count, sorted_cols, hash) and
+    ``oracle_summary`` is None for rows-only queries.
+
+    The ONE source of truth for the comparison protocol — main() and
+    tests/test_fuzz_differential.py both go through it, so a guard or
+    normalization change cannot silently diverge between the CLI gate
+    and the pinned suite test.  Raises LossyColumns for pandas-lossy
+    column types on either side; Spark/DuckDB errors propagate.
+    """
+    # Per-query .cache() fills must not leak across queries: a warm
+    # cached table from query N would mask a missing-cache or
+    # wrong-plan regression in query N+1 (and grows storage memory
+    # across a full registry sweep).
+    spark.catalog.clearCache()
+    sdf = q.fn(spark, sf_dir)
+    # array/struct/map top-level columns crash the DRIVER's pandas
+    # canonicalizer ("unhashable type: 'list'") even though our own
+    # hash JSON-serializes them — reject locally so local green means
+    # driver green (q175 r05 lesson).
+    wide_dec = [f"{c}:{t}" for c, t in sdf.dtypes
+                if t == "date"
+                or t.startswith(("array<", "struct<", "map<"))
+                or (t.startswith("decimal(") and int(t[8:].split(",")[0]) > 18)]
+    if wide_dec:
+        raise LossyColumns(
+            f"pandas-lossy/unhashable Spark column(s): {wide_dec} "
+            f"(cast to bigint/double/string, array_join arrays, "
+            f"before returning)")
+    if pandas:
+        srows = [tuple(r) for r in sdf.toPandas().itertuples(index=False)]
+    else:
+        srows = [tuple(r) for r in sdf.collect()]
+    s = frame_summary(sdf.columns, srows)
+    if q.oracle is None:
+        return s, None, srows, []
+    res = con.sql(q.oracle)
+    ocols = list(res.columns)
+    # Types that pandas-based comparators coerce to lossy float64 on
+    # the DuckDB side only (int64 Spark vs "6.0" oracle): any
+    # sum(BIGINT) left as HUGEINT, or wide decimals.  The driver
+    # fetches via dataframes, so these fail there even when the
+    # Python-object values match — make that a LOCAL failure.  DATE is
+    # also fetch-path-dependent: object date vs midnight datetime64
+    # ("1995-01-01" vs "1995-01-01 00:00:00") — no driver-green query
+    # has ever emitted one; use ISO strings.
+    risky = [
+        f"{c}:{t}"
+        for c, t in zip(ocols, res.types)
+        if "HUGEINT" in str(t) or "UBIGINT" in str(t) or str(t) == "DATE"
+        or "[]" in str(t) or "STRUCT" in str(t) or "MAP(" in str(t)
+        or (str(t).startswith("DECIMAL") and int(str(t).split("(")[1].split(",")[0]) > 18)
+    ]
+    if risky:
+        raise LossyColumns(
+            f"pandas-lossy oracle column(s): {risky} "
+            f"(CAST to BIGINT/DOUBLE/VARCHAR in the oracle SQL)")
+    if pandas:
+        orows = [tuple(r) for r in res.df().itertuples(index=False)]
+    else:
+        orows = res.fetchall()
+    return s, frame_summary(ocols, orows), srows, orows
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
@@ -96,75 +170,24 @@ def main() -> int:
     failures = 0
     for name in names:
         q = reg[name]
-        # Per-query .cache() fills must not leak across queries: a warm
-        # cached table from query N would mask a missing-cache or
-        # wrong-plan regression in query N+1 (and grows storage memory
-        # across a full 135-query sweep).
-        spark.catalog.clearCache()
         t0 = time.time()
         try:
-            sdf = q.fn(spark, args.sf)
-            # array/struct/map top-level columns crash the DRIVER's pandas
-            # canonicalizer ("unhashable type: 'list'") even though our own
-            # hash JSON-serializes them — reject locally so local green
-            # means driver green (q175 r05 lesson).
-            wide_dec = [f"{c}:{t}" for c, t in sdf.dtypes
-                        if t == "date"
-                        or t.startswith(("array<", "struct<", "map<"))
-                        or (t.startswith("decimal(") and int(t[8:].split(",")[0]) > 18)]
-            if wide_dec:
-                print(f"FAIL  {name}: pandas-lossy/unhashable Spark column(s): {wide_dec} "
-                      f"(cast to bigint/double/string, array_join arrays, before returning)")
-                failures += 1
-                continue
-            if args.pandas:
-                pdf = sdf.toPandas()
-                srows = [tuple(r) for r in pdf.itertuples(index=False)]
-            else:
-                srows = [tuple(r) for r in sdf.collect()]
-            scount, scols, shash = frame_summary(sdf.columns, srows)
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            s, o, srows, orows = compare_query(
+                spark, con, q, args.sf, pandas=args.pandas)
+        except LossyColumns as e:
+            print(f"FAIL  {name}: {e}")
             failures += 1
             continue
-        if q.oracle is None:
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: error: {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        scount, scols, shash = s
+        if o is None:
             print(f"rows  {name}: {scount} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
-        try:
-            res = con.sql(q.oracle)
-            ocols = list(res.columns)
-            # Types that pandas-based comparators coerce to lossy float64
-            # on the DuckDB side only (int64 Spark vs "6.0" oracle): any
-            # sum(BIGINT) left as HUGEINT, or wide decimals.  The driver
-            # fetches via dataframes, so these fail there even when the
-            # Python-object values match — make that a LOCAL failure.
-            # DATE is also fetch-path-dependent: object date vs midnight
-            # datetime64 ("1995-01-01" vs "1995-01-01 00:00:00") — no
-            # driver-green query has ever emitted one; use ISO strings.
-            risky = [
-                f"{c}:{t}"
-                for c, t in zip(ocols, res.types)
-                if "HUGEINT" in str(t) or "UBIGINT" in str(t) or str(t) == "DATE"
-                or "[]" in str(t) or "STRUCT" in str(t) or "MAP(" in str(t)
-                or (str(t).startswith("DECIMAL") and int(str(t).split("(")[1].split(",")[0]) > 18)
-            ]
-            if risky:
-                print(f"FAIL  {name}: pandas-lossy oracle column(s): {risky} "
-                      f"(CAST to BIGINT/DOUBLE/VARCHAR in the oracle SQL)")
-                failures += 1
-                continue
-            if args.pandas:
-                opdf = res.df()
-                orows = [tuple(r) for r in opdf.itertuples(index=False)]
-            else:
-                orows = res.fetchall()
-            ocount, ocols_s, ohash = frame_summary(ocols, orows)
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
-            failures += 1
-            continue
-        ok = (scount, scols, shash) == (ocount, ocols_s, ohash)
-        if ok:
+        ocount, ocols_s, ohash = o
+        if s == o:
             print(f"OK    {name}: {scount} rows hash={shash} [{time.time()-t0:.1f}s]")
         else:
             failures += 1

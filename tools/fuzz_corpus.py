@@ -116,7 +116,8 @@ def build(out: str, seed: int) -> None:
                       ("p_retailprice", pa.float64())]))
 
     # orders: tie-rich totals (30% snapped to whole hundreds) and
-    # tie-rich dates (400 distinct days over the real range).
+    # tie-rich dates (a ~370-distinct-day pool over the real range,
+    # sampled with replacement).
     no = SIZES["orders"]
     day0 = dt.datetime(1995, 1, 1)
     days = [day0 + dt.timedelta(days=rng.randrange(0, 2400))
@@ -198,7 +199,11 @@ def build(out: str, seed: int) -> None:
         texts[nd - 1 - i] = texts[i]                    # exact dup
     for i in range(6, 12):
         w = texts[i].split()
-        w[rng.randrange(len(w))] = rng.choice(WORDS)
+        j = rng.randrange(len(w))
+        # substitute with a DIFFERENT word, else ~1/26 of the "near"
+        # pairs would silently be byte-identical and blur the
+        # exact-dedup vs near-dedup family distinction
+        w[j] = rng.choice([x for x in WORDS if x != w[j]])
         texts[nd - 1 - i] = " ".join(w)                 # near dup
     _write(out, "documents",
            {"doc_id": list(range(nd)),
