@@ -62,7 +62,12 @@ def _write(out: str, name: str, cols: dict, schema: pa.Schema) -> None:
                    os.path.join(out, f"{name}.parquet"))
 
 
-def build(out: str, seed: int) -> None:
+def build(out: str, seed: int, scale: int = 1) -> None:
+    """``scale`` multiplies every fact-table row count (dims and the
+    planted-duplicate counts stay fixed) — the same fact-grows-
+    faster-than-dim shape as the scale_stress replica, here with
+    fresh random rows rather than replication, so groups get DEEPER
+    tie structure instead of exact copies."""
     rng = random.Random(seed)
     os.makedirs(out, exist_ok=True)
 
@@ -76,7 +81,8 @@ def build(out: str, seed: int) -> None:
            pa.schema([("n_nationkey", pa.int32()), ("n_name", pa.string()),
                       ("n_regionkey", pa.int32())]))
 
-    nc = SIZES["customer"]
+    sizes = {k: v * (scale if k in ("orders", "events", "documents", "embeddings") else 1) for k, v in SIZES.items()}
+    nc = sizes["customer"]
     _write(out, "customer",
            {"c_custkey": list(range(nc)),
             "c_name": [f"Customer#{i:09d}" for i in range(nc)],
@@ -89,7 +95,7 @@ def build(out: str, seed: int) -> None:
                       ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
                       ("c_mktsegment", pa.string())]))
 
-    ns = SIZES["supplier"]
+    ns = sizes["supplier"]
     _write(out, "supplier",
            {"s_suppkey": list(range(ns)),
             "s_name": [f"Supplier#{i:09d}" for i in range(ns)],
@@ -100,7 +106,7 @@ def build(out: str, seed: int) -> None:
                       ("s_nationkey", pa.int32()),
                       ("s_acctbal", pa.float64())]))
 
-    np_ = SIZES["part"]
+    np_ = sizes["part"]
     _write(out, "part",
            {"p_partkey": list(range(np_)),
             "p_name": [f"{rng.choice(ADJ)} {rng.choice(NOUN)}"
@@ -118,7 +124,7 @@ def build(out: str, seed: int) -> None:
     # orders: tie-rich totals (30% snapped to whole hundreds) and
     # tie-rich dates (a ~370-distinct-day pool over the real range,
     # sampled with replacement).
-    no = SIZES["orders"]
+    no = sizes["orders"]
     day0 = dt.datetime(1995, 1, 1)
     days = [day0 + dt.timedelta(days=rng.randrange(0, 2400))
             for _ in range(400)]
@@ -170,7 +176,7 @@ def build(out: str, seed: int) -> None:
 
     # events: whale users (zipf-ish pick over 40 users) and timestamp
     # TIES (30% drawn from a coarse 1-second grid).
-    ne = SIZES["events"]
+    ne = sizes["events"]
     t0 = dt.datetime(2024, 1, 1)
     users = [rng.randrange(1 + min(39, int(rng.expovariate(0.12))))
              for _ in range(ne)]
@@ -191,7 +197,7 @@ def build(out: str, seed: int) -> None:
 
     # documents: planted exact duplicates (6 pairs) and near-duplicates
     # (6 pairs, one word substituted) atop random texts.
-    nd = SIZES["documents"]
+    nd = sizes["documents"]
     texts = [" ".join(rng.choice(WORDS)
                       for _ in range(rng.randrange(20, 81)))
              for _ in range(nd)]
@@ -216,7 +222,7 @@ def build(out: str, seed: int) -> None:
                       ("n_chars", pa.int64())]))
 
     # embeddings: 64-dim, 4 planted exact-duplicate vectors.
-    nv = SIZES["embeddings"]
+    nv = sizes["embeddings"]
     vecs = [[round(rng.uniform(-1, 1), 4) for _ in range(64)]
             for _ in range(nv)]
     for i in range(4):
@@ -233,11 +239,15 @@ def build(out: str, seed: int) -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--scale", type=int, default=1,
+                    help="multiply fact-table sizes (dims fixed) for "
+                         "deeper per-group tie structure")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     out = args.out or f"/tmp/spark_graft_fuzz{args.seed}"
-    build(out, args.seed)
-    print(f"fuzz_corpus: seed={args.seed} written to {out}")
+    build(out, args.seed, scale=args.scale)
+    print(f"fuzz_corpus: seed={args.seed} scale={args.scale} "
+          f"written to {out}")
     return 0
 
 
