@@ -68,41 +68,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # editing any query; otherwise a pre-edit green row from the previous
 # round would count as post-touch confirmation and auto-demote an
 # edited query on stale evidence.
-_TOUCHED_SINCE_ROUND = 12
-_TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # r12 (ADVICE r11): q67's per-query n_exact/n_ivf coalesced to 0
-    # so a hypothetical zero-result query fails the _ek/_ik == k
-    # contract explicitly instead of being skipped by F.min's NULL
-    # handling.  Values unchanged (both sides always non-empty on
-    # real data).
-    "q67_ann_ivf_topk",
-    # r12 (Arrow-input-width sweep): the media operators now prune
-    # their mapInPandas input to exactly the columns the Python fn
-    # reads (mapInPandas blocks Catalyst column pruning, so the meta
-    # struct — and any caller-carried column — was serialized into
-    # every Arrow batch unused).  Plan gains one Project before the
-    # Arrow node; values unchanged (oracle-verified at sf0.01
-    # pre-commit; width pinned by tests/test_multimodal.py).
-    "q43_media_features",
-    "q44_frame_samples",
-    "q58_image_resize",
-    "q60_audio_features",
-    # r12 (scale-stress finding): q4/q5 oracles render their big money
-    # sums through VARCHAR — DuckDB's direct DECIMAL->DOUBLE cast
-    # double-rounds past unscaled 2^53 (hit at the 10x stress tier,
-    # 1-ulp divergence from Spark's correctly-rounded cast).  Oracle
-    # text only; values identical at gate SF (both forms equal below
-    # 2^53) and now hash-stable at ANY magnitude.
-    "q4_pricing_summary",
-    "q5_revenue_by_priority",
-    # r12 (fuzz finding, seed 99): q142's oracle renders its >2^53
-    # integer regression moments (numer_i/denom_i — and, after the
-    # review pass, the boundary-adjacent sx/sy too) through VARCHAR —
-    # DuckDB's SCALE-0 int128->double is also not correctly rounded
-    # (one group one ulp off; Spark matched exact-integer ground
-    # truth).  Oracle text only; gate values unchanged.
-    "q142_groupwise_regression",
-)
+_TOUCHED_SINCE_ROUND = 13
+_TOUCHED_THIS_ROUND: tuple[str, ...] = ()
 
 
 def stale_touched() -> list[str]:

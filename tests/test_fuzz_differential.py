@@ -19,12 +19,11 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
-import duckdb
 import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
-from check import compare_query  # noqa: E402
+from check import compare_query, connect_oracle  # noqa: E402
 from fuzz_corpus import build  # noqa: E402
 
 # One representative per family, biased toward tie-sensitive shapes:
@@ -60,12 +59,11 @@ def fuzz_dir(tmp_path_factory):
 
 def test_fuzz_subset_matches_oracle(spark, fuzz_dir):
     from flink_s3_read_write_spark.queries import registry
-    from flink_s3_read_write_spark.sources.io import TABLES
 
     reg = registry()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{fuzz_dir}/{t}.parquet'")
+    # connect_oracle is main()'s own session setup (guards + views) —
+    # shared so the oracle-session protocol cannot drift (ADVICE r12).
+    con = connect_oracle(fuzz_dir)
 
     bad = []
     for name in SUBSET:

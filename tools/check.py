@@ -54,70 +54,120 @@ class LossyColumns(Exception):
     Python-object values happen to match."""
 
 
+class EngineError(Exception):
+    """One engine half of the comparison raised.  ``engine`` is
+    "spark" or "duckdb" so a failure in a 207-query sweep is
+    attributable to a side without re-running (ADVICE r12)."""
+
+    def __init__(self, engine: str, exc: Exception):
+        self.engine = engine
+        super().__init__(f"{engine}: {type(exc).__name__}: {exc}")
+
+
+def bind_oracle_views(con, sf_dir: str) -> None:
+    """(Re-)bind the table views on ``con`` to ``sf_dir``'s parquet.
+    CREATE OR REPLACE so a connection can be re-pointed safely."""
+    for t in TABLES:
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+
+def connect_oracle(sf_dir: str):
+    """The ONE way an oracle session is configured — main() and
+    tests/test_fuzz_differential.py both use it (ADVICE r12), so the
+    spill guards and view binding cannot drift between the CLI gate
+    and the suite.  An in-memory DuckDB connection cannot spill, so a
+    heavy oracle (e.g. a brute-force witness run against a
+    scale_stress replica) would OOM-kill the whole sweep instead of
+    degrading to disk: cap well under the box and give it a temp dir —
+    no-ops at gate SF, survival at stress tiers."""
+    con = duckdb.connect()
+    con.sql("SET memory_limit='32GB'")
+    con.sql("SET temp_directory='/tmp/spark_graft_duckdb_tmp'")
+    bind_oracle_views(con, sf_dir)
+    return con
+
+
 def compare_query(spark, con, q, sf_dir: str, pandas: bool = False):
-    """Run one registry query on Spark AND its DuckDB oracle (table
-    views must already exist on ``con``) and return
-    ``(spark_summary, oracle_summary, srows, orows)`` where each
-    summary is ``frame_summary``'s (count, sorted_cols, hash) and
+    """Run one registry query on Spark AND its DuckDB oracle and
+    return ``(spark_summary, oracle_summary, srows, orows)`` where
+    each summary is ``frame_summary``'s (count, sorted_cols, hash) and
     ``oracle_summary`` is None for rows-only queries.
 
     The ONE source of truth for the comparison protocol — main() and
     tests/test_fuzz_differential.py both go through it, so a guard or
     normalization change cannot silently diverge between the CLI gate
     and the pinned suite test.  Raises LossyColumns for pandas-lossy
-    column types on either side; Spark/DuckDB errors propagate.
+    column types on either side; engine errors surface as EngineError
+    tagged with the side that raised.
     """
+    # Both engines MUST read the same corpus: re-bind the oracle views
+    # to sf_dir here rather than trusting the caller's binding — a
+    # mismatched caller would diff two different corpora and report
+    # real-looking failures (ADVICE r12).
+    bind_oracle_views(con, sf_dir)
     # Per-query .cache() fills must not leak across queries: a warm
     # cached table from query N would mask a missing-cache or
     # wrong-plan regression in query N+1 (and grows storage memory
     # across a full registry sweep).
     spark.catalog.clearCache()
-    sdf = q.fn(spark, sf_dir)
-    # array/struct/map top-level columns crash the DRIVER's pandas
-    # canonicalizer ("unhashable type: 'list'") even though our own
-    # hash JSON-serializes them — reject locally so local green means
-    # driver green (q175 r05 lesson).
-    wide_dec = [f"{c}:{t}" for c, t in sdf.dtypes
-                if t == "date"
-                or t.startswith(("array<", "struct<", "map<"))
-                or (t.startswith("decimal(") and int(t[8:].split(",")[0]) > 18)]
-    if wide_dec:
-        raise LossyColumns(
-            f"pandas-lossy/unhashable Spark column(s): {wide_dec} "
-            f"(cast to bigint/double/string, array_join arrays, "
-            f"before returning)")
-    if pandas:
-        srows = [tuple(r) for r in sdf.toPandas().itertuples(index=False)]
-    else:
-        srows = [tuple(r) for r in sdf.collect()]
+    try:
+        sdf = q.fn(spark, sf_dir)
+        # array/struct/map top-level columns crash the DRIVER's pandas
+        # canonicalizer ("unhashable type: 'list'") even though our
+        # own hash JSON-serializes them — reject locally so local
+        # green means driver green (q175 r05 lesson).
+        wide_dec = [f"{c}:{t}" for c, t in sdf.dtypes
+                    if t == "date"
+                    or t.startswith(("array<", "struct<", "map<"))
+                    or (t.startswith("decimal(") and int(t[8:].split(",")[0]) > 18)]
+        if wide_dec:
+            raise LossyColumns(
+                f"pandas-lossy/unhashable Spark column(s): {wide_dec} "
+                f"(cast to bigint/double/string, array_join arrays, "
+                f"before returning)")
+        if pandas:
+            srows = [tuple(r) for r in sdf.toPandas().itertuples(index=False)]
+        else:
+            srows = [tuple(r) for r in sdf.collect()]
+    except LossyColumns:
+        raise
+    except Exception as e:  # noqa: BLE001
+        raise EngineError("spark", e) from e
     s = frame_summary(sdf.columns, srows)
     if q.oracle is None:
         return s, None, srows, []
-    res = con.sql(q.oracle)
-    ocols = list(res.columns)
-    # Types that pandas-based comparators coerce to lossy float64 on
-    # the DuckDB side only (int64 Spark vs "6.0" oracle): any
-    # sum(BIGINT) left as HUGEINT, or wide decimals.  The driver
-    # fetches via dataframes, so these fail there even when the
-    # Python-object values match — make that a LOCAL failure.  DATE is
-    # also fetch-path-dependent: object date vs midnight datetime64
-    # ("1995-01-01" vs "1995-01-01 00:00:00") — no driver-green query
-    # has ever emitted one; use ISO strings.
-    risky = [
-        f"{c}:{t}"
-        for c, t in zip(ocols, res.types)
-        if "HUGEINT" in str(t) or "UBIGINT" in str(t) or str(t) == "DATE"
-        or "[]" in str(t) or "STRUCT" in str(t) or "MAP(" in str(t)
-        or (str(t).startswith("DECIMAL") and int(str(t).split("(")[1].split(",")[0]) > 18)
-    ]
-    if risky:
-        raise LossyColumns(
-            f"pandas-lossy oracle column(s): {risky} "
-            f"(CAST to BIGINT/DOUBLE/VARCHAR in the oracle SQL)")
-    if pandas:
-        orows = [tuple(r) for r in res.df().itertuples(index=False)]
-    else:
-        orows = res.fetchall()
+    try:
+        res = con.sql(q.oracle)
+        ocols = list(res.columns)
+        # Types that pandas-based comparators coerce to lossy float64
+        # on the DuckDB side only (int64 Spark vs "6.0" oracle): any
+        # sum(BIGINT) left as HUGEINT, or wide decimals.  The driver
+        # fetches via dataframes, so these fail there even when the
+        # Python-object values match — make that a LOCAL failure.
+        # DATE is also fetch-path-dependent: object date vs midnight
+        # datetime64 ("1995-01-01" vs "1995-01-01 00:00:00") — no
+        # driver-green query has ever emitted one; use ISO strings.
+        risky = [
+            f"{c}:{t}"
+            for c, t in zip(ocols, res.types)
+            if "HUGEINT" in str(t) or "UBIGINT" in str(t) or str(t) == "DATE"
+            or "[]" in str(t) or "STRUCT" in str(t) or "MAP(" in str(t)
+            or (str(t).startswith("DECIMAL") and int(str(t).split("(")[1].split(",")[0]) > 18)
+        ]
+        if risky:
+            raise LossyColumns(
+                f"pandas-lossy oracle column(s): {risky} "
+                f"(CAST to BIGINT/DOUBLE/VARCHAR in the oracle SQL)")
+        if pandas:
+            orows = [tuple(r) for r in res.df().itertuples(index=False)]
+        else:
+            orows = res.fetchall()
+    except LossyColumns:
+        raise
+    except Exception as e:  # noqa: BLE001
+        raise EngineError("duckdb", e) from e
     return s, frame_summary(ocols, orows), srows, orows
 
 
@@ -154,16 +204,7 @@ def main() -> int:
         )
 
     spark = build_session("check")
-    con = duckdb.connect()
-    # Bound the oracle side: an in-memory DuckDB connection cannot
-    # spill, so a heavy oracle (e.g. a brute-force witness run against
-    # a scale_stress replica) OOM-kills the whole sweep instead of
-    # degrading to disk.  Cap well under the box and give it a temp
-    # dir — no-ops at gate SF, survival at stress tiers.
-    con.sql("SET memory_limit='32GB'")
-    con.sql("SET temp_directory='/tmp/spark_graft_duckdb_tmp'")
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+    con = connect_oracle(args.sf)
 
     reg = registry()
     names = args.names or sorted(reg)
@@ -174,7 +215,7 @@ def main() -> int:
         try:
             s, o, srows, orows = compare_query(
                 spark, con, q, args.sf, pandas=args.pandas)
-        except LossyColumns as e:
+        except (LossyColumns, EngineError) as e:
             print(f"FAIL  {name}: {e}")
             failures += 1
             continue
