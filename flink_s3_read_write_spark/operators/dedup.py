@@ -364,12 +364,93 @@ def minhash_signatures_numpy(
     return hashed.mapInPandas(batches, f"{id_col} long, minhash array<bigint>")
 
 
+def _split_over_cap(
+    banded: DataFrame, keys: list[str], id_col: str, max_bucket: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``banded`` (one row per (bucket-key, id)) into under-cap
+    rows and over-cap rows with ONE shuffle.
+
+    The bucket size is a full-frame ``count`` over the SAME
+    (keys, id)-sorted window the ring leads run on, so the whole split
+    + ring computation is a single Exchange on the bucket key followed
+    by one sort — the expensive pipeline UPSTREAM of the exchange
+    (tokenize → shingle → signatures → banding) is computed once and
+    the two branch subtrees dedupe through ReusedExchange.  The
+    count-preagg + semi/anti-join formulation this replaces
+    recomputed that pipeline once per consumer (measured 3x wall on
+    q208 at gate SF).  No over-cap bucket ever materializes an array:
+    only (key, id[, payload]) rows are shuffled, never signatures, and
+    window state is O(1) per row (sort-based, spills).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wn = banded.withColumn("_n", F.count(F.lit(1)).over(w))
+    return (
+        wn.filter(F.col("_n") <= max_bucket).drop("_n"),
+        wn.filter(F.col("_n") > max_bucket).drop("_n"),
+    )
+
+
+def _ring_pairs(
+    over_rows: DataFrame, keys: list[str], id_col: str, ring_c: int,
+) -> DataFrame:
+    """RING+STAR candidate pairs of the over-cap buckets.
+
+    Over-cap policy for degenerate LSH buckets (r13; VERDICT item):
+    dropping a bucket of n near-identical docs bounds cost but
+    collapses dedup recall exactly where dedup matters most (the 300x
+    stress tier measured q33's candidates 396k → 3.5k as clusters of
+    300 blew past the cap).  Instead each doc pairs with (a) its next
+    ``ring_c`` successors in ascending-id order (ring — local
+    robustness: one verify-rejected doc only breaks the chain at that
+    point) and (b) the bucket's MIN id (star).  O(n·(ring_c+1)) pairs
+    instead of O(n²), and the star edges matter for the DOWNSTREAM
+    pass: a pure ring gives the bucket's pair graph diameter n/ring_c,
+    which ``connected_components``' bounded-round min-label
+    propagation cannot traverse (measured: a 60-doc chain stalled at
+    41 members after the default 20 rounds), while the star keeps
+    diameter ≤ 2 so the full duplicate cluster labels in O(1) rounds.
+    Returns (id_a < id_b) pair rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(id_col))
+    leads = [
+        F.lead(F.col(id_col), j).over(w).alias(f"_l{j}")
+        for j in range(1, ring_c + 1)
+    ]
+    # first() over the ascending-ordered window (default running
+    # frame) is the partition minimum on every row.
+    sel = over_rows.select(
+        F.col(id_col).alias("_id"),
+        F.first(F.col(id_col)).over(w).alias("_f"),
+        *leads,
+    )
+    edges = [
+        F.struct(F.col("_f").alias("id_a"), F.col("_id").alias("id_b"))
+    ] + [
+        F.struct(F.col("_id").alias("id_a"), F.col(f"_l{j}").alias("id_b"))
+        for j in range(1, ring_c + 1)
+    ]
+    return (
+        sel.select(F.explode(F.array(*edges)).alias("e"))
+        .select("e.id_a", "e.id_b")
+        .filter(F.col("id_b").isNotNull() & (F.col("id_a") < F.col("id_b")))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
     max_bucket: int = 50, engine: str = "numpy", hash_src: str = "xxhash64",
     shingle_sets: DataFrame | None = None,
     cap_bucket_prepass: bool = False,
+    over_cap: str = "drop", ring_c: int = 2,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH on the signature.
 
@@ -400,7 +481,19 @@ def minhash_lsh_pairs(
     accumulator.  Values are identical either way (over-cap buckets
     emit no pairs on both paths — equivalence-tested on a synthetic
     degenerate bucket); default False keeps the single-shuffle plan.
+
+    ``over_cap`` (r13) picks the policy for buckets past
+    ``max_bucket``: ``"drop"`` (default — no pairs, bounded cost,
+    recall loss on degenerate clusters) or ``"ring"`` — each doc
+    pairs with its next ``ring_c`` bucket-neighbors in ascending-id
+    order plus the bucket's min id (O(n·(ring_c+1)) pairs, bucket
+    connectivity at diameter ≤ 2 for a downstream bounded-round
+    connected-components pass; see ``_ring_pairs``).  ``"ring"``
+    subsumes the two-pass guard: over-cap rows never reach the
+    collect accumulator regardless of ``cap_bucket_prepass``.
     """
+    if over_cap not in ("drop", "ring"):
+        raise ValueError(f"over_cap must be 'drop' or 'ring', got {over_cap!r}")
     rows_per_band = num_perm // bands
     sig_fn = minhash_signatures_numpy if engine == "numpy" else minhash_signatures
     sigs = sig_fn(df, text_col, id_col, num_perm, shingle_k, hash_src,
@@ -436,7 +529,12 @@ def minhash_lsh_pairs(
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
-    if cap_bucket_prepass:
+    ring = None
+    if over_cap == "ring":
+        banded, over_rows = _split_over_cap(
+            banded, ["band", "band_hash"], id_col, max_bucket)
+        ring = _ring_pairs(over_rows, ["band", "band_hash"], id_col, ring_c)
+    elif cap_bucket_prepass:
         over = (
             banded.groupBy("band", "band_hash")
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -463,7 +561,10 @@ def minhash_lsh_pairs(
             )
         ).alias("p")
     )
-    return pairs.select("p.id_a", "p.id_b").distinct()
+    out = pairs.select("p.id_a", "p.id_b")
+    if ring is not None:
+        out = out.unionByName(ring)
+    return out.distinct()
 
 
 def jaccard_sets(ta: Column, tb: Column) -> Column:
@@ -760,6 +861,7 @@ def simhash_near_pairs(
     max_bucket: int = 1000, hash_src: str = "xxhash64",
     tok: DataFrame | None = None,
     cap_bucket_prepass: bool = False,
+    over_cap: str = "drop", ring_c: int = 2,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -776,7 +878,16 @@ def simhash_near_pairs(
     collect accumulator) — see ``minhash_lsh_pairs`` for the contract;
     values are identical on both paths, default False keeps the
     single-shuffle plan.
+
+    ``over_cap="ring"`` (r13): over-cap buckets emit ring+star
+    candidates (each doc vs its next ``ring_c`` bucket-neighbors by
+    id, plus the bucket's min id) instead of nothing — same policy
+    and plan shape as ``minhash_lsh_pairs``, with the simhash carried
+    through the window so the Hamming verify still runs in-row.  Ring
+    pairs face the SAME ``max_hamming`` filter as bucket pairs.
     """
+    if over_cap not in ("drop", "ring"):
+        raise ValueError(f"over_cap must be 'drop' or 'ring', got {over_cap!r}")
     sh = simhash(df, text_col, id_col, hash_src, tok=tok)
     part_bits = 15 if hash_src == "md5" else 16
     mask = (1 << part_bits) - 1
@@ -790,7 +901,54 @@ def simhash_near_pairs(
         id_col, "simhash",
         F.explode(F.array(*[F.struct(F.lit(p).alias("p"), parts[p]) for p in range(4)])).alias("b"),
     ).select(id_col, "simhash", "b.p", "b.k")
-    if cap_bucket_prepass:
+    ring = None
+    if over_cap == "ring":
+        from pyspark.sql import Window
+
+        banded, over_rows = _split_over_cap(banded, ["p", "k"], id_col, max_bucket)
+        w = Window.partitionBy("p", "k").orderBy(F.col(id_col))
+        leads = [
+            F.struct(
+                F.lead(F.col(id_col), j).over(w).alias("id"),
+                F.lead(F.col("simhash"), j).over(w).alias("sh"),
+            ).alias(f"_l{j}")
+            for j in range(1, ring_c + 1)
+        ]
+        # Ring + star edges, same topology rationale as _ring_pairs
+        # (star keeps bucket diameter ≤ 2 for bounded-round CC); the
+        # simhash rides along in the window so Hamming verifies in-row.
+        sel = over_rows.select(
+            F.col(id_col).alias("_id"), F.col("simhash").alias("_sh"),
+            F.struct(
+                F.first(F.col(id_col)).over(w).alias("id"),
+                F.first(F.col("simhash")).over(w).alias("sh"),
+            ).alias("_f"),
+            *leads,
+        )
+        nbr = [
+            F.struct(
+                F.col("_f.id").alias("id_a"), F.col("_f.sh").alias("sh_a"),
+                F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"),
+            )
+        ] + [
+            F.struct(
+                F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"),
+                F.col(f"_l{j}.id").alias("id_b"), F.col(f"_l{j}.sh").alias("sh_b"),
+            )
+            for j in range(1, ring_c + 1)
+        ]
+        ring = (
+            sel.select(F.explode(F.array(*nbr)).alias("e"))
+            .filter(F.col("e.id_b").isNotNull()
+                    & (F.col("e.id_a") < F.col("e.id_b")))
+            .select(
+                F.col("e.id_a").alias("id_a"),
+                F.col("e.id_b").alias("id_b"),
+                F.bit_count(
+                    F.col("e.sh_a").bitwiseXOR(F.col("e.sh_b"))).alias("hamming"),
+            )
+        )
+    elif cap_bucket_prepass:
         over = (
             banded.groupBy("p", "k")
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -825,4 +983,6 @@ def simhash_near_pairs(
             )
         ).alias("p")
     ).select("p.id_a", "p.id_b", "p.hamming")
+    if ring is not None:
+        pairs = pairs.unionByName(ring)
     return pairs.filter(F.col("hamming") <= max_hamming).distinct()

@@ -274,6 +274,118 @@ def q33_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q208_minhash_ring_overcap",
+    # q33's pipeline under the r13 recall-preserving over-cap policy
+    # (`dedup.minhash_lsh_pairs(over_cap="ring")`): buckets past
+    # max_bucket emit ring+star candidates — each doc vs its next
+    # ring_c bucket-neighbors in ascending-id order PLUS the bucket's
+    # min id — instead of nothing, so degenerate duplicate clusters
+    # stay connected (diameter ≤ 2 via the star edges) for a
+    # downstream bounded-round connected-components pass, at
+    # O(n·(ring_c+1)) cost.  max_bucket=2 is
+    # deliberately tiny so the over-cap path EXECUTES at gate SF
+    # (measured bucket sizes reach 3 at sf0.01 / 4 at sf0.1); the
+    # production knob stays 50 with "drop" default (q33).  The oracle
+    # replays the whole pipeline like q33's, with the ring branch as
+    # window leads over over-cap buckets — bit-for-bit the same
+    # candidate set by construction.
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END AS s
+      FROM (SELECT doc_id,
+                   list_slice(string_split({_NORM_SQL.format(c='text')}, ' '),
+                              1, 10000) AS toks
+            FROM documents) t
+    ),
+    hh AS (
+      SELECT doc_id,
+             list_transform(s, g -> (('0x' || substr(md5(g), 1, 15))::BIGINT)
+                                    % 2147483647) AS hh
+      FROM sh WHERE len(s) > 0
+    ),
+    sig AS (
+      SELECT doc_id, list(mh ORDER BY j) AS sig FROM (
+        SELECT u.doc_id, p.j, MIN((p.a * u.h + p.b) % 2147483647) AS mh
+        FROM (SELECT doc_id, unnest(hh) AS h FROM hh) u
+        CROSS JOIN (SELECT j, ({_MH_A_SQL})[j + 1] AS a,
+                           ({_MH_B_SQL})[j + 1] AS b
+                    FROM range(0, 64) t(j)) p
+        GROUP BY u.doc_id, p.j) m
+      GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, b, list_slice(sig, b * 4 + 1, b * 4 + 4) AS key
+      FROM sig, range(0, 16) t(b)
+    ),
+    bsz AS (SELECT b, key, COUNT(*) AS n FROM banded GROUP BY b, key),
+    cand AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x
+      JOIN banded y ON y.b = x.b AND y.key = x.key AND y.doc_id > x.doc_id
+      JOIN bsz ON bsz.b = x.b AND bsz.key = x.key AND bsz.n <= 2
+      UNION
+      SELECT id_a, id_b FROM (
+        SELECT b2.doc_id AS id_a,
+               lead(b2.doc_id, 1) OVER
+                 (PARTITION BY b2.b, b2.key ORDER BY b2.doc_id) AS id_b
+        FROM banded b2
+        JOIN bsz ON bsz.b = b2.b AND bsz.key = b2.key AND bsz.n > 2) r1
+      WHERE id_b IS NOT NULL
+      UNION
+      SELECT id_a, id_b FROM (
+        SELECT b2.doc_id AS id_a,
+               lead(b2.doc_id, 2) OVER
+                 (PARTITION BY b2.b, b2.key ORDER BY b2.doc_id) AS id_b
+        FROM banded b2
+        JOIN bsz ON bsz.b = b2.b AND bsz.key = b2.key AND bsz.n > 2) r2
+      WHERE id_b IS NOT NULL
+      UNION
+      SELECT id_a, id_b FROM (
+        SELECT first_value(b2.doc_id) OVER
+                 (PARTITION BY b2.b, b2.key ORDER BY b2.doc_id) AS id_a,
+               b2.doc_id AS id_b
+        FROM banded b2
+        JOIN bsz ON bsz.b = b2.b AND bsz.key = b2.key AND bsz.n > 2) s
+      WHERE id_a < id_b
+    ),
+    tok AS (
+      SELECT doc_id,
+             list_distinct(list_slice(string_split({_NORM_SQL.format(c='text')}, ' '),
+                                      1, 10000)) AS tk
+      FROM documents
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT c.id_a, c.id_b,
+             CASE WHEN len(list_distinct(list_concat(a.tk, b.tk))) > 0
+                  THEN CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.tk, b.tk)))
+                  ELSE 0.0 END AS jaccard
+      FROM cand c
+      JOIN tok a ON a.doc_id = c.id_a
+      JOIN tok b ON b.doc_id = c.id_b) v
+    WHERE jaccard >= 0.5
+    """,
+    doc=(
+        "MinHash LSH near-dup pairs with the recall-preserving "
+        "ring+star policy for over-cap buckets: O(n*(ring_c+1)) "
+        "window-lead + bucket-min pairs keep degenerate clusters "
+        "connected (diameter <= 2) instead of dropping them; "
+        "max_bucket=2 forces the path at gate SF."
+    ),
+)
+def q208_minhash_ring_overcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs_verified(
+        docs, threshold=0.5, **MINHASH_KW,
+        max_bucket=2, over_cap="ring", ring_c=2,
+        shingle_sets=doc_shingle_sets(spark, sf_dir),
+    )
+
+
+@register(
     "q34_simhash_near_pairs",
     # Full oracle since round 5: 60-bit SimHash whose bit votes come from
     # the md5-derived 60-bit token hash — DuckDB recomputes hash, votes,

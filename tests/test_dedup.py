@@ -120,6 +120,64 @@ def test_cap_bucket_prepass_equivalence(spark, docs):
     assert "LeftAnti" in plan_s, plan_s
 
 
+def test_over_cap_ring_policy(spark, docs):
+    """over_cap="ring" (r13): over-cap buckets emit each doc paired
+    with its next ring_c bucket-neighbors instead of nothing.
+    with its next ring_c bucket-neighbors AND the bucket's min id.
+    Contract: (1) identical pair set to the default drop policy on a
+    corpus with no over-cap bucket; (2) on a degenerate bucket where
+    drop emits ZERO pairs, ring emits a BOUNDED (≤ n·(ring_c+1)) pair
+    set that keeps the duplicate cluster CONNECTED at diameter ≤ 2,
+    so the DEFAULT bounded-round connected-components recovers the
+    full cluster the cap used to destroy (a star-less pure ring
+    measurably stalls: 41/60 labeled after 20 min-label rounds)."""
+    degen = spark.createDataFrame(
+        [(i, BASE) for i in range(60)] + [(100, NEAR), (101, FAR)],
+        "doc_id long, text string",
+    )
+    # 1. No over-cap bucket -> ring is value-identical to drop.
+    for hs in ("xxhash64", "md5"):
+        spark.catalog.clearCache()
+        a = sorted(map(tuple,
+                       D.minhash_lsh_pairs(docs, max_bucket=50,
+                                           hash_src=hs).collect()))
+        r = sorted(map(tuple,
+                       D.minhash_lsh_pairs(docs, max_bucket=50, hash_src=hs,
+                                           over_cap="ring").collect()))
+        assert a == r, hs
+    sa = sorted(map(tuple, D.simhash_near_pairs(docs, max_bucket=50).collect()))
+    sr = sorted(map(tuple, D.simhash_near_pairs(docs, max_bucket=50,
+                                                over_cap="ring").collect()))
+    assert sa == sr
+
+    # 2. Degenerate 60-identical-doc bucket, max_bucket=50: drop
+    # emits nothing (the 300x-tier recall collapse), ring emits a
+    # bounded connected set.
+    assert D.minhash_lsh_pairs(degen, max_bucket=50).count() == 0
+    ring = D.minhash_lsh_pairs(degen, max_bucket=50,
+                               over_cap="ring", ring_c=2)
+    got = ring.collect()
+    assert 0 < len(got) <= 61 * 3  # O(n*(ring_c+1)), never O(n^2)
+    paired_ids = {r.id_a for r in got} | {r.id_b for r in got}
+    assert 101 not in paired_ids  # FAR never enters the bucket
+    labels = {r.id: r.cluster_id for r in D.connected_components(ring).collect()}
+    assert {labels[i] for i in range(60)} == {0}  # one cluster, min-id label
+
+    # 3. Same contract on the SimHash banding (identical docs share
+    # the simhash, so ring pairs verify at hamming 0).
+    s_ring = D.simhash_near_pairs(degen, max_bucket=3,
+                                  over_cap="ring", ring_c=2)
+    s_got = s_ring.collect()
+    assert 0 < len(s_got) <= 61 * 3
+    assert all(r.hamming == 0 for r in s_got if r.id_a < 60 and r.id_b < 60)
+    s_labels = {
+        r.id: r.cluster_id
+        for r in D.connected_components(
+            s_ring.select("id_a", "id_b")).collect()
+    }
+    assert {s_labels[i] for i in range(60)} == {0}
+
+
 def test_simhash_near_pairs(docs):
     got = {
         (r["id_a"], r["id_b"]): r["hamming"]
