@@ -42,7 +42,16 @@ def spark(tmp_path_factory) -> SparkSession:
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
-    return SF0001
+    """Corpus dir for table-driven tests.  Overridable so the
+    randomized differential tier reaches the streaming twins (r13):
+    ``SPARK_GRAFT_TEST_SF_DIR=<fuzz seed dir> pytest
+    tests/test_streaming.py`` runs every corpus-driven
+    stream-vs-batch equivalence test against an adversarial fuzz
+    corpus (tools/fuzz_corpus.py) instead of the deterministic
+    sf0.001 tables."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", SF0001)
 
 
 @pytest.fixture(scope="session")
