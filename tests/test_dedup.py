@@ -158,6 +158,15 @@ def test_over_cap_ring_policy(spark, docs):
                                over_cap="ring", ring_c=2)
     got = ring.collect()
     assert 0 < len(got) <= 61 * 3  # O(n*(ring_c+1)), never O(n^2)
+    # Plan pin: the over/under split is a window-count FILTER on one
+    # exchange, not the count-preagg + semi/anti joins it replaced
+    # (that formulation recomputed the signature pipeline per
+    # consumer — measured 3x wall on q208 at gate SF).
+    from flink_s3_read_write_spark.plans import inspect as P
+
+    plan = P.formatted_plan(ring)
+    assert "LeftAnti" not in plan and "LeftSemi" not in plan, plan
+    assert "Window" in plan
     paired_ids = {r.id_a for r in got} | {r.id_b for r in got}
     assert 101 not in paired_ids  # FAR never enters the bucket
     labels = {r.id: r.cluster_id for r in D.connected_components(ring).collect()}
