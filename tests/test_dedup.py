@@ -186,6 +186,20 @@ def test_over_cap_ring_policy(spark, docs):
     }
     assert {s_labels[i] for i in range(60)} == {0}
 
+    # 4. End-to-end API: dedup_keep_list forwards the policy through
+    # **kwargs (verify -> lsh), so the full mine→verify→cluster→keep
+    # chain flips from 62 keepers (every doc its own cluster — the
+    # drop-policy recall hole) to 2: one keeper for the
+    # 61-member near-dup cluster (the 60 identical docs PLUS the
+    # NEAR stray, which shares their buckets and passes the 0.5
+    # Jaccard verify) and the FAR stray.
+    drop_keep = D.dedup_keep_list(degen, threshold=0.5, max_bucket=50)
+    assert drop_keep.filter("keep").count() == 62
+    ring_keep = D.dedup_keep_list(degen, threshold=0.5, max_bucket=50,
+                                  over_cap="ring", ring_c=2)
+    keepers = sorted(r.doc_id for r in ring_keep.filter("keep").collect())
+    assert keepers == [0, 101]
+
 
 def test_simhash_near_pairs(docs):
     got = {
