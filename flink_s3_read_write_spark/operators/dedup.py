@@ -375,10 +375,14 @@ def _split_over_cap(
     + ring computation is a single Exchange on the bucket key followed
     by one sort — the expensive pipeline UPSTREAM of the exchange
     (tokenize → shingle → signatures → banding) is computed once and
-    the two branch subtrees dedupe through ReusedExchange.  The
-    count-preagg + semi/anti-join formulation this replaces
-    recomputed that pipeline once per consumer (measured 3x wall on
-    q208 at gate SF).  No over-cap bucket ever materializes an array:
+    the two branch subtrees dedupe through ReusedExchange (verified
+    in the executed adaptive plan: 1 ReusedExchange).  The
+    count-preagg + semi/anti-join formulation this replaces carried
+    the signature pipeline in THREE subtrees (count aggregate, semi
+    probe, anti probe) with no exchange reuse in its plan — ~10-15%
+    steady-state wall on q208 at gate SF and, more importantly, a
+    duplication that grows with corpus cost once the shared shingle
+    cache is cold.  No over-cap bucket ever materializes an array:
     only (key, id[, payload]) rows are shuffled, never signatures, and
     window state is O(1) per row (sort-based, spills).
     """
