@@ -400,8 +400,19 @@ def _split_over_cap(
     )
 
 
+def _check_over_cap(over_cap: str, ring_c: int) -> None:
+    """Shared argument guard for the over-cap policy knobs."""
+    if over_cap not in ("drop", "ring"):
+        raise ValueError(f"over_cap must be 'drop' or 'ring', got {over_cap!r}")
+    if over_cap == "ring" and ring_c < 1:
+        # ring_c=0 would silently degrade to star-only pairing and
+        # lose the documented local robustness of the ring edges.
+        raise ValueError(f"ring_c must be >= 1, got {ring_c}")
+
+
 def _ring_pairs(
     over_rows: DataFrame, keys: list[str], id_col: str, ring_c: int,
+    payload: str | None = None,
 ) -> DataFrame:
     """RING+STAR candidate pairs of the over-cap buckets.
 
@@ -419,32 +430,53 @@ def _ring_pairs(
     propagation cannot traverse (measured: a 60-doc chain stalled at
     41 members after the default 20 rounds), while the star keeps
     diameter ≤ 2 so the full duplicate cluster labels in O(1) rounds.
-    Returns (id_a < id_b) pair rows.
+
+    The ONE implementation of the topology — MinHash and SimHash both
+    call it (review r13).  ``payload`` optionally names a column to
+    ride along through the window: the output then also carries
+    (``pa``, ``pb``) — each side's payload — so an in-row verify
+    (SimHash Hamming) needs no re-join.  Returns (id_a < id_b) rows.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(*keys).orderBy(F.col(id_col))
-    leads = [
-        F.lead(F.col(id_col), j).over(w).alias(f"_l{j}")
-        for j in range(1, ring_c + 1)
-    ]
-    # first() over the ascending-ordered window (default running
-    # frame) is the partition minimum on every row.
-    sel = over_rows.select(
+    # first()/lead() over the ascending-ordered window (default
+    # running frame for first) give the partition minimum and the
+    # next-j neighbors on every row; stage them as plain columns
+    # first, then build edge structs (HOFs can't hold window exprs).
+    sel_cols = [
         F.col(id_col).alias("_id"),
         F.first(F.col(id_col)).over(w).alias("_f"),
-        *leads,
-    )
-    edges = [
-        F.struct(F.col("_f").alias("id_a"), F.col("_id").alias("id_b"))
-    ] + [
-        F.struct(F.col("_id").alias("id_a"), F.col(f"_l{j}").alias("id_b"))
-        for j in range(1, ring_c + 1)
     ]
+    if payload is not None:
+        sel_cols += [
+            F.col(payload).alias("_p"),
+            F.first(F.col(payload)).over(w).alias("_fp"),
+        ]
+    for j in range(1, ring_c + 1):
+        sel_cols.append(F.lead(F.col(id_col), j).over(w).alias(f"_l{j}"))
+        if payload is not None:
+            sel_cols.append(F.lead(F.col(payload), j).over(w).alias(f"_lp{j}"))
+    sel = over_rows.select(*sel_cols)
+
+    def edge(aid, bid, apl=None, bpl=None):
+        fields = [aid.alias("id_a"), bid.alias("id_b")]
+        if payload is not None:
+            fields += [apl.alias("pa"), bpl.alias("pb")]
+        return F.struct(*fields)
+
+    edges = [edge(F.col("_f"), F.col("_id"),
+                  F.col("_fp") if payload is not None else None,
+                  F.col("_p") if payload is not None else None)]
+    for j in range(1, ring_c + 1):
+        edges.append(edge(F.col("_id"), F.col(f"_l{j}"),
+                          F.col("_p") if payload is not None else None,
+                          F.col(f"_lp{j}") if payload is not None else None))
     return (
         sel.select(F.explode(F.array(*edges)).alias("e"))
-        .select("e.id_a", "e.id_b")
-        .filter(F.col("id_b").isNotNull() & (F.col("id_a") < F.col("id_b")))
+        .filter(F.col("e.id_b").isNotNull()
+                & (F.col("e.id_a") < F.col("e.id_b")))
+        .select("e.*")
     )
 
 
@@ -496,8 +528,7 @@ def minhash_lsh_pairs(
     subsumes the two-pass guard: over-cap rows never reach the
     collect accumulator regardless of ``cap_bucket_prepass``.
     """
-    if over_cap not in ("drop", "ring"):
-        raise ValueError(f"over_cap must be 'drop' or 'ring', got {over_cap!r}")
+    _check_over_cap(over_cap, ring_c)
     rows_per_band = num_perm // bands
     sig_fn = minhash_signatures_numpy if engine == "numpy" else minhash_signatures
     sigs = sig_fn(df, text_col, id_col, num_perm, shingle_k, hash_src,
@@ -890,8 +921,7 @@ def simhash_near_pairs(
     through the window so the Hamming verify still runs in-row.  Ring
     pairs face the SAME ``max_hamming`` filter as bucket pairs.
     """
-    if over_cap not in ("drop", "ring"):
-        raise ValueError(f"over_cap must be 'drop' or 'ring', got {over_cap!r}")
+    _check_over_cap(over_cap, ring_c)
     sh = simhash(df, text_col, id_col, hash_src, tok=tok)
     part_bits = 15 if hash_src == "md5" else 16
     mask = (1 << part_bits) - 1
@@ -907,50 +937,14 @@ def simhash_near_pairs(
     ).select(id_col, "simhash", "b.p", "b.k")
     ring = None
     if over_cap == "ring":
-        from pyspark.sql import Window
-
+        # Shared ring+star topology with the simhash riding along as
+        # the window payload, so Hamming verifies in-row (no re-join).
         banded, over_rows = _split_over_cap(banded, ["p", "k"], id_col, max_bucket)
-        w = Window.partitionBy("p", "k").orderBy(F.col(id_col))
-        leads = [
-            F.struct(
-                F.lead(F.col(id_col), j).over(w).alias("id"),
-                F.lead(F.col("simhash"), j).over(w).alias("sh"),
-            ).alias(f"_l{j}")
-            for j in range(1, ring_c + 1)
-        ]
-        # Ring + star edges, same topology rationale as _ring_pairs
-        # (star keeps bucket diameter ≤ 2 for bounded-round CC); the
-        # simhash rides along in the window so Hamming verifies in-row.
-        sel = over_rows.select(
-            F.col(id_col).alias("_id"), F.col("simhash").alias("_sh"),
-            F.struct(
-                F.first(F.col(id_col)).over(w).alias("id"),
-                F.first(F.col("simhash")).over(w).alias("sh"),
-            ).alias("_f"),
-            *leads,
-        )
-        nbr = [
-            F.struct(
-                F.col("_f.id").alias("id_a"), F.col("_f.sh").alias("sh_a"),
-                F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"),
-            )
-        ] + [
-            F.struct(
-                F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"),
-                F.col(f"_l{j}.id").alias("id_b"), F.col(f"_l{j}.sh").alias("sh_b"),
-            )
-            for j in range(1, ring_c + 1)
-        ]
-        ring = (
-            sel.select(F.explode(F.array(*nbr)).alias("e"))
-            .filter(F.col("e.id_b").isNotNull()
-                    & (F.col("e.id_a") < F.col("e.id_b")))
-            .select(
-                F.col("e.id_a").alias("id_a"),
-                F.col("e.id_b").alias("id_b"),
-                F.bit_count(
-                    F.col("e.sh_a").bitwiseXOR(F.col("e.sh_b"))).alias("hamming"),
-            )
+        ring = _ring_pairs(
+            over_rows, ["p", "k"], id_col, ring_c, payload="simhash"
+        ).select(
+            "id_a", "id_b",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias("hamming"),
         )
     elif cap_bucket_prepass:
         over = (

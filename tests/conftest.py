@@ -42,16 +42,15 @@ def spark(tmp_path_factory) -> SparkSession:
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
-    """Corpus dir for table-driven tests.  Overridable so the
-    randomized differential tier reaches the streaming twins (r13):
-    ``SPARK_GRAFT_TEST_SF_DIR=<fuzz seed dir> pytest
-    tests/test_streaming.py`` runs every corpus-driven
-    stream-vs-batch equivalence test against an adversarial fuzz
-    corpus (tools/fuzz_corpus.py) instead of the deterministic
-    sf0.001 tables."""
-    import os
-
-    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", SF0001)
+    """Corpus dir for table-driven tests — ALWAYS the deterministic
+    sf0.001 tables here: golden-value tests pin exact counts/hashes
+    to this corpus, so a suite-wide env override would turn a stale
+    shell variable into dozens of phantom failures (review r13).
+    The streaming module overrides its own copy of this fixture with
+    ``SPARK_GRAFT_TEST_SF_DIR`` support (its tests are corpus-
+    agnostic equivalences) so the fuzz tier can reach the streaming
+    twins — see tests/test_streaming.py."""
+    return SF0001
 
 
 @pytest.fixture(scope="session")

@@ -122,7 +122,6 @@ def test_cap_bucket_prepass_equivalence(spark, docs):
 
 def test_over_cap_ring_policy(spark, docs):
     """over_cap="ring" (r13): over-cap buckets emit each doc paired
-    with its next ring_c bucket-neighbors instead of nothing.
     with its next ring_c bucket-neighbors AND the bucket's min id.
     Contract: (1) identical pair set to the default drop policy on a
     corpus with no over-cap bucket; (2) on a degenerate bucket where
@@ -135,6 +134,14 @@ def test_over_cap_ring_policy(spark, docs):
         [(i, BASE) for i in range(60)] + [(100, NEAR), (101, FAR)],
         "doc_id long, text string",
     )
+    # 0. Knob guards: bogus policy and a ring_c that would silently
+    # degrade to star-only pairing both fail fast (plan-build time).
+    for bad in (dict(over_cap="bogus"), dict(over_cap="ring", ring_c=0)):
+        with pytest.raises(ValueError):
+            D.minhash_lsh_pairs(degen, **bad)
+        with pytest.raises(ValueError):
+            D.simhash_near_pairs(degen, **bad)
+
     # 1. No over-cap bucket -> ring is value-identical to drop.
     for hs in ("xxhash64", "md5"):
         spark.catalog.clearCache()

@@ -13,7 +13,21 @@ from pyspark.sql import functions as F
 
 from flink_s3_read_write_spark.operators import raw_text, windows as W
 from flink_s3_read_write_spark.streaming import jobs
-from tests.conftest import salary_lines
+from tests.conftest import SF0001, salary_lines
+
+
+@pytest.fixture(scope="module")
+def sf_dir() -> str:
+    """Module-scoped override of conftest's fixture: every
+    corpus-driven test in THIS file is a stream-vs-batch equivalence
+    (data-agnostic), so the randomized differential tier can point it
+    at an adversarial corpus — ``SPARK_GRAFT_TEST_SF_DIR=<fuzz seed
+    dir> pytest tests/test_streaming.py`` (r13; recorded in
+    SCALE.md).  Golden-value tests elsewhere keep the deterministic
+    sf0.001 corpus regardless of the env var."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", SF0001)
 
 
 def write_lines(spark, path: str, lines: list[str], name: str) -> None:

@@ -56,7 +56,7 @@ class LossyColumns(Exception):
 
 class EngineError(Exception):
     """One engine half of the comparison raised.  ``engine`` is
-    "spark" or "duckdb" so a failure in a 207-query sweep is
+    "spark" or "duckdb" so a failure in a full-registry sweep is
     attributable to a side without re-running (ADVICE r12)."""
 
     def __init__(self, engine: str, exc: Exception):
