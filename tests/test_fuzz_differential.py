@@ -71,3 +71,33 @@ def test_fuzz_subset_matches_oracle(spark, fuzz_dir):
         if s != o:
             bad.append(f"{name}: spark={s} oracle={o}")
     assert not bad, "\n".join(bad)
+
+
+def test_engine_error_attributes_the_failing_side(spark, fuzz_dir):
+    """compare_query tags engine failures with the side that raised
+    (ADVICE r12): a broken Spark fn surfaces as EngineError('spark'),
+    a broken oracle as EngineError('duckdb'), and the message carries
+    the prefix main() prints during a full-registry sweep."""
+    from check import EngineError, connect_oracle as _co
+
+    from flink_s3_read_write_spark.queries import Query
+
+    con = _co(fuzz_dir)
+
+    def boom(spark, sf_dir):
+        raise RuntimeError("spark side exploded")
+
+    with pytest.raises(EngineError) as ei:
+        compare_query(spark, con,
+                      Query("t_spark_boom", boom, "SELECT 1 AS x"),
+                      fuzz_dir)
+    assert ei.value.engine == "spark" and str(ei.value).startswith("spark:")
+
+    def ok(spark, sf_dir):
+        return spark.range(1).selectExpr("CAST(id AS BIGINT) AS x")
+
+    with pytest.raises(EngineError) as ei:
+        compare_query(spark, con,
+                      Query("t_duck_boom", ok, "SELECT no_such_col FROM documents"),
+                      fuzz_dir)
+    assert ei.value.engine == "duckdb" and str(ei.value).startswith("duckdb:")
