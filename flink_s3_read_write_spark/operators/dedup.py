@@ -383,8 +383,18 @@ def _split_over_cap(
     steady-state wall on q208 at gate SF and, more importantly, a
     duplication that grows with corpus cost once the shared shingle
     cache is cold.  No over-cap bucket ever materializes an array:
-    only (key, id[, payload]) rows are shuffled, never signatures, and
-    window state is O(1) per row (sort-based, spills).
+    only (key, id[, payload]) rows are shuffled, never signatures.
+
+    Skew profile (ADVICE r13 — be honest about the pathological
+    input this feature targets): the unbounded-both-sides count frame
+    buffers the ENTIRE bucket partition in the window operator's row
+    buffer before emitting — a spillable UnsafeExternalSorter array,
+    NOT O(1) state — and a degenerate over-cap bucket sorts in a
+    single task.  The guarantee is therefore "one task holds
+    O(bucket) small (key, id) rows, spilling to disk past the page
+    budget", not constant memory; acceptable because the rows carry
+    no signature arrays, but a future 10^9-row single bucket would
+    serialize through one core.
     """
     from pyspark.sql import Window
 
@@ -400,7 +410,9 @@ def _split_over_cap(
     )
 
 
-def _check_over_cap(over_cap: str, ring_c: int) -> None:
+def _check_over_cap(
+    over_cap: str, ring_c: int, cap_bucket_prepass: bool = False,
+) -> None:
     """Shared argument guard for the over-cap policy knobs."""
     if over_cap not in ("drop", "ring"):
         raise ValueError(f"over_cap must be 'drop' or 'ring', got {over_cap!r}")
@@ -408,6 +420,15 @@ def _check_over_cap(over_cap: str, ring_c: int) -> None:
         # ring_c=0 would silently degrade to star-only pairing and
         # lose the documented local robustness of the ring edges.
         raise ValueError(f"ring_c must be >= 1, got {ring_c}")
+    if over_cap == "ring" and cap_bucket_prepass:
+        # The ring split subsumes the two-pass guard (over-cap rows
+        # never reach the collect accumulator), so the prepass knob
+        # would be silently dropped by the elif — surface the conflict
+        # instead of ignoring one of two explicit requests (ADVICE r13).
+        raise ValueError(
+            "cap_bucket_prepass=True has no effect with over_cap='ring' "
+            "(the ring split already keeps over-cap rows out of the "
+            "collect accumulator) — pass one or the other")
 
 
 def _ring_pairs(
@@ -525,10 +546,12 @@ def minhash_lsh_pairs(
     order plus the bucket's min id (O(n·(ring_c+1)) pairs, bucket
     connectivity at diameter ≤ 2 for a downstream bounded-round
     connected-components pass; see ``_ring_pairs``).  ``"ring"``
-    subsumes the two-pass guard: over-cap rows never reach the
-    collect accumulator regardless of ``cap_bucket_prepass``.
+    subsumes the two-pass guard (over-cap rows never reach the
+    collect accumulator), so combining it with
+    ``cap_bucket_prepass=True`` raises rather than silently dropping
+    one of two explicit requests (ADVICE r13).
     """
-    _check_over_cap(over_cap, ring_c)
+    _check_over_cap(over_cap, ring_c, cap_bucket_prepass)
     rows_per_band = num_perm // bands
     sig_fn = minhash_signatures_numpy if engine == "numpy" else minhash_signatures
     sigs = sig_fn(df, text_col, id_col, num_perm, shingle_k, hash_src,
@@ -921,7 +944,7 @@ def simhash_near_pairs(
     through the window so the Hamming verify still runs in-row.  Ring
     pairs face the SAME ``max_hamming`` filter as bucket pairs.
     """
-    _check_over_cap(over_cap, ring_c)
+    _check_over_cap(over_cap, ring_c, cap_bucket_prepass)
     sh = simhash(df, text_col, id_col, hash_src, tok=tok)
     part_bits = 15 if hash_src == "md5" else 16
     mask = (1 << part_bits) - 1

@@ -68,7 +68,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # editing any query; otherwise a pre-edit green row from the previous
 # round would count as post-touch confirmation and auto-demote an
 # edited query on stale evidence.
-_TOUCHED_SINCE_ROUND = 13
+_TOUCHED_SINCE_ROUND = 14
 _TOUCHED_THIS_ROUND: tuple[str, ...] = ()
 
 

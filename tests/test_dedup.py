@@ -136,7 +136,10 @@ def test_over_cap_ring_policy(spark, docs):
     )
     # 0. Knob guards: bogus policy and a ring_c that would silently
     # degrade to star-only pairing both fail fast (plan-build time).
-    for bad in (dict(over_cap="bogus"), dict(over_cap="ring", ring_c=0)):
+    for bad in (dict(over_cap="bogus"), dict(over_cap="ring", ring_c=0),
+                # ring subsumes the two-pass guard; silently dropping
+                # one of two explicit knobs is the ADVICE r13 trap.
+                dict(over_cap="ring", cap_bucket_prepass=True)):
         with pytest.raises(ValueError):
             D.minhash_lsh_pairs(degen, **bad)
         with pytest.raises(ValueError):

@@ -81,9 +81,21 @@ def connect_oracle(sf_dir: str):
     heavy oracle (e.g. a brute-force witness run against a
     scale_stress replica) would OOM-kill the whole sweep instead of
     degrading to disk: cap well under the box and give it a temp dir —
-    no-ops at gate SF, survival at stress tiers."""
+    no-ops at gate SF, survival at stress tiers.
+
+    The cap is min(32 GB, ~70% of physical RAM) so that on a smaller
+    host than the known CLI box the limit still sits under physical
+    memory and actually protects (ADVICE r13); override with
+    SPARK_GRAFT_ORACLE_MEM_GB."""
+    mem_gb = os.environ.get("SPARK_GRAFT_ORACLE_MEM_GB")
+    if not mem_gb:
+        try:
+            phys = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            mem_gb = str(min(32, max(1, int(phys * 0.7 / 2**30))))
+        except (AttributeError, ValueError, OSError):
+            mem_gb = "32"
     con = duckdb.connect()
-    con.sql("SET memory_limit='32GB'")
+    con.sql(f"SET memory_limit='{mem_gb}GB'")
     con.sql("SET temp_directory='/tmp/spark_graft_duckdb_tmp'")
     bind_oracle_views(con, sf_dir)
     return con
@@ -112,27 +124,34 @@ def compare_query(spark, con, q, sf_dir: str, pandas: bool = False):
     # wrong-plan regression in query N+1 (and grows storage memory
     # across a full registry sweep).
     spark.catalog.clearCache()
+    # Only the engine calls live inside the try blocks — the dtype
+    # inspection between them is harness-local code, and wrapping it
+    # too would mis-attribute a comparator bug (e.g. the decimal
+    # precision parse on an unexpected dtype string) as
+    # EngineError('spark') (ADVICE r13).
     try:
         sdf = q.fn(spark, sf_dir)
-        # array/struct/map top-level columns crash the DRIVER's pandas
-        # canonicalizer ("unhashable type: 'list'") even though our
-        # own hash JSON-serializes them — reject locally so local
-        # green means driver green (q175 r05 lesson).
-        wide_dec = [f"{c}:{t}" for c, t in sdf.dtypes
-                    if t == "date"
-                    or t.startswith(("array<", "struct<", "map<"))
-                    or (t.startswith("decimal(") and int(t[8:].split(",")[0]) > 18)]
-        if wide_dec:
-            raise LossyColumns(
-                f"pandas-lossy/unhashable Spark column(s): {wide_dec} "
-                f"(cast to bigint/double/string, array_join arrays, "
-                f"before returning)")
+        sdtypes = sdf.dtypes
+    except Exception as e:  # noqa: BLE001
+        raise EngineError("spark", e) from e
+    # array/struct/map top-level columns crash the DRIVER's pandas
+    # canonicalizer ("unhashable type: 'list'") even though our
+    # own hash JSON-serializes them — reject locally so local
+    # green means driver green (q175 r05 lesson).
+    wide_dec = [f"{c}:{t}" for c, t in sdtypes
+                if t == "date"
+                or t.startswith(("array<", "struct<", "map<"))
+                or (t.startswith("decimal(") and int(t[8:].split(",")[0]) > 18)]
+    if wide_dec:
+        raise LossyColumns(
+            f"pandas-lossy/unhashable Spark column(s): {wide_dec} "
+            f"(cast to bigint/double/string, array_join arrays, "
+            f"before returning)")
+    try:
         if pandas:
             srows = [tuple(r) for r in sdf.toPandas().itertuples(index=False)]
         else:
             srows = [tuple(r) for r in sdf.collect()]
-    except LossyColumns:
-        raise
     except Exception as e:  # noqa: BLE001
         raise EngineError("spark", e) from e
     s = frame_summary(sdf.columns, srows)
@@ -141,31 +160,34 @@ def compare_query(spark, con, q, sf_dir: str, pandas: bool = False):
     try:
         res = con.sql(q.oracle)
         ocols = list(res.columns)
-        # Types that pandas-based comparators coerce to lossy float64
-        # on the DuckDB side only (int64 Spark vs "6.0" oracle): any
-        # sum(BIGINT) left as HUGEINT, or wide decimals.  The driver
-        # fetches via dataframes, so these fail there even when the
-        # Python-object values match — make that a LOCAL failure.
-        # DATE is also fetch-path-dependent: object date vs midnight
-        # datetime64 ("1995-01-01" vs "1995-01-01 00:00:00") — no
-        # driver-green query has ever emitted one; use ISO strings.
-        risky = [
-            f"{c}:{t}"
-            for c, t in zip(ocols, res.types)
-            if "HUGEINT" in str(t) or "UBIGINT" in str(t) or str(t) == "DATE"
-            or "[]" in str(t) or "STRUCT" in str(t) or "MAP(" in str(t)
-            or (str(t).startswith("DECIMAL") and int(str(t).split("(")[1].split(",")[0]) > 18)
-        ]
-        if risky:
-            raise LossyColumns(
-                f"pandas-lossy oracle column(s): {risky} "
-                f"(CAST to BIGINT/DOUBLE/VARCHAR in the oracle SQL)")
+        otypes = [str(t) for t in res.types]
+    except Exception as e:  # noqa: BLE001
+        raise EngineError("duckdb", e) from e
+    # Types that pandas-based comparators coerce to lossy float64
+    # on the DuckDB side only (int64 Spark vs "6.0" oracle): any
+    # sum(BIGINT) left as HUGEINT, or wide decimals.  The driver
+    # fetches via dataframes, so these fail there even when the
+    # Python-object values match — make that a LOCAL failure.
+    # DATE is also fetch-path-dependent: object date vs midnight
+    # datetime64 ("1995-01-01" vs "1995-01-01 00:00:00") — no
+    # driver-green query has ever emitted one; use ISO strings.
+    # (Harness-local inspection, deliberately OUTSIDE the engine try.)
+    risky = [
+        f"{c}:{t}"
+        for c, t in zip(ocols, otypes)
+        if "HUGEINT" in t or "UBIGINT" in t or t == "DATE"
+        or "[]" in t or "STRUCT" in t or "MAP(" in t
+        or (t.startswith("DECIMAL") and int(t.split("(")[1].split(",")[0]) > 18)
+    ]
+    if risky:
+        raise LossyColumns(
+            f"pandas-lossy oracle column(s): {risky} "
+            f"(CAST to BIGINT/DOUBLE/VARCHAR in the oracle SQL)")
+    try:
         if pandas:
             orows = [tuple(r) for r in res.df().itertuples(index=False)]
         else:
             orows = res.fetchall()
-    except LossyColumns:
-        raise
     except Exception as e:  # noqa: BLE001
         raise EngineError("duckdb", e) from e
     return s, frame_summary(ocols, orows), srows, orows
