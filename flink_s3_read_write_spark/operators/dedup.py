@@ -9,11 +9,18 @@ hashing and banding happen with higher-order array functions and
 only shuffles are (a) the group-by on band buckets and (b) the
 candidate-pair self-join, both on well-distributed hash keys.
 
-Skew/blow-up guards: LSH buckets larger than ``max_bucket`` are
-dropped before pairing (a bucket of n docs yields n² pairs; at scale a
-degenerate bucket — empty docs, boilerplate — would otherwise
-dominate the job).  This is standard practice for web-scale minhash
-dedup pipelines.
+Skew/blow-up guards: LSH buckets larger than ``max_bucket`` never
+expand to their n² pairs (a degenerate bucket — empty docs,
+boilerplate — would otherwise dominate the job).  The PRODUCTION
+DEFAULT policy for such buckets is ``over_cap="ring"`` (r14 decision,
+SCALE.md DESIGN note): each over-cap doc pairs with its next
+``ring_c`` id-order bucket-neighbors plus the bucket's min id —
+O(n·(ring_c+1)) pairs, cluster connectivity at diameter ≤ 2 —
+because the r13 300× experiment measured the legacy ``"drop"``
+policy collapsing dedup recall to 0.015 exactly where dedup matters
+most, while ring holds recall 1.000 at wall parity.  ``"drop"``
+remains available as an explicit opt-out for pipelines that would
+rather lose degenerate clusters than verify O(n) extra candidates.
 """
 
 from __future__ import annotations
@@ -427,8 +434,9 @@ def _check_over_cap(
         # instead of ignoring one of two explicit requests (ADVICE r13).
         raise ValueError(
             "cap_bucket_prepass=True has no effect with over_cap='ring' "
-            "(the ring split already keeps over-cap rows out of the "
-            "collect accumulator) — pass one or the other")
+            "(the default since r14; the ring split already keeps "
+            "over-cap rows out of the collect accumulator) — the "
+            "prepass is a drop-only knob, pass over_cap='drop' with it")
 
 
 def _ring_pairs(
@@ -507,7 +515,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 50, engine: str = "numpy", hash_src: str = "xxhash64",
     shingle_sets: DataFrame | None = None,
     cap_bucket_prepass: bool = False,
-    over_cap: str = "drop", ring_c: int = 2,
+    over_cap: str = "ring", ring_c: int = 2,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH on the signature.
 
@@ -540,16 +548,18 @@ def minhash_lsh_pairs(
     degenerate bucket); default False keeps the single-shuffle plan.
 
     ``over_cap`` (r13) picks the policy for buckets past
-    ``max_bucket``: ``"drop"`` (default — no pairs, bounded cost,
-    recall loss on degenerate clusters) or ``"ring"`` — each doc
-    pairs with its next ``ring_c`` bucket-neighbors in ascending-id
-    order plus the bucket's min id (O(n·(ring_c+1)) pairs, bucket
-    connectivity at diameter ≤ 2 for a downstream bounded-round
-    connected-components pass; see ``_ring_pairs``).  ``"ring"``
-    subsumes the two-pass guard (over-cap rows never reach the
-    collect accumulator), so combining it with
+    ``max_bucket``: ``"ring"`` (DEFAULT since r14 — see the module
+    docstring and SCALE.md's DESIGN note) — each doc pairs with its
+    next ``ring_c`` bucket-neighbors in ascending-id order plus the
+    bucket's min id (O(n·(ring_c+1)) pairs, bucket connectivity at
+    diameter ≤ 2 for a downstream bounded-round connected-components
+    pass; see ``_ring_pairs``) — or ``"drop"`` (legacy opt-out: no
+    pairs, bounded cost, recall loss on degenerate clusters).
+    ``"ring"`` subsumes the two-pass guard (over-cap rows never
+    reach the collect accumulator), so combining it with
     ``cap_bucket_prepass=True`` raises rather than silently dropping
-    one of two explicit requests (ADVICE r13).
+    one of two explicit requests (ADVICE r13); the prepass is a
+    drop-only knob — pass ``over_cap="drop"`` with it.
     """
     _check_over_cap(over_cap, ring_c, cap_bucket_prepass)
     rows_per_band = num_perm // bands
@@ -919,7 +929,7 @@ def simhash_near_pairs(
     max_bucket: int = 1000, hash_src: str = "xxhash64",
     tok: DataFrame | None = None,
     cap_bucket_prepass: bool = False,
-    over_cap: str = "drop", ring_c: int = 2,
+    over_cap: str = "ring", ring_c: int = 2,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -934,15 +944,17 @@ def simhash_near_pairs(
     ``cap_bucket_prepass`` opts into the two-pass over-cap guard
     (count-only pre-aggregate + un-hinted anti-join ahead of the
     collect accumulator) — see ``minhash_lsh_pairs`` for the contract;
-    values are identical on both paths, default False keeps the
+    it is a drop-only knob (pass ``over_cap="drop"`` with it); values
+    are identical on both drop paths, default False keeps the
     single-shuffle plan.
 
-    ``over_cap="ring"`` (r13): over-cap buckets emit ring+star
-    candidates (each doc vs its next ``ring_c`` bucket-neighbors by
-    id, plus the bucket's min id) instead of nothing — same policy
-    and plan shape as ``minhash_lsh_pairs``, with the simhash carried
-    through the window so the Hamming verify still runs in-row.  Ring
-    pairs face the SAME ``max_hamming`` filter as bucket pairs.
+    ``over_cap="ring"`` (r13; the DEFAULT since r14 — SCALE.md DESIGN
+    note): over-cap buckets emit ring+star candidates (each doc vs
+    its next ``ring_c`` bucket-neighbors by id, plus the bucket's min
+    id) instead of nothing — same policy and plan shape as
+    ``minhash_lsh_pairs``, with the simhash carried through the
+    window so the Hamming verify still runs in-row.  Ring pairs face
+    the SAME ``max_hamming`` filter as bucket pairs.
     """
     _check_over_cap(over_cap, ring_c, cap_bucket_prepass)
     sh = simhash(df, text_col, id_col, hash_src, tok=tok)

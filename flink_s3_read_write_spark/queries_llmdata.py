@@ -234,11 +234,41 @@ def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sig, range(0, 16) t(b)
     ),
     bsz AS (SELECT b, key, COUNT(*) AS n FROM banded GROUP BY b, key),
+    -- Over-cap buckets (n > 50) replay the PRODUCTION DEFAULT
+    -- ring+star policy (over_cap="ring", the default since r14):
+    -- each doc pairs with its next ring_c=2 id-order neighbors plus
+    -- the bucket min.  Inert at gate SF (max bucket 3 at sf0.01 /
+    -- 4 at sf0.1) but load-bearing on degenerate corpora — exercised
+    -- by tests/test_fuzz_differential.py's forced-degenerate corpus.
     cand AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
       FROM banded x
       JOIN banded y ON y.b = x.b AND y.key = x.key AND y.doc_id > x.doc_id
       JOIN bsz ON bsz.b = x.b AND bsz.key = x.key AND bsz.n <= 50
+      UNION
+      SELECT id_a, id_b FROM (
+        SELECT b2.doc_id AS id_a,
+               lead(b2.doc_id, 1) OVER
+                 (PARTITION BY b2.b, b2.key ORDER BY b2.doc_id) AS id_b
+        FROM banded b2
+        JOIN bsz ON bsz.b = b2.b AND bsz.key = b2.key AND bsz.n > 50) r1
+      WHERE id_b IS NOT NULL
+      UNION
+      SELECT id_a, id_b FROM (
+        SELECT b2.doc_id AS id_a,
+               lead(b2.doc_id, 2) OVER
+                 (PARTITION BY b2.b, b2.key ORDER BY b2.doc_id) AS id_b
+        FROM banded b2
+        JOIN bsz ON bsz.b = b2.b AND bsz.key = b2.key AND bsz.n > 50) r2
+      WHERE id_b IS NOT NULL
+      UNION
+      SELECT id_a, id_b FROM (
+        SELECT first_value(b2.doc_id) OVER
+                 (PARTITION BY b2.b, b2.key ORDER BY b2.doc_id) AS id_a,
+               b2.doc_id AS id_b
+        FROM banded b2
+        JOIN bsz ON bsz.b = b2.b AND bsz.key = b2.key AND bsz.n > 50) s
+      WHERE id_a < id_b
     ),
     tok AS (
       SELECT doc_id,
@@ -260,9 +290,11 @@ def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "MinHash(64 perms) + 16-band LSH candidates, re-verified with exact "
         "token Jaccard >= 0.5. Catalyst-only: shingle/hash/band via "
-        "higher-order functions; bucket-size guard caps pair blow-up. "
-        "md5-derived double-hash permutation family so the DuckDB oracle "
-        "replays signatures and banding exactly."
+        "higher-order functions; over-cap buckets take the "
+        "production-default ring+star policy (never O(n^2), never "
+        "recall-zero). md5-derived double-hash permutation family so the "
+        "DuckDB oracle replays signatures, banding, and the ring branch "
+        "exactly."
     ),
 )
 def q33_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,7 +317,8 @@ def q33_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(n·(ring_c+1)) cost.  max_bucket=2 is
     # deliberately tiny so the over-cap path EXECUTES at gate SF
     # (measured bucket sizes reach 3 at sf0.01 / 4 at sf0.1); the
-    # production knob stays 50 with "drop" default (q33).  The oracle
+    # production knob stays 50, and since r14 ring IS the production
+    # default (q33's oracle replays it too).  The oracle
     # replays the whole pipeline like q33's, with the ring branch as
     # window leads over over-cap buckets — bit-for-bit the same
     # candidate set by construction.
@@ -417,12 +450,51 @@ def q208_minhash_ring_overcap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sim, range(0, 4) t(p)
     ),
     bsz AS (SELECT p, k, COUNT(*) AS n FROM banded GROUP BY p, k),
+    -- Over-cap buckets (n > 1000) replay the PRODUCTION DEFAULT
+    -- ring+star policy (over_cap="ring", default since r14), with the
+    -- simhash riding through the window as the payload so the Hamming
+    -- verify needs no re-join — mirroring dedup._ring_pairs.  Inert
+    -- at gate SF (max bucket 27 at sf0.01 / 269 at sf0.1); exercised
+    -- by the forced-degenerate differential corpus.
     cand AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
                       x.sh AS sa, y.sh AS sb
       FROM banded x
       JOIN banded y ON y.p = x.p AND y.k = x.k AND y.doc_id > x.doc_id
       JOIN bsz ON bsz.p = x.p AND bsz.k = x.k AND bsz.n <= 1000
+      UNION
+      SELECT id_a, id_b, sa, sb FROM (
+        SELECT b2.doc_id AS id_a,
+               lead(b2.doc_id, 1) OVER
+                 (PARTITION BY b2.p, b2.k ORDER BY b2.doc_id) AS id_b,
+               b2.sh AS sa,
+               lead(b2.sh, 1) OVER
+                 (PARTITION BY b2.p, b2.k ORDER BY b2.doc_id) AS sb
+        FROM banded b2
+        JOIN bsz ON bsz.p = b2.p AND bsz.k = b2.k AND bsz.n > 1000) r1
+      WHERE id_b IS NOT NULL
+      UNION
+      SELECT id_a, id_b, sa, sb FROM (
+        SELECT b2.doc_id AS id_a,
+               lead(b2.doc_id, 2) OVER
+                 (PARTITION BY b2.p, b2.k ORDER BY b2.doc_id) AS id_b,
+               b2.sh AS sa,
+               lead(b2.sh, 2) OVER
+                 (PARTITION BY b2.p, b2.k ORDER BY b2.doc_id) AS sb
+        FROM banded b2
+        JOIN bsz ON bsz.p = b2.p AND bsz.k = b2.k AND bsz.n > 1000) r2
+      WHERE id_b IS NOT NULL
+      UNION
+      SELECT id_a, id_b, sa, sb FROM (
+        SELECT first_value(b2.doc_id) OVER
+                 (PARTITION BY b2.p, b2.k ORDER BY b2.doc_id) AS id_a,
+               b2.doc_id AS id_b,
+               first_value(b2.sh) OVER
+                 (PARTITION BY b2.p, b2.k ORDER BY b2.doc_id) AS sa,
+               b2.sh AS sb
+        FROM banded b2
+        JOIN bsz ON bsz.p = b2.p AND bsz.k = b2.k AND bsz.n > 1000) s
+      WHERE id_a < id_b
     )
     SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
     FROM cand
@@ -430,7 +502,8 @@ def q208_minhash_ring_overcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "60-bit md5-based SimHash + 4x15-bit pigeonhole banding; pairs "
-        "with Hamming <= 3, fully replayed by the DuckDB oracle."
+        "with Hamming <= 3, fully replayed by the DuckDB oracle, "
+        "including the production-default ring+star over-cap policy."
     ),
 )
 def q34_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,6 +513,105 @@ def q34_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(
         load_table(spark, sf_dir, "documents"),
         hash_src="md5",
+        tok=doc_tokens(spark, sf_dir).select(
+            "doc_id", F.explode("w").alias("tok")
+        ),
+    )
+
+
+@register(
+    "q209_simhash_ring_overcap",
+    # q34's pipeline with max_bucket=2 so the over-cap ring branch
+    # EXECUTES at gate SF (simhash band buckets reach 27 members at
+    # sf0.01 / 269 at sf0.1, far past 2) — the SimHash twin of q208
+    # (VERDICT r13 item 3).  Over-cap buckets emit ring+star
+    # candidates with the simhash riding through the window as the
+    # payload (dedup._ring_pairs(payload="simhash")), so the Hamming
+    # verify runs in-row on both engines; ring pairs face the SAME
+    # max_hamming filter as bucket pairs.  The oracle replays votes,
+    # sign bits, banding, the n<=2 bucket pairs AND the window-lead /
+    # first_value ring branches bit-for-bit.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_slice(string_split({_NORM_SQL.format(c='text')}, ' '),
+                               1, 10000)) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+    votes AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, range(0, 60) t(i)
+      GROUP BY doc_id, i
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                  AS BIGINT) AS sh
+      FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, sh, p, (sh >> (15 * p)) & 32767 AS k
+      FROM sim, range(0, 4) t(p)
+    ),
+    bsz AS (SELECT p, k, COUNT(*) AS n FROM banded GROUP BY p, k),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                      x.sh AS sa, y.sh AS sb
+      FROM banded x
+      JOIN banded y ON y.p = x.p AND y.k = x.k AND y.doc_id > x.doc_id
+      JOIN bsz ON bsz.p = x.p AND bsz.k = x.k AND bsz.n <= 2
+      UNION
+      SELECT id_a, id_b, sa, sb FROM (
+        SELECT b2.doc_id AS id_a,
+               lead(b2.doc_id, 1) OVER
+                 (PARTITION BY b2.p, b2.k ORDER BY b2.doc_id) AS id_b,
+               b2.sh AS sa,
+               lead(b2.sh, 1) OVER
+                 (PARTITION BY b2.p, b2.k ORDER BY b2.doc_id) AS sb
+        FROM banded b2
+        JOIN bsz ON bsz.p = b2.p AND bsz.k = b2.k AND bsz.n > 2) r1
+      WHERE id_b IS NOT NULL
+      UNION
+      SELECT id_a, id_b, sa, sb FROM (
+        SELECT b2.doc_id AS id_a,
+               lead(b2.doc_id, 2) OVER
+                 (PARTITION BY b2.p, b2.k ORDER BY b2.doc_id) AS id_b,
+               b2.sh AS sa,
+               lead(b2.sh, 2) OVER
+                 (PARTITION BY b2.p, b2.k ORDER BY b2.doc_id) AS sb
+        FROM banded b2
+        JOIN bsz ON bsz.p = b2.p AND bsz.k = b2.k AND bsz.n > 2) r2
+      WHERE id_b IS NOT NULL
+      UNION
+      SELECT id_a, id_b, sa, sb FROM (
+        SELECT first_value(b2.doc_id) OVER
+                 (PARTITION BY b2.p, b2.k ORDER BY b2.doc_id) AS id_a,
+               b2.doc_id AS id_b,
+               first_value(b2.sh) OVER
+                 (PARTITION BY b2.p, b2.k ORDER BY b2.doc_id) AS sa,
+               b2.sh AS sb
+        FROM banded b2
+        JOIN bsz ON bsz.p = b2.p AND bsz.k = b2.k AND bsz.n > 2) s
+      WHERE id_a < id_b
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+    doc=(
+        "SimHash near-dup pairs with the recall-preserving ring+star "
+        "over-cap policy forced at gate SF (max_bucket=2): window-lead "
+        "+ bucket-min candidates carry the simhash payload so Hamming "
+        "verifies in-row; the SimHash twin of q208."
+    ),
+)
+def q209_simhash_ring_overcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"),
+        hash_src="md5",
+        max_bucket=2, over_cap="ring", ring_c=2,
         tok=doc_tokens(spark, sf_dir).select(
             "doc_id", F.explode("w").alias("tok")
         ),
@@ -792,6 +964,12 @@ def q56_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directly — candidates from an inverted-index join (J > 0 requires
     # a shared shingle), integer cross-multiplied Jaccard, transitive
     # closure by recursive CTE, min-id label per component.
+    # Since r14 the candidate builder defaults to over_cap="ring":
+    # inert at gate SF (no bucket exceeds 50), and on degenerate
+    # corpora it keeps over-cap duplicate clusters CONNECTED (diameter
+    # <= 2) so the CC labels still match the exact closure — where the
+    # old drop default would shatter them into singletons and diverge
+    # from this oracle (the r13 300x recall-0.015 failure mode).
     oracle=f"""
     WITH RECURSIVE sh AS (
       SELECT doc_id,
@@ -857,6 +1035,133 @@ def q54_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         **MINHASH_KW,
         cand=minhash_candidates(spark, sf_dir),
         toks=doc_shingle_sets(spark, sf_dir),
+    )
+
+
+@register(
+    "q210_keep_list_ring",
+    # The COMPOSITE curation decision under the production-default
+    # ring policy with the over-cap path FORCED at gate SF
+    # (max_bucket=2, like q208/q209): LSH candidates (bucket pairs +
+    # ring+star in over-cap buckets) -> exact token-Jaccard >= 0.5
+    # verify -> bounded-round connected components -> one keeper per
+    # cluster.  This is the r13 VERDICT item 2 closure: the exact
+    # mine->verify->cluster->keep chain a 100 TB curation run executes
+    # now has the recall-preserving policy oracle-checked END TO END,
+    # not just at the pair stage.  The oracle replays candidates (ring
+    # branches as window leads/first_value, q208's cand), verify, then
+    # the transitive closure by recursive CTE — Spark's min-label
+    # propagation computes components of the SAME verified edge set,
+    # and the star edges bound every over-cap bucket's diameter at 2,
+    # so the bounded rounds provably converge.
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END AS s
+      FROM (SELECT doc_id,
+                   list_slice(string_split({_NORM_SQL.format(c='text')}, ' '),
+                              1, 10000) AS toks
+            FROM documents) t
+    ),
+    hh AS (
+      SELECT doc_id,
+             list_transform(s, g -> (('0x' || substr(md5(g), 1, 15))::BIGINT)
+                                    % 2147483647) AS hh
+      FROM sh WHERE len(s) > 0
+    ),
+    sig AS (
+      SELECT doc_id, list(mh ORDER BY j) AS sig FROM (
+        SELECT u.doc_id, p.j, MIN((p.a * u.h + p.b) % 2147483647) AS mh
+        FROM (SELECT doc_id, unnest(hh) AS h FROM hh) u
+        CROSS JOIN (SELECT j, ({_MH_A_SQL})[j + 1] AS a,
+                           ({_MH_B_SQL})[j + 1] AS b
+                    FROM range(0, 64) t(j)) p
+        GROUP BY u.doc_id, p.j) m
+      GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, b, list_slice(sig, b * 4 + 1, b * 4 + 4) AS key
+      FROM sig, range(0, 16) t(b)
+    ),
+    bsz AS (SELECT b, key, COUNT(*) AS n FROM banded GROUP BY b, key),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x
+      JOIN banded y ON y.b = x.b AND y.key = x.key AND y.doc_id > x.doc_id
+      JOIN bsz ON bsz.b = x.b AND bsz.key = x.key AND bsz.n <= 2
+      UNION
+      SELECT id_a, id_b FROM (
+        SELECT b2.doc_id AS id_a,
+               lead(b2.doc_id, 1) OVER
+                 (PARTITION BY b2.b, b2.key ORDER BY b2.doc_id) AS id_b
+        FROM banded b2
+        JOIN bsz ON bsz.b = b2.b AND bsz.key = b2.key AND bsz.n > 2) r1
+      WHERE id_b IS NOT NULL
+      UNION
+      SELECT id_a, id_b FROM (
+        SELECT b2.doc_id AS id_a,
+               lead(b2.doc_id, 2) OVER
+                 (PARTITION BY b2.b, b2.key ORDER BY b2.doc_id) AS id_b
+        FROM banded b2
+        JOIN bsz ON bsz.b = b2.b AND bsz.key = b2.key AND bsz.n > 2) r2
+      WHERE id_b IS NOT NULL
+      UNION
+      SELECT id_a, id_b FROM (
+        SELECT first_value(b2.doc_id) OVER
+                 (PARTITION BY b2.b, b2.key ORDER BY b2.doc_id) AS id_a,
+               b2.doc_id AS id_b
+        FROM banded b2
+        JOIN bsz ON bsz.b = b2.b AND bsz.key = b2.key AND bsz.n > 2) s
+      WHERE id_a < id_b
+    ),
+    tok AS (
+      SELECT doc_id,
+             list_distinct(list_slice(string_split({_NORM_SQL.format(c='text')}, ' '),
+                                      1, 10000)) AS tk
+      FROM documents
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN tok a ON a.doc_id = c.id_a
+      JOIN tok b ON b.doc_id = c.id_b
+      WHERE len(list_distinct(list_concat(a.tk, b.tk))) > 0
+        AND len(list_intersect(a.tk, b.tk)) * 2
+            >= len(list_distinct(list_concat(a.tk, b.tk)))
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(l.cluster_id, d.doc_id) AS keep
+    FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+    """,
+    doc=(
+        "End-to-end keep-list under the production-default ring "
+        "over-cap policy, forced at gate SF (max_bucket=2): LSH "
+        "bucket+ring candidates -> exact token-Jaccard >= 1/2 verify "
+        "(integer cross-multiplication) -> connected components -> "
+        "one keeper per cluster; the composite closure of q208/q209."
+    ),
+)
+def q210_keep_list_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_keep_list(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        threshold_frac=(1, 2),
+        **MINHASH_KW,
+        max_bucket=2, over_cap="ring", ring_c=2,
+        shingle_sets=doc_shingle_sets(spark, sf_dir),
     )
 
 

@@ -68,9 +68,14 @@ def test_minhash_signature_deterministic(docs):
 
 def test_lsh_bucket_guard_caps_blowup(spark):
     # 60 identical docs with max_bucket=50 -> every band bucket has 60
-    # members and is dropped; no pairs emitted, no O(n^2) join.
+    # members; under the explicit legacy drop policy no pairs are
+    # emitted, and no O(n^2) join runs on either policy.  The DEFAULT
+    # policy is ring since r14: bounded O(n*(ring_c+1)) pairs, never
+    # zero, never n^2.
     df = spark.createDataFrame([(i, BASE) for i in range(60)], "doc_id long, text string")
-    assert D.minhash_lsh_pairs(df, max_bucket=50).count() == 0
+    assert D.minhash_lsh_pairs(df, max_bucket=50, over_cap="drop").count() == 0
+    default_n = D.minhash_lsh_pairs(df, max_bucket=50).count()
+    assert 0 < default_n <= 60 * 3  # ring default: bounded, not dropped
     assert D.minhash_lsh_pairs(df, max_bucket=100).count() == 60 * 59 // 2
 
 
@@ -92,38 +97,46 @@ def test_cap_bucket_prepass_equivalence(spark, docs):
         # hash_src="md5" buckets on the RAW SLOT TUPLE (an ARRAY join
         # key), so the prepass anti-join must hold for array-typed
         # band keys too, not just the xxhash64 bigint key.
+        # The prepass is a drop-only knob since the r14 ring default
+        # (ring + prepass raises), so both sides pin over_cap="drop".
         for hs in ("xxhash64", "md5"):
             spark.catalog.clearCache()  # hint-blind CacheManager (SCALE.md)
             a = sorted(map(tuple,
                            D.minhash_lsh_pairs(frame, max_bucket=50,
-                                               hash_src=hs).collect()))
+                                               hash_src=hs,
+                                               over_cap="drop").collect()))
             b = sorted(map(tuple,
                            D.minhash_lsh_pairs(frame, max_bucket=50,
-                                               hash_src=hs,
+                                               hash_src=hs, over_cap="drop",
                                                cap_bucket_prepass=True).collect()))
             assert a == b, hs
-        sa = sorted(map(tuple, D.simhash_near_pairs(frame, max_bucket=3).collect()))
+        sa = sorted(map(tuple, D.simhash_near_pairs(frame, max_bucket=3,
+                                                    over_cap="drop").collect()))
         sb = sorted(map(tuple,
                         D.simhash_near_pairs(frame, max_bucket=3,
+                                             over_cap="drop",
                                              cap_bucket_prepass=True).collect()))
         assert sa == sb
     # The degenerate corpus really exercises the binding cap on the
     # prepass path: the 60-doc bucket vanishes, the near/far strays
     # can't pair with anything at Jaccard-band granularity.
-    assert D.minhash_lsh_pairs(degen, max_bucket=50,
+    assert D.minhash_lsh_pairs(degen, max_bucket=50, over_cap="drop",
                                cap_bucket_prepass=True).count() == 0
     plan = P.formatted_plan(
-        D.minhash_lsh_pairs(degen, max_bucket=50, cap_bucket_prepass=True))
+        D.minhash_lsh_pairs(degen, max_bucket=50, over_cap="drop",
+                            cap_bucket_prepass=True))
     assert "LeftAnti" in plan, plan
     plan_s = P.formatted_plan(
-        D.simhash_near_pairs(degen, max_bucket=3, cap_bucket_prepass=True))
+        D.simhash_near_pairs(degen, max_bucket=3, over_cap="drop",
+                             cap_bucket_prepass=True))
     assert "LeftAnti" in plan_s, plan_s
 
 
 def test_over_cap_ring_policy(spark, docs):
-    """over_cap="ring" (r13): over-cap buckets emit each doc paired
-    with its next ring_c bucket-neighbors AND the bucket's min id.
-    Contract: (1) identical pair set to the default drop policy on a
+    """over_cap="ring" (r13; the DEFAULT since r14): over-cap buckets
+    emit each doc paired with its next ring_c bucket-neighbors AND
+    the bucket's min id.
+    Contract: (1) identical pair set to the legacy drop policy on a
     corpus with no over-cap bucket; (2) on a degenerate bucket where
     drop emits ZERO pairs, ring emits a BOUNDED (≤ n·(ring_c+1)) pair
     set that keeps the duplicate cluster CONNECTED at diameter ≤ 2,
@@ -145,25 +158,27 @@ def test_over_cap_ring_policy(spark, docs):
         with pytest.raises(ValueError):
             D.simhash_near_pairs(degen, **bad)
 
-    # 1. No over-cap bucket -> ring is value-identical to drop.
+    # 1. No over-cap bucket -> ring (the default) is value-identical
+    # to the explicit legacy drop policy.
     for hs in ("xxhash64", "md5"):
         spark.catalog.clearCache()
         a = sorted(map(tuple,
+                       D.minhash_lsh_pairs(docs, max_bucket=50, hash_src=hs,
+                                           over_cap="drop").collect()))
+        r = sorted(map(tuple,
                        D.minhash_lsh_pairs(docs, max_bucket=50,
                                            hash_src=hs).collect()))
-        r = sorted(map(tuple,
-                       D.minhash_lsh_pairs(docs, max_bucket=50, hash_src=hs,
-                                           over_cap="ring").collect()))
         assert a == r, hs
-    sa = sorted(map(tuple, D.simhash_near_pairs(docs, max_bucket=50).collect()))
-    sr = sorted(map(tuple, D.simhash_near_pairs(docs, max_bucket=50,
-                                                over_cap="ring").collect()))
+    sa = sorted(map(tuple, D.simhash_near_pairs(docs, max_bucket=50,
+                                                over_cap="drop").collect()))
+    sr = sorted(map(tuple, D.simhash_near_pairs(docs, max_bucket=50).collect()))
     assert sa == sr
 
     # 2. Degenerate 60-identical-doc bucket, max_bucket=50: drop
     # emits nothing (the 300x-tier recall collapse), ring emits a
     # bounded connected set.
-    assert D.minhash_lsh_pairs(degen, max_bucket=50).count() == 0
+    assert D.minhash_lsh_pairs(degen, max_bucket=50,
+                               over_cap="drop").count() == 0
     ring = D.minhash_lsh_pairs(degen, max_bucket=50,
                                over_cap="ring", ring_c=2)
     got = ring.collect()
@@ -202,9 +217,16 @@ def test_over_cap_ring_policy(spark, docs):
     # drop-policy recall hole) to 2: one keeper for the
     # 61-member near-dup cluster (the 60 identical docs PLUS the
     # NEAR stray, which shares their buckets and passes the 0.5
-    # Jaccard verify) and the FAR stray.
-    drop_keep = D.dedup_keep_list(degen, threshold=0.5, max_bucket=50)
+    # Jaccard verify) and the FAR stray.  The r14 before/after delta:
+    # the PRODUCTION DEFAULT (no knobs) now takes the ring path and
+    # yields the 2 keepers; the 62-keeper recall hole requires
+    # explicitly opting back into drop.
+    drop_keep = D.dedup_keep_list(degen, threshold=0.5, max_bucket=50,
+                                  over_cap="drop")
     assert drop_keep.filter("keep").count() == 62
+    default_keep = D.dedup_keep_list(degen, threshold=0.5, max_bucket=50)
+    keepers = sorted(r.doc_id for r in default_keep.filter("keep").collect())
+    assert keepers == [0, 101]
     ring_keep = D.dedup_keep_list(degen, threshold=0.5, max_bucket=50,
                                   over_cap="ring", ring_c=2)
     keepers = sorted(r.doc_id for r in ring_keep.filter("keep").collect())

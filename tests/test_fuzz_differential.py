@@ -73,6 +73,91 @@ def test_fuzz_subset_matches_oracle(spark, fuzz_dir):
     assert not bad, "\n".join(bad)
 
 
+@pytest.fixture(scope="module")
+def degen60_dir(tmp_path_factory):
+    """Corpus with a 60-doc identical cluster: MinHash band buckets of
+    60 blow past the PRODUCTION cap (max_bucket=50), so q33/q54's
+    default ring+star policy and its window-lead oracle replay
+    actually execute — at gate SF those branches are inert (largest
+    bucket: 4)."""
+    d = str(tmp_path_factory.mktemp("fuzz") / "degen60")
+    build(d, seed=14, degen_cluster=60)
+    return d
+
+
+@pytest.fixture(scope="module")
+def degen1010_dir(tmp_path_factory):
+    """Corpus with a 1010-doc identical cluster: SimHash band buckets
+    blow past q34's production cap (max_bucket=1000), exercising its
+    oracle's ring branches (payload-threaded Hamming verify).  q54 is
+    deliberately NOT run here — its brute-force oracle's transitive
+    closure is O(cluster^2) edges and the recursive CTE would chew
+    through ~1e9 intermediate rows on a 1010-complete graph."""
+    d = str(tmp_path_factory.mktemp("fuzz") / "degen1010")
+    build(d, seed=15, degen_cluster=1010)
+    return d
+
+
+def test_ring_oracle_branches_execute_at_production_caps(
+        spark, degen60_dir, degen1010_dir):
+    """r14 (VERDICT items 2/4): over_cap="ring" is the production
+    default, and q33/q34's oracles replay it with window leads +
+    first_value.  Those SQL branches emit ZERO rows at gate SF, so a
+    bug in them would ship silently — force over-cap buckets at the
+    PRODUCTION knobs and demand exact hash equality, end-to-end
+    through the keep-list composite (q54, whose exact-closure oracle
+    only stays matched because ring keeps the degenerate cluster
+    connected; the old drop default shatters it into 60 singletons)."""
+    from flink_s3_read_write_spark.queries import registry
+
+    reg = registry()
+    bad = []
+    con = connect_oracle(degen60_dir)
+    for name in ("q33_minhash_dedup_pairs", "q54_dedup_keep_list",
+                 "q210_keep_list_ring"):
+        s, o, _, _ = compare_query(spark, con, reg[name], degen60_dir)
+        if s != o:
+            bad.append(f"{name}@degen60: spark={s} oracle={o}")
+    # The cluster really is over-cap: its pairs exist (ring recall),
+    # and the keep list collapses the 60 clones to ONE keeper.
+    srows = [tuple(r) for r in reg["q54_dedup_keep_list"]
+             .fn(spark, degen60_dir).collect()]
+    clone_ids = set(range(120, 180))
+    keepers = {r[0] for r in srows if r[2] and r[0] in clone_ids}
+    assert len(keepers) == 1, f"expected 1 keeper in the clone cluster, got {keepers}"
+
+    con2 = connect_oracle(degen1010_dir)
+    for name in ("q33_minhash_dedup_pairs", "q34_simhash_near_pairs"):
+        s, o, _, _ = compare_query(spark, con2, reg[name], degen1010_dir)
+        if s != o:
+            bad.append(f"{name}@degen1010: spark={s} oracle={o}")
+    assert not bad, "\n".join(bad)
+
+
+def test_ring_tie_axis_scattered_ids(spark, tmp_path_factory):
+    """VERDICT r13 item 6: `_ring_pairs` orders by id_col, and every
+    corpus so far handed it CONTIGUOUS clone ids in a tail block.
+    This corpus makes the id axis adversarial — gappy doc_ids (random
+    1..996 increments), clones interleaved with normal docs (one
+    clustered positional run + scattered singles), SimHash payload
+    ties riding the window — and demands exact hash equality against
+    the window-lead oracle replay for the pair miners AND both
+    keep-list composites."""
+    from flink_s3_read_write_spark.queries import registry
+
+    d = str(tmp_path_factory.mktemp("fuzz") / "scatter60")
+    build(d, seed=16, degen_cluster=60, degen_scatter=True)
+    reg = registry()
+    con = connect_oracle(d)
+    bad = []
+    for name in ("q33_minhash_dedup_pairs", "q54_dedup_keep_list",
+                 "q209_simhash_ring_overcap", "q210_keep_list_ring"):
+        s, o, _, _ = compare_query(spark, con, reg[name], d)
+        if s != o:
+            bad.append(f"{name}@scatter60: spark={s} oracle={o}")
+    assert not bad, "\n".join(bad)
+
+
 def test_engine_error_attributes_the_failing_side(spark, fuzz_dir):
     """compare_query tags engine failures with the side that raised
     (ADVICE r12): a broken Spark fn surfaces as EngineError('spark'),

@@ -62,12 +62,32 @@ def _write(out: str, name: str, cols: dict, schema: pa.Schema) -> None:
                    os.path.join(out, f"{name}.parquet"))
 
 
-def build(out: str, seed: int, scale: int = 1) -> None:
+def build(out: str, seed: int, scale: int = 1,
+          degen_cluster: int = 0, degen_scatter: bool = False) -> None:
     """``scale`` multiplies every fact-table row count (dims and the
     planted-duplicate counts stay fixed) — the same fact-grows-
     faster-than-dim shape as the scale_stress replica, here with
     fresh random rows rather than replication, so groups get DEEPER
-    tie structure instead of exact copies."""
+    tie structure instead of exact copies.
+
+    ``degen_cluster`` (r14) appends that many EXTRA documents all
+    sharing one fixed text — a degenerate duplicate cluster whose LSH
+    band buckets blow past the production caps (50 for MinHash, 1000
+    for SimHash when > 1000), so the over-cap ring+star policy and
+    its window-lead oracle replay EXECUTE at the production knobs
+    instead of only under the forced max_bucket=2 gate entries.
+
+    ``degen_scatter`` (r14, VERDICT item 6) makes the ID AXIS of the
+    cluster adversarial instead of a contiguous tail block:
+    - doc_ids become gappy (random 1..996 increments, so lead/star
+      arithmetic can never lean on id adjacency), and
+    - the clone docs interleave with normal docs — one clustered run
+      of positions plus scattered singles — so inside each over-cap
+      bucket the ring's id-ordered window walks a mix of clone and
+      stray rows, stressing the lead/first_value frame logic the
+      contiguous corpora only brush (plus SimHash payload ties: every
+      clone shares the identical simhash payload through the window).
+    """
     rng = random.Random(seed)
     os.makedirs(out, exist_ok=True)
 
@@ -211,8 +231,33 @@ def build(out: str, seed: int, scale: int = 1) -> None:
         # exact-dedup vs near-dedup family distinction
         w[j] = rng.choice([x for x in WORDS if x != w[j]])
         texts[nd - 1 - i] = " ".join(w)                 # near dup
+    doc_ids = None
+    if degen_cluster:
+        # One fixed 12-word text (shingleable: >= 3 words), repeated —
+        # every band bucket of the cluster has degen_cluster members.
+        clone_text = " ".join(WORDS[i % len(WORDS)] for i in range(12))
+        if degen_scatter:
+            total = nd + degen_cluster
+            # clone positions: one clustered run + scattered singles
+            positions = set(range(5, 5 + max(1, degen_cluster // 3)))
+            while len(positions) < degen_cluster:
+                positions.add(rng.randrange(total))
+            normal = iter(texts)
+            texts = [clone_text if p in positions else next(normal)
+                     for p in range(total)]
+            # gappy non-contiguous ids: random 1..996 increments
+            doc_ids, cur = [], 0
+            for _ in range(total):
+                cur += rng.randrange(1, 997)
+                doc_ids.append(cur)
+            nd = total
+        else:
+            texts += [clone_text] * degen_cluster
+            nd += degen_cluster
+    if doc_ids is None:
+        doc_ids = list(range(nd))
     _write(out, "documents",
-           {"doc_id": list(range(nd)),
+           {"doc_id": doc_ids,
             "text": texts,
             "lang": [rng.choice(LANG) for _ in range(nd)],
             "source": [f"src{rng.randrange(20)}" for _ in range(nd)],
@@ -242,12 +287,22 @@ def main() -> int:
     ap.add_argument("--scale", type=int, default=1,
                     help="multiply fact-table sizes (dims fixed) for "
                          "deeper per-group tie structure")
+    ap.add_argument("--degen-cluster", type=int, default=0,
+                    help="append N identical documents (one degenerate "
+                         "LSH cluster) so production over-cap ring "
+                         "policies execute (see build())")
+    ap.add_argument("--degen-scatter", action="store_true",
+                    help="adversarial id axis for the degenerate "
+                         "cluster: gappy doc_ids, clones interleaved "
+                         "with normal docs (see build())")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     out = args.out or f"/tmp/spark_graft_fuzz{args.seed}"
-    build(out, args.seed, scale=args.scale)
+    build(out, args.seed, scale=args.scale, degen_cluster=args.degen_cluster,
+          degen_scatter=args.degen_scatter)
     print(f"fuzz_corpus: seed={args.seed} scale={args.scale} "
-          f"written to {out}")
+          f"degen_cluster={args.degen_cluster} "
+          f"degen_scatter={args.degen_scatter} written to {out}")
     return 0
 
 

@@ -1,0 +1,207 @@
+"""Witness-style oracle for the LSH dedup family at tiers where the
+full relational replay is infeasible (r14, VERDICT r13 item 5).
+
+The gate-SF oracle replays the ENTIRE MinHash pipeline in DuckDB
+(signatures → banding → over-cap ring → verify) — exact but
+O(docs × shingles × 64 perms) in the oracle, which made 30× the
+practical ceiling (315 s for q208; the ORACLE, not the engine, is
+the wall).  This tool verifies the Spark output at 100×+ with
+invariants whose cost is O(|pairs| + docs), not O(signature replay):
+
+  W1 SOUNDNESS (every output row, bit-exact): re-derive each emitted
+     pair's exact token-Jaccard from the corpus in DuckDB and demand
+     (a) it equals the emitted `jaccard` double bit-for-bit and
+     (b) it clears the threshold.  This re-proves the verify stage on
+     100% of the output — not a sample.
+  W2 PLANTED-CLUSTER RECALL/CONNECTIVITY: the scale_stress replica
+     plants near-dup clusters of size `mult` (copies of base doc d at
+     ids d + i*base_docs, suffix-token variants, pairwise Jaccard
+     ~t/(t+2) >> threshold).  For every planted cluster the emitted
+     pair subgraph must CONNECT all `mult` members — checked by
+     K=6 unrolled min-label rounds in SQL (ring+star bounds each
+     over-cap bucket's diameter at 2; bands chain buckets, and the
+     r13 300x experiment measured full-cluster recall at 20 rounds,
+     so 6 is generous for the replica's dense clusters).  This is the
+     exact recall the drop policy destroyed (0.015 at 300x).
+  W3 BOUNDEDNESS: per-cluster pair count <= bands * (ring_c+1) * n —
+     the O(n) ceiling of the ring policy; an n^2 regression trips it
+     for n > bands*(ring_c+1) (mult >= 96 at 16 bands, ring_c=2
+     with margin; the byte-growth check in scale_stress covers
+     smaller multiples).
+
+What the witness does NOT check (and where that coverage lives):
+false NEGATIVES outside the planted structure — a candidate-
+generation bug that silently misses a true pair among the random
+base docs.  That is exactly what the full-replay oracle proves at
+sf0.01/sf0.1 (driver gate) and at the 10x/30x tiers (SCALE.md), all
+of which remain in force; the witness extends the verified frontier
+to tiers where replay cannot follow, it does not replace replay.
+
+Usage:
+  python tools/scale_stress.py --build-only --mult 100
+  python tools/witness_oracle.py --sf /tmp/spark_graft_scale100 \
+      --mult 100 [--threshold 0.5] [q208_minhash_ring_overcap ...]
+
+Prints ONE JSON line per query with the three witness verdicts and
+exits non-zero if any fails.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# One normalization, shared with the registry oracles (_NORM_SQL is
+# the committed DuckDB twin of dedup.normalize_text).
+from flink_s3_read_write_spark.queries_llmdata import _NORM_SQL  # noqa: E402
+
+DEFAULT_QUERIES = ["q208_minhash_ring_overcap", "q33_minhash_dedup_pairs"]
+
+
+def witness(con, pairs_pq: str, docs_pq: str, mult: int,
+            threshold_num: int = 1, threshold_den: int = 2,
+            bands: int = 16, ring_c: int = 2) -> dict:
+    """Run W1-W3 against an emitted-pairs parquet; returns verdicts."""
+    out: dict = {}
+    base_docs = con.sql(
+        f"SELECT COUNT(*) FROM '{docs_pq}'").fetchone()[0] // mult
+
+    # W1: bit-exact jaccard re-derivation on EVERY emitted pair.
+    t0 = time.time()
+    bad = con.sql(f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_distinct(list_slice(
+                     string_split({_NORM_SQL.format(c='text')}, ' '),
+                     1, 10000)) AS tk
+          FROM '{docs_pq}'
+        ),
+        chk AS (
+          SELECT p.id_a, p.id_b, p.jaccard,
+                 CASE WHEN len(list_distinct(list_concat(a.tk, b.tk))) > 0
+                      THEN CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.tk, b.tk)))
+                      ELSE 0.0 END AS j_exact,
+                 len(list_intersect(a.tk, b.tk)) AS i_n,
+                 len(list_distinct(list_concat(a.tk, b.tk))) AS u_n
+          FROM '{pairs_pq}' p
+          JOIN tok a ON a.doc_id = p.id_a
+          JOIN tok b ON b.doc_id = p.id_b
+        )
+        SELECT COUNT(*) FROM chk
+        WHERE j_exact <> jaccard
+           OR i_n * {threshold_den} < u_n * {threshold_num}
+    """).fetchone()[0]
+    n_pairs = con.sql(f"SELECT COUNT(*) FROM '{pairs_pq}'").fetchone()[0]
+    out["w1_soundness"] = {"pairs": n_pairs, "violations": bad,
+                           "sec": round(time.time() - t0, 1)}
+
+    # W2: planted-cluster connectivity via K=6 unrolled min-label
+    # rounds (each member's label = min reachable id within 6 hops of
+    # the within-cluster pair graph; converged iff one label/cluster).
+    t0 = time.time()
+    rounds_sql = """
+        SELECT l.id, l.c, LEAST(l.lbl, coalesce(m.nbr, l.lbl)) AS lbl
+        FROM {prev} l
+        LEFT JOIN (
+          SELECT e.dst AS id, MIN({prev2}.lbl) AS nbr
+          FROM e JOIN {prev} AS {prev2} ON {prev2}.id = e.src
+          GROUP BY e.dst) m ON m.id = l.id
+    """
+    with_parts = [f"""
+        cp AS (
+          SELECT id_a, id_b FROM '{pairs_pq}'
+          WHERE id_a % {base_docs} = id_b % {base_docs}
+        ),
+        e AS (
+          SELECT id_a AS src, id_b AS dst FROM cp
+          UNION ALL SELECT id_b, id_a FROM cp
+        ),
+        members AS (
+          SELECT doc_id AS id, doc_id % {base_docs} AS c
+          FROM '{docs_pq}'
+        ),
+        l0 AS (SELECT id, c, id AS lbl FROM members)
+    """]
+    for k in range(1, 7):
+        with_parts.append(
+            f"l{k} AS ({rounds_sql.format(prev=f'l{k-1}', prev2=f'p{k}')})")
+    w2 = con.sql(f"""
+        WITH {', '.join(with_parts)}
+        SELECT COUNT(*) FROM (
+          SELECT c FROM l6 GROUP BY c HAVING COUNT(DISTINCT lbl) > 1)
+    """).fetchone()[0]
+    out["w2_cluster_connectivity"] = {
+        "clusters": base_docs, "unconverged": w2,
+        "sec": round(time.time() - t0, 1)}
+
+    # W3: O(n) boundedness per cluster.
+    t0 = time.time()
+    ceiling = bands * (ring_c + 1) * mult
+    w3 = con.sql(f"""
+        SELECT COUNT(*) FROM (
+          SELECT id_a % {base_docs} AS c, COUNT(*) AS n
+          FROM '{pairs_pq}'
+          WHERE id_a % {base_docs} = id_b % {base_docs}
+          GROUP BY c HAVING COUNT(*) > {ceiling})
+    """).fetchone()[0]
+    out["w3_boundedness"] = {"ceiling_per_cluster": ceiling,
+                             "violations": w3,
+                             "sec": round(time.time() - t0, 1)}
+    out["pass"] = (bad == 0 and w2 == 0 and w3 == 0)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", required=True,
+                    help="scale_stress replica dir (documents.parquet "
+                         "with planted clusters of size --mult)")
+    ap.add_argument("--mult", type=int, required=True,
+                    help="replica multiplier (= planted cluster size)")
+    ap.add_argument("--threshold-frac", default="1/2",
+                    help="verify threshold as num/den (default 1/2)")
+    ap.add_argument("names", nargs="*", default=None)
+    args = ap.parse_args()
+    tnum, tden = (int(x) for x in args.threshold_frac.split("/"))
+
+    import duckdb
+
+    from flink_s3_read_write_spark.queries import registry
+    from flink_s3_read_write_spark.session import build_session
+
+    spark = build_session("witness")
+    reg = registry()
+    names = args.names or DEFAULT_QUERIES
+    tmp = tempfile.mkdtemp(prefix="witness_")
+    con = duckdb.connect()
+    rc = 0
+    try:
+        for name in names:
+            t0 = time.time()
+            sdf = reg[name].fn(spark, args.sf)
+            pairs_pq = os.path.join(tmp, f"{name}_pairs")
+            sdf.write.mode("overwrite").parquet(pairs_pq)
+            spark_sec = round(time.time() - t0, 1)
+            rec = witness(con, f"{pairs_pq}/*.parquet",
+                          f"{args.sf}/documents.parquet", args.mult,
+                          tnum, tden)
+            rec.update({"query": name, "mult": args.mult,
+                        "spark_sec": spark_sec})
+            print(json.dumps(rec))
+            if not rec["pass"]:
+                rc = 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
