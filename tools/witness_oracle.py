@@ -59,6 +59,7 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # One normalization, shared with the registry oracles (_NORM_SQL is
 # the committed DuckDB twin of dedup.normalize_text).
@@ -76,17 +77,22 @@ def witness(con, pairs_pq: str, docs_pq: str, mult: int,
         f"SELECT COUNT(*) FROM '{docs_pq}'").fetchone()[0] // mult
 
     # W1: bit-exact jaccard re-derivation on EVERY emitted pair.
+    # tok is materialized ONCE as a temp table — it is joined twice,
+    # and an inlined CTE would tokenize the corpus twice (and at 300x
+    # spill the box dry).
     t0 = time.time()
+    con.sql("DROP TABLE IF EXISTS w_tok")
+    con.sql(f"""
+        CREATE TEMP TABLE w_tok AS
+        SELECT doc_id,
+               list_distinct(list_slice(
+                   string_split({_NORM_SQL.format(c='text')}, ' '),
+                   1, 10000)) AS tk
+        FROM '{docs_pq}'
+    """)
     bad = con.sql(f"""
-        WITH tok AS (
-          SELECT doc_id,
-                 list_distinct(list_slice(
-                     string_split({_NORM_SQL.format(c='text')}, ' '),
-                     1, 10000)) AS tk
-          FROM '{docs_pq}'
-        ),
-        chk AS (
-          SELECT p.id_a, p.id_b, p.jaccard,
+        WITH chk AS (
+          SELECT p.jaccard,
                  CASE WHEN len(list_distinct(list_concat(a.tk, b.tk))) > 0
                       THEN CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
                            / len(list_distinct(list_concat(a.tk, b.tk)))
@@ -94,13 +100,14 @@ def witness(con, pairs_pq: str, docs_pq: str, mult: int,
                  len(list_intersect(a.tk, b.tk)) AS i_n,
                  len(list_distinct(list_concat(a.tk, b.tk))) AS u_n
           FROM '{pairs_pq}' p
-          JOIN tok a ON a.doc_id = p.id_a
-          JOIN tok b ON b.doc_id = p.id_b
+          JOIN w_tok a ON a.doc_id = p.id_a
+          JOIN w_tok b ON b.doc_id = p.id_b
         )
         SELECT COUNT(*) FROM chk
         WHERE j_exact <> jaccard
            OR i_n * {threshold_den} < u_n * {threshold_num}
     """).fetchone()[0]
+    con.sql("DROP TABLE IF EXISTS w_tok")
     n_pairs = con.sql(f"SELECT COUNT(*) FROM '{pairs_pq}'").fetchone()[0]
     out["w1_soundness"] = {"pairs": n_pairs, "violations": bad,
                            "sec": round(time.time() - t0, 1)}
@@ -114,36 +121,45 @@ def witness(con, pairs_pq: str, docs_pq: str, mult: int,
     # merge through cross-cluster verified pairs; restricting edges to
     # within-cluster pairs false-fails exactly those — found at 100x:
     # 74 "unconverged" clusters, all members of merged dup groups).
+    # Each round MATERIALIZES as a temp table: the round expression
+    # references the previous round twice (self + neighbor-min), so an
+    # unrolled-CTE formulation doubles work per round — 2^rounds
+    # inlining, which is what filled the disk at 300x.  Materialized,
+    # each round is one linear join+aggregate.
     t0 = time.time()
-    rounds_sql = """
-        SELECT l.id, l.c, LEAST(l.lbl, coalesce(m.nbr, l.lbl)) AS lbl
-        FROM {prev} l
-        LEFT JOIN (
-          SELECT e.dst AS id, MIN({prev2}.lbl) AS nbr
-          FROM e JOIN {prev} AS {prev2} ON {prev2}.id = e.src
-          GROUP BY e.dst) m ON m.id = l.id
-    """
     rounds = 8
-    with_parts = [f"""
-        e AS (
-          SELECT id_a AS src, id_b AS dst FROM '{pairs_pq}'
-          UNION ALL SELECT id_b, id_a FROM '{pairs_pq}'
-        ),
-        members AS (
-          SELECT doc_id AS id, doc_id % {base_docs} AS c
-          FROM '{docs_pq}'
-        ),
-        l0 AS (SELECT id, c, id AS lbl FROM members)
-    """]
+    con.sql("DROP TABLE IF EXISTS w_e")
+    con.sql(f"""
+        CREATE TEMP TABLE w_e AS
+        SELECT id_a AS src, id_b AS dst FROM '{pairs_pq}'
+        UNION ALL SELECT id_b, id_a FROM '{pairs_pq}'
+    """)
+    con.sql("DROP TABLE IF EXISTS w_l0")
+    con.sql(f"""
+        CREATE TEMP TABLE w_l0 AS
+        SELECT doc_id AS id, doc_id % {base_docs} AS c, doc_id AS lbl
+        FROM '{docs_pq}'
+    """)
     for k in range(1, rounds + 1):
-        with_parts.append(
-            f"l{k} AS ({rounds_sql.format(prev=f'l{k-1}', prev2=f'p{k}')})")
+        con.sql(f"DROP TABLE IF EXISTS w_l{k}")
+        con.sql(f"""
+            CREATE TEMP TABLE w_l{k} AS
+            SELECT l.id, l.c,
+                   LEAST(l.lbl, coalesce(m.nbr, l.lbl)) AS lbl
+            FROM w_l{k-1} l
+            LEFT JOIN (
+              SELECT e.dst AS id, MIN(p.lbl) AS nbr
+              FROM w_e e JOIN w_l{k-1} p ON p.id = e.src
+              GROUP BY e.dst) m ON m.id = l.id
+        """)
+        con.sql(f"DROP TABLE w_l{k-1}")
     w2 = con.sql(f"""
-        WITH {', '.join(with_parts)}
         SELECT COUNT(*) FROM (
-          SELECT c FROM l{rounds} GROUP BY c
+          SELECT c FROM w_l{rounds} GROUP BY c
           HAVING COUNT(DISTINCT lbl) > 1)
     """).fetchone()[0]
+    con.sql(f"DROP TABLE w_l{rounds}")
+    con.sql("DROP TABLE w_e")
     out["w2_cluster_connectivity"] = {
         "clusters": base_docs, "rounds": rounds, "unconverged": w2,
         "sec": round(time.time() - t0, 1)}
@@ -165,6 +181,80 @@ def witness(con, pairs_pq: str, docs_pq: str, mult: int,
     return out
 
 
+def witness_simhash(con, pairs_pq: str, docs_pq: str, mult: int,
+                    max_hamming: int = 3, bands: int = 4,
+                    ring_c: int = 2) -> dict:
+    """W1/W3 witnesses for the SimHash family (q34 shape: id_a, id_b,
+    hamming).  W1 recomputes every doc's exact 60-bit md5 simhash in
+    DuckDB — one pass, 60 SUM columns per doc instead of a
+    row-exploded vote table — and demands each emitted pair's
+    bit_count(xor) equal the emitted hamming AND clear max_hamming.
+    W2 (planted-cluster connectivity) is deliberately NOT asserted
+    for SimHash: the replica's suffix variants shift token votes, so
+    Hamming<=3 capture of a planted pair is NOT an operator
+    invariant (unlike MinHash verify at token-J ~ t/(t+2) >> 1/2);
+    recall evidence for SimHash lives at the replay tiers and the
+    forced-gate q209.  W3 is the same O(n) ring ceiling."""
+    out: dict = {}
+    base_docs = con.sql(
+        f"SELECT COUNT(*) FROM '{docs_pq}'").fetchone()[0] // mult
+
+    t0 = time.time()
+    vote_cols = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(60))
+    sh_expr = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END"
+        for i in range(60))
+    bad = con.sql(f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_slice(
+                     string_split({_NORM_SQL.format(c='text')}, ' '),
+                     1, 10000)) AS tok
+          FROM '{docs_pq}'
+        ),
+        h AS (SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+              FROM tok),
+        votes AS (
+          SELECT doc_id,
+             {vote_cols}
+          FROM h GROUP BY doc_id
+        ),
+        sim AS (SELECT doc_id, CAST({sh_expr} AS BIGINT) AS sh FROM votes)
+        SELECT COUNT(*)
+        FROM '{pairs_pq}' p
+        JOIN sim a ON a.doc_id = p.id_a
+        JOIN sim b ON b.doc_id = p.id_b
+        WHERE bit_count(xor(a.sh, b.sh)) <> p.hamming
+           OR p.hamming > {max_hamming}
+    """).fetchone()[0]
+    n_pairs = con.sql(f"SELECT COUNT(*) FROM '{pairs_pq}'").fetchone()[0]
+    out["w1_soundness"] = {"pairs": n_pairs, "violations": bad,
+                           "sec": round(time.time() - t0, 1)}
+
+    t0 = time.time()
+    ceiling = bands * (ring_c + 1) * mult
+    w3 = con.sql(f"""
+        SELECT COUNT(*) FROM (
+          SELECT id_a % {base_docs} AS c, COUNT(*) AS n
+          FROM '{pairs_pq}'
+          WHERE id_a % {base_docs} = id_b % {base_docs}
+          GROUP BY c HAVING COUNT(*) > {ceiling})
+    """).fetchone()[0]
+    out["w3_boundedness"] = {"ceiling_per_cluster": ceiling,
+                             "violations": w3,
+                             "sec": round(time.time() - t0, 1)}
+    out["w2_cluster_connectivity"] = "skipped: Hamming<=3 capture of "\
+        "suffix variants is not an operator invariant (see docstring)"
+    out["pass"] = (bad == 0 and w3 == 0)
+    return out
+
+
+SIMHASH_QUERIES = {"q34_simhash_near_pairs", "q209_simhash_ring_overcap"}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", required=True,
@@ -178,7 +268,7 @@ def main() -> int:
     args = ap.parse_args()
     tnum, tden = (int(x) for x in args.threshold_frac.split("/"))
 
-    import duckdb
+    from check import connect_oracle  # the ONE oracle-session setup
 
     from flink_s3_read_write_spark.queries import registry
     from flink_s3_read_write_spark.session import build_session
@@ -187,7 +277,9 @@ def main() -> int:
     reg = registry()
     names = args.names or DEFAULT_QUERIES
     tmp = tempfile.mkdtemp(prefix="witness_")
-    con = duckdb.connect()
+    # connect_oracle carries the spill guards (memory cap + temp dir)
+    # a 300x witness needs; its view binding to --sf is harmless here.
+    con = connect_oracle(args.sf)
     rc = 0
     try:
         for name in names:
@@ -196,9 +288,14 @@ def main() -> int:
             pairs_pq = os.path.join(tmp, f"{name}_pairs")
             sdf.write.mode("overwrite").parquet(pairs_pq)
             spark_sec = round(time.time() - t0, 1)
-            rec = witness(con, f"{pairs_pq}/*.parquet",
-                          f"{args.sf}/documents.parquet", args.mult,
-                          tnum, tden)
+            if name in SIMHASH_QUERIES:
+                rec = witness_simhash(con, f"{pairs_pq}/*.parquet",
+                                      f"{args.sf}/documents.parquet",
+                                      args.mult)
+            else:
+                rec = witness(con, f"{pairs_pq}/*.parquet",
+                              f"{args.sf}/documents.parquet", args.mult,
+                              tnum, tden)
             rec.update({"query": name, "mult": args.mult,
                         "spark_sec": spark_sec})
             print(json.dumps(rec))
