@@ -68,9 +68,23 @@ from flink_s3_read_write_spark.queries_llmdata import _NORM_SQL  # noqa: E402
 DEFAULT_QUERIES = ["q208_minhash_ring_overcap", "q33_minhash_dedup_pairs"]
 
 
+def _w3_ceiling(mult: int, max_bucket: int, bands: int,
+                ring_c: int) -> int:
+    """Per-cluster pair ceiling, CAP-AWARE: a cluster UNDER the
+    bucket cap pairs fully by design (n(n-1)/2 is correct, not a
+    regression); only an over-cap cluster must obey the O(n) ring
+    bound.  The first simhash run asserted the ring bound against
+    q34's under-cap clusters (cap 1000, mult 100) and false-failed
+    3809 of them — the full-pairing term fixes exactly that."""
+    if mult <= max_bucket:
+        return mult * (mult - 1) // 2
+    return bands * (ring_c + 1) * mult
+
+
 def witness(con, pairs_pq: str, docs_pq: str, mult: int,
             threshold_num: int = 1, threshold_den: int = 2,
-            bands: int = 16, ring_c: int = 2) -> dict:
+            bands: int = 16, ring_c: int = 2,
+            max_bucket: int = 50) -> dict:
     """Run W1-W3 against an emitted-pairs parquet; returns verdicts."""
     out: dict = {}
     base_docs = con.sql(
@@ -164,9 +178,9 @@ def witness(con, pairs_pq: str, docs_pq: str, mult: int,
         "clusters": base_docs, "rounds": rounds, "unconverged": w2,
         "sec": round(time.time() - t0, 1)}
 
-    # W3: O(n) boundedness per cluster.
+    # W3: boundedness per cluster (cap-aware, see _w3_ceiling).
     t0 = time.time()
-    ceiling = bands * (ring_c + 1) * mult
+    ceiling = _w3_ceiling(mult, max_bucket, bands, ring_c)
     w3 = con.sql(f"""
         SELECT COUNT(*) FROM (
           SELECT id_a % {base_docs} AS c, COUNT(*) AS n
@@ -183,7 +197,7 @@ def witness(con, pairs_pq: str, docs_pq: str, mult: int,
 
 def witness_simhash(con, pairs_pq: str, docs_pq: str, mult: int,
                     max_hamming: int = 3, bands: int = 4,
-                    ring_c: int = 2) -> dict:
+                    ring_c: int = 2, max_bucket: int = 1000) -> dict:
     """W1/W3 witnesses for the SimHash family (q34 shape: id_a, id_b,
     hamming).  W1 recomputes every doc's exact 60-bit md5 simhash in
     DuckDB — one pass, 60 SUM columns per doc instead of a
@@ -235,7 +249,7 @@ def witness_simhash(con, pairs_pq: str, docs_pq: str, mult: int,
                            "sec": round(time.time() - t0, 1)}
 
     t0 = time.time()
-    ceiling = bands * (ring_c + 1) * mult
+    ceiling = _w3_ceiling(mult, max_bucket, bands, ring_c)
     w3 = con.sql(f"""
         SELECT COUNT(*) FROM (
           SELECT id_a % {base_docs} AS c, COUNT(*) AS n
@@ -253,6 +267,14 @@ def witness_simhash(con, pairs_pq: str, docs_pq: str, mult: int,
 
 
 SIMHASH_QUERIES = {"q34_simhash_near_pairs", "q209_simhash_ring_overcap"}
+
+# The registry entries' actual bucket caps — W3's ceiling is cap-aware.
+QUERY_MAX_BUCKET = {
+    "q33_minhash_dedup_pairs": 50,
+    "q208_minhash_ring_overcap": 2,
+    "q34_simhash_near_pairs": 1000,
+    "q209_simhash_ring_overcap": 2,
+}
 
 
 def main() -> int:
@@ -288,14 +310,15 @@ def main() -> int:
             pairs_pq = os.path.join(tmp, f"{name}_pairs")
             sdf.write.mode("overwrite").parquet(pairs_pq)
             spark_sec = round(time.time() - t0, 1)
+            mb = QUERY_MAX_BUCKET.get(name, 50)
             if name in SIMHASH_QUERIES:
                 rec = witness_simhash(con, f"{pairs_pq}/*.parquet",
                                       f"{args.sf}/documents.parquet",
-                                      args.mult)
+                                      args.mult, max_bucket=mb)
             else:
                 rec = witness(con, f"{pairs_pq}/*.parquet",
                               f"{args.sf}/documents.parquet", args.mult,
-                              tnum, tden)
+                              tnum, tden, max_bucket=mb)
             rec.update({"query": name, "mult": args.mult,
                         "spark_sec": spark_sec})
             print(json.dumps(rec))
