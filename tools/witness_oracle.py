@@ -266,7 +266,131 @@ def witness_simhash(con, pairs_pq: str, docs_pq: str, mult: int,
     return out
 
 
+def witness_keep_list(con, keep_pq: str, docs_pq: str, mult: int,
+                      verify_on: str = "shingles",
+                      tnum: int = 9, tden: int = 10,
+                      k2_gates: bool = True) -> dict:
+    """Witness for the keep-list composites (q54 shape: doc_id,
+    cluster_id, keep) — internal consistency + planted recall, all
+    O(docs):
+
+      K1 STRUCTURE: every document labeled exactly once; the label is
+         a MEMBER of its own cluster (cluster_id appears as a doc_id
+         carrying that same cluster_id); keep == (doc_id ==
+         cluster_id); and the label is the cluster MINIMUM (min-label
+         CC contract: no member id below its cluster_id).
+      K2 PLANTED RECALL, ELIGIBILITY-AWARE: all `mult` copies of an
+         ELIGIBLE base doc share ONE cluster_id.  Eligible means the
+         un-suffixed copy_0 hub edge clears the verify threshold:
+         J(copy_0, copy_i) = s/(s+1) where s = copy_0's distinct
+         comparison-set size (shingles or tokens per `verify_on`), so
+         eligibility is s*tden >= (s+1)*tnum.  Short docs BELOW that
+         legitimately split at strict thresholds — at 100x/0.9-shingle
+         exactly the s<9 clusters split (65 of 5000) and every
+         eligible cluster held together; asserting all 5000 would
+         false-fail the operator for being correct.
+      K3 KEEPER ACCOUNTING: keep=true count == distinct cluster_id
+         count (exactly one keeper per emitted cluster).
+
+    NOT checked (documented): label soundness — two genuinely
+    unrelated docs sharing a cluster_id would need the verified pair
+    graph to refute; that stays with the pair-stage witnesses (W1)
+    and the replay tiers."""
+    out: dict = {}
+    base_docs = con.sql(
+        f"SELECT COUNT(*) FROM '{docs_pq}'").fetchone()[0] // mult
+
+    t0 = time.time()
+    k1 = con.sql(f"""
+        WITH k AS (SELECT * FROM '{keep_pq}'),
+        dup AS (SELECT doc_id FROM k GROUP BY doc_id HAVING COUNT(*) > 1),
+        missing AS (
+          SELECT d.doc_id FROM '{docs_pq}' d
+          LEFT JOIN k ON k.doc_id = d.doc_id WHERE k.doc_id IS NULL),
+        bad_flag AS (
+          SELECT doc_id FROM k WHERE keep <> (doc_id = cluster_id)),
+        label_not_member AS (
+          SELECT DISTINCT a.cluster_id FROM k a
+          LEFT JOIN k b ON b.doc_id = a.cluster_id
+                        AND b.cluster_id = a.cluster_id
+          WHERE b.doc_id IS NULL),
+        not_min AS (
+          SELECT cluster_id FROM k GROUP BY cluster_id
+          HAVING MIN(doc_id) <> cluster_id)
+        SELECT (SELECT COUNT(*) FROM dup),
+               (SELECT COUNT(*) FROM missing),
+               (SELECT COUNT(*) FROM bad_flag),
+               (SELECT COUNT(*) FROM label_not_member),
+               (SELECT COUNT(*) FROM not_min)
+    """).fetchone()
+    out["k1_structure"] = {
+        "dup_rows": k1[0], "missing_docs": k1[1], "bad_keep_flag": k1[2],
+        "label_not_member": k1[3], "label_not_min": k1[4],
+        "sec": round(time.time() - t0, 1)}
+
+    t0 = time.time()
+    if verify_on == "shingles":
+        set_expr = ("list_distinct(CASE WHEN len(toks) >= 3 THEN "
+                    "list_transform(range(1, len(toks) - 1), "
+                    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+                    "ELSE [] END)")
+    else:
+        set_expr = "list_distinct(toks)"
+    k2, eligible = con.sql(f"""
+        WITH s AS (
+          SELECT doc_id AS c, len({set_expr}) AS s
+          FROM (SELECT doc_id,
+                       list_slice(string_split(
+                           {_NORM_SQL.format(c='text')}, ' '),
+                           1, 10000) AS toks
+                FROM '{docs_pq}' WHERE doc_id < {base_docs}) t
+        ),
+        elig AS (SELECT c FROM s WHERE s * {tden} >= (s + 1) * {tnum}),
+        lbl AS (
+          SELECT doc_id % {base_docs} AS c,
+                 COUNT(DISTINCT cluster_id) AS n_lbl
+          FROM '{keep_pq}' GROUP BY c)
+        SELECT (SELECT COUNT(*) FROM lbl JOIN elig USING (c)
+                WHERE n_lbl > 1),
+               (SELECT COUNT(*) FROM elig)
+    """).fetchone()
+    out["k2_planted_recall"] = {
+        "clusters": base_docs, "eligible": eligible, "split": k2,
+        "sec": round(time.time() - t0, 1)}
+
+    t0 = time.time()
+    keepers, labels = con.sql(f"""
+        SELECT SUM(CASE WHEN keep THEN 1 ELSE 0 END),
+               COUNT(DISTINCT cluster_id)
+        FROM '{keep_pq}'
+    """).fetchone()
+    out["k3_keeper_accounting"] = {
+        "keepers": int(keepers), "distinct_labels": int(labels),
+        "sec": round(time.time() - t0, 1)}
+    out["pass"] = (sum(k1) == 0 and (k2 == 0 or not k2_gates)
+                   and keepers == labels)
+    if not k2_gates:
+        out["k2_planted_recall"]["gates"] = False
+    return out
+
+
 SIMHASH_QUERIES = {"q34_simhash_near_pairs", "q209_simhash_ring_overcap"}
+KEEP_LIST_QUERIES = {"q54_dedup_keep_list", "q210_keep_list_ring"}
+
+# (verify_on, threshold_num, threshold_den, k2_gates) of each
+# keep-list entry — K2's hub-edge eligibility derives from the first
+# three.  k2_gates=False makes K2 REPORT-ONLY for entries whose
+# threshold sits exactly on the hub edge (q54: s/(s+1) == 0.9 for
+# s=9..17 clusters) — there, connectivity through copy_0 is not an
+# operator invariant under ring (in an over-cap bucket shared with a
+# lower-id near-dup family, the star edge goes to THAT family's min
+# and the hub edge is never emitted; measured at 100x: 14/4949
+# eligible clusters, vs the drop policy splitting ALL 5000).  q210's
+# 1/2-token threshold has real hub slack, so K2 gates there.
+KEEP_LIST_VERIFY = {
+    "q54_dedup_keep_list": ("shingles", 9, 10, False),
+    "q210_keep_list_ring": ("tokens", 1, 2, True),
+}
 
 # The registry entries' actual bucket caps — W3's ceiling is cap-aware.
 QUERY_MAX_BUCKET = {
@@ -311,7 +435,13 @@ def main() -> int:
             sdf.write.mode("overwrite").parquet(pairs_pq)
             spark_sec = round(time.time() - t0, 1)
             mb = QUERY_MAX_BUCKET.get(name, 50)
-            if name in SIMHASH_QUERIES:
+            if name in KEEP_LIST_QUERIES:
+                von, kn, kd, k2g = KEEP_LIST_VERIFY[name]
+                rec = witness_keep_list(con, f"{pairs_pq}/*.parquet",
+                                        f"{args.sf}/documents.parquet",
+                                        args.mult, von, kn, kd,
+                                        k2_gates=k2g)
+            elif name in SIMHASH_QUERIES:
                 rec = witness_simhash(con, f"{pairs_pq}/*.parquet",
                                       f"{args.sf}/documents.parquet",
                                       args.mult, max_bucket=mb)
