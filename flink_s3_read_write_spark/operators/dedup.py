@@ -419,10 +419,15 @@ def _split_over_cap(
 
 def _check_over_cap(
     over_cap: str, ring_c: int, cap_bucket_prepass: bool = False,
+    star_k: int = 1,
 ) -> None:
     """Shared argument guard for the over-cap policy knobs."""
     if over_cap not in ("drop", "ring"):
         raise ValueError(f"over_cap must be 'drop' or 'ring', got {over_cap!r}")
+    if over_cap == "ring" and star_k < 1:
+        # star_k=0 would drop the star entirely and re-open the
+        # bounded-round CC stall (diameter n/ring_c).
+        raise ValueError(f"star_k must be >= 1, got {star_k}")
     if over_cap == "ring" and ring_c < 1:
         # ring_c=0 would silently degrade to star-only pairing and
         # lose the documented local robustness of the ring edges.
@@ -441,9 +446,22 @@ def _check_over_cap(
 
 def _ring_pairs(
     over_rows: DataFrame, keys: list[str], id_col: str, ring_c: int,
-    payload: str | None = None,
+    payload: str | None = None, star_k: int = 1,
 ) -> DataFrame:
     """RING+STAR candidate pairs of the over-cap buckets.
+
+    ``star_k`` (r14) widens the star: each doc pairs with the
+    bucket's ``star_k`` SMALLEST ids instead of just the minimum.
+    The knob exists for the measured hub-marginal residual: when one
+    over-cap bucket hosts TWO near-dup families (the verify threshold
+    sits exactly on a family's copy_0 hub edge), star_k=1 sends every
+    star edge to the lower family's min — the upper family's hub edge
+    is never emitted and its cluster can split (100x witness: 14/4949
+    eligible clusters at q54's 0.9-shingle threshold).  star_k=2
+    also pairs each doc with the bucket's 2nd-smallest id, restoring
+    the second family's hub at O(n·(ring_c+star_k)) cost.  Default 1
+    keeps the r13 topology (and every committed oracle replay)
+    byte-identical.
 
     Over-cap policy for degenerate LSH buckets (r13; VERDICT item):
     dropping a bucket of n near-identical docs bounds cost but
@@ -475,13 +493,22 @@ def _ring_pairs(
     # first, then build edge structs (HOFs can't hold window exprs).
     sel_cols = [
         F.col(id_col).alias("_id"),
-        F.first(F.col(id_col)).over(w).alias("_f"),
+        F.first(F.col(id_col)).over(w).alias("_f1"),
     ]
     if payload is not None:
         sel_cols += [
             F.col(payload).alias("_p"),
-            F.first(F.col(payload)).over(w).alias("_fp"),
+            F.first(F.col(payload)).over(w).alias("_fp1"),
         ]
+    # star_k > 1: the s-th smallest id via nth_value over the same
+    # running frame (null until s rows are in frame — the id_a < id_b
+    # filter below also discards the self-row case).
+    for s in range(2, star_k + 1):
+        sel_cols.append(
+            F.nth_value(F.col(id_col), s).over(w).alias(f"_f{s}"))
+        if payload is not None:
+            sel_cols.append(
+                F.nth_value(F.col(payload), s).over(w).alias(f"_fp{s}"))
     for j in range(1, ring_c + 1):
         sel_cols.append(F.lead(F.col(id_col), j).over(w).alias(f"_l{j}"))
         if payload is not None:
@@ -494,9 +521,10 @@ def _ring_pairs(
             fields += [apl.alias("pa"), bpl.alias("pb")]
         return F.struct(*fields)
 
-    edges = [edge(F.col("_f"), F.col("_id"),
-                  F.col("_fp") if payload is not None else None,
-                  F.col("_p") if payload is not None else None)]
+    edges = [edge(F.col(f"_f{s}"), F.col("_id"),
+                  F.col(f"_fp{s}") if payload is not None else None,
+                  F.col("_p") if payload is not None else None)
+             for s in range(1, star_k + 1)]
     for j in range(1, ring_c + 1):
         edges.append(edge(F.col("_id"), F.col(f"_l{j}"),
                           F.col("_p") if payload is not None else None,
@@ -515,7 +543,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 50, engine: str = "numpy", hash_src: str = "xxhash64",
     shingle_sets: DataFrame | None = None,
     cap_bucket_prepass: bool = False,
-    over_cap: str = "ring", ring_c: int = 2,
+    over_cap: str = "ring", ring_c: int = 2, star_k: int = 1,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH on the signature.
 
@@ -561,7 +589,7 @@ def minhash_lsh_pairs(
     one of two explicit requests (ADVICE r13); the prepass is a
     drop-only knob — pass ``over_cap="drop"`` with it.
     """
-    _check_over_cap(over_cap, ring_c, cap_bucket_prepass)
+    _check_over_cap(over_cap, ring_c, cap_bucket_prepass, star_k)
     rows_per_band = num_perm // bands
     sig_fn = minhash_signatures_numpy if engine == "numpy" else minhash_signatures
     sigs = sig_fn(df, text_col, id_col, num_perm, shingle_k, hash_src,
@@ -601,7 +629,8 @@ def minhash_lsh_pairs(
     if over_cap == "ring":
         banded, over_rows = _split_over_cap(
             banded, ["band", "band_hash"], id_col, max_bucket)
-        ring = _ring_pairs(over_rows, ["band", "band_hash"], id_col, ring_c)
+        ring = _ring_pairs(over_rows, ["band", "band_hash"], id_col, ring_c,
+                           star_k=star_k)
     elif cap_bucket_prepass:
         over = (
             banded.groupBy("band", "band_hash")
@@ -929,7 +958,7 @@ def simhash_near_pairs(
     max_bucket: int = 1000, hash_src: str = "xxhash64",
     tok: DataFrame | None = None,
     cap_bucket_prepass: bool = False,
-    over_cap: str = "ring", ring_c: int = 2,
+    over_cap: str = "ring", ring_c: int = 2, star_k: int = 1,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -956,7 +985,7 @@ def simhash_near_pairs(
     window so the Hamming verify still runs in-row.  Ring pairs face
     the SAME ``max_hamming`` filter as bucket pairs.
     """
-    _check_over_cap(over_cap, ring_c, cap_bucket_prepass)
+    _check_over_cap(over_cap, ring_c, cap_bucket_prepass, star_k)
     sh = simhash(df, text_col, id_col, hash_src, tok=tok)
     part_bits = 15 if hash_src == "md5" else 16
     mask = (1 << part_bits) - 1
@@ -976,7 +1005,8 @@ def simhash_near_pairs(
         # the window payload, so Hamming verifies in-row (no re-join).
         banded, over_rows = _split_over_cap(banded, ["p", "k"], id_col, max_bucket)
         ring = _ring_pairs(
-            over_rows, ["p", "k"], id_col, ring_c, payload="simhash"
+            over_rows, ["p", "k"], id_col, ring_c, payload="simhash",
+            star_k=star_k,
         ).select(
             "id_a", "id_b",
             F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias("hamming"),

@@ -572,3 +572,52 @@ def test_minhash_arrow_input_width_pinned(spark):
     for hash_src in ("xxhash64", "md5"):
         cols = arrow_input_cols(D.minhash_signatures_numpy(docs, hash_src=hash_src))
         assert cols in ({"doc_id", "_h"}, {"doc_id", "_hh"}), cols
+
+
+def test_ring_star_k_two_family_bucket(spark):
+    """star_k (r14): with two near-dup families sharing one over-cap
+    bucket, star_k=1 sends every star edge to the GLOBAL bucket min
+    (the lower family), so the upper family's hub edges are missing;
+    star_k=2 also pairs each doc with the bucket's 2nd-smallest id.
+    Checked directly on _ring_pairs over a synthetic bucket whose ids
+    interleave the two families."""
+    from flink_s3_read_write_spark.operators.dedup import (
+        _check_over_cap, _ring_pairs)
+
+    # one bucket (band 0, key 7): family A = ids {0, 20, 40},
+    # family B = ids {10, 30, 50} — interleaved in id order.
+    rows = [(i, 0, 7) for i in (0, 10, 20, 30, 40, 50)]
+    over = spark.createDataFrame(rows, "doc_id long, band int, k int")
+
+    def pairs(star_k):
+        return {
+            (r.id_a, r.id_b)
+            for r in _ring_pairs(over, ["band", "k"], "doc_id",
+                                 ring_c=1, star_k=star_k).collect()
+        }
+
+    p1 = pairs(1)
+    # ring (next-1) + star to min 0 only
+    assert p1 == {(0, 10), (10, 20), (20, 30), (30, 40), (40, 50),
+                  (0, 20), (0, 30), (0, 40), (0, 50)}
+    p2 = pairs(2)
+    # star_k=2 adds edges to the 2nd-smallest id (10)
+    assert p2 == p1 | {(10, 30), (10, 40), (10, 50)}
+
+    # knob guard: star_k=0 would re-open the pure-ring CC stall
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _check_over_cap("ring", 2, star_k=0)
+
+    # payload threads through the widened star (simhash in-row verify)
+    rows_p = [(i, 0, 7, i * 111) for i in (0, 10, 20, 30)]
+    over_p = spark.createDataFrame(
+        rows_p, "doc_id long, band int, k int, simhash long")
+    got = {
+        (r.id_a, r.id_b): (r.pa, r.pb)
+        for r in _ring_pairs(over_p, ["band", "k"], "doc_id",
+                             ring_c=1, payload="simhash",
+                             star_k=2).collect()
+    }
+    assert got[(10, 30)] == (10 * 111, 30 * 111)
+    assert got[(0, 20)] == (0, 20 * 111)
