@@ -68,16 +68,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # editing any query; otherwise a pre-edit green row from the previous
 # round would count as post-touch confirmation and auto-demote an
 # edited query on stale evidence.
-_TOUCHED_SINCE_ROUND = 14
-_TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # r14: over_cap="ring" became the production default; q33/q34
-    # oracles grew the ring replay branches (inert at gate SF), q54's
-    # candidate builder now rides the ring default.
-    "q33_minhash_dedup_pairs",
-    "q34_simhash_near_pairs",
-    "q54_dedup_keep_list",
-    "q208_minhash_ring_overcap",
-)
+_TOUCHED_SINCE_ROUND = 15
+_TOUCHED_THIS_ROUND: tuple[str, ...] = ()
 
 
 def stale_touched() -> list[str]:
