@@ -1165,6 +1165,207 @@ def q210_keep_list_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# star_k >= 2 oracle arc (r15 — VERDICT r14 item 2).  The star_k knob
+# closed the measured hub-marginal ring residual (14/4949 eligible
+# clusters split at 100x, SCALE.md r14), but until this round no
+# registry oracle replayed the `nth_value` branch it adds
+# (operators/dedup.py _ring_pairs, j >= 2) — the gate never exercised
+# star_k >= 2.  Two subtleties force a NON-default banding here:
+# under the production 16x4 banding the largest gate-SF bucket is 3
+# (sf0.01) / 4 (sf0.1), and with ring_c=2 every star-2 edge in a
+# bucket of n <= 4 is already emitted by the ring or star-1 branches —
+# the nth_value branch would execute but be EDGE-SUBSUMED, i.e. a
+# vacuous replay.  Widening one band to a single permutation
+# (num_perm=16, bands=16 — the standard LSH recall-vs-precision knob:
+# collision prob j instead of j^4 per band) yields buckets up to 6 at
+# sf0.01 / 21 at sf0.1, where star-2 emits edges no other branch
+# produces, so a wrong frame, wrong null handling, or an off-by-one in
+# the nth_value implementation flips the gate hash.
+# ---------------------------------------------------------------------------
+
+_MH_A16_SQL = "[" + ",".join(map(str, _MH_A[:16])) + "]"
+_MH_B16_SQL = "[" + ",".join(map(str, _MH_B[:16])) + "]"
+
+# Shared CTE text for the 16x1-banding candidate set under
+# max_bucket=2 / ring_c=2 / star_k=2 — q211 (pair topology) and q212
+# (keep-list composite) replay the identical candidate pipeline, so
+# the SQL lives once.  Mirrors q208/q210's inline CTEs, plus the s2
+# branch: nth_value(doc_id, 2) over the same running frame Spark's
+# F.nth_value uses (both engines default to UNBOUNDED PRECEDING ..
+# CURRENT ROW with ORDER BY; doc_ids are unique per bucket, so RANGE
+# vs ROWS cannot diverge).
+_STAR2_CAND_CTES = f"""
+    sh AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END AS s
+      FROM (SELECT doc_id,
+                   list_slice(string_split({_NORM_SQL.format(c='text')}, ' '),
+                              1, 10000) AS toks
+            FROM documents) t
+    ),
+    hh AS (
+      SELECT doc_id,
+             list_transform(s, g -> (('0x' || substr(md5(g), 1, 15))::BIGINT)
+                                    % 2147483647) AS hh
+      FROM sh WHERE len(s) > 0
+    ),
+    sig AS (
+      SELECT doc_id, list(mh ORDER BY j) AS sig FROM (
+        SELECT u.doc_id, p.j, MIN((p.a * u.h + p.b) % 2147483647) AS mh
+        FROM (SELECT doc_id, unnest(hh) AS h FROM hh) u
+        CROSS JOIN (SELECT j, ({_MH_A16_SQL})[j + 1] AS a,
+                           ({_MH_B16_SQL})[j + 1] AS b
+                    FROM range(0, 16) t(j)) p
+        GROUP BY u.doc_id, p.j) m
+      GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, b, sig[b + 1] AS key
+      FROM sig, range(0, 16) t(b)
+    ),
+    bsz AS (SELECT b, key, COUNT(*) AS n FROM banded GROUP BY b, key),
+    cand AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x
+      JOIN banded y ON y.b = x.b AND y.key = x.key AND y.doc_id > x.doc_id
+      JOIN bsz ON bsz.b = x.b AND bsz.key = x.key AND bsz.n <= 2
+      UNION
+      SELECT id_a, id_b FROM (
+        SELECT b2.doc_id AS id_a,
+               lead(b2.doc_id, 1) OVER
+                 (PARTITION BY b2.b, b2.key ORDER BY b2.doc_id) AS id_b
+        FROM banded b2
+        JOIN bsz ON bsz.b = b2.b AND bsz.key = b2.key AND bsz.n > 2) r1
+      WHERE id_b IS NOT NULL
+      UNION
+      SELECT id_a, id_b FROM (
+        SELECT b2.doc_id AS id_a,
+               lead(b2.doc_id, 2) OVER
+                 (PARTITION BY b2.b, b2.key ORDER BY b2.doc_id) AS id_b
+        FROM banded b2
+        JOIN bsz ON bsz.b = b2.b AND bsz.key = b2.key AND bsz.n > 2) r2
+      WHERE id_b IS NOT NULL
+      UNION
+      SELECT id_a, id_b FROM (
+        SELECT first_value(b2.doc_id) OVER
+                 (PARTITION BY b2.b, b2.key ORDER BY b2.doc_id) AS id_a,
+               b2.doc_id AS id_b
+        FROM banded b2
+        JOIN bsz ON bsz.b = b2.b AND bsz.key = b2.key AND bsz.n > 2) s1
+      WHERE id_a < id_b
+      UNION
+      SELECT id_a, id_b FROM (
+        SELECT nth_value(b2.doc_id, 2) OVER
+                 (PARTITION BY b2.b, b2.key ORDER BY b2.doc_id) AS id_a,
+               b2.doc_id AS id_b
+        FROM banded b2
+        JOIN bsz ON bsz.b = b2.b AND bsz.key = b2.key AND bsz.n > 2) s2
+      WHERE id_a IS NOT NULL AND id_a < id_b
+    )"""
+
+# The one kwargs set for the arc — q211, q212 and the differential
+# fuzz test all build from it, so the Spark side can never drift from
+# what _STAR2_CAND_CTES replays (the MINHASH_KW discipline).
+STAR2_KW: dict = {
+    **MINHASH_KW, "num_perm": 16, "bands": 16,
+    "max_bucket": 2, "over_cap": "ring", "ring_c": 2, "star_k": 2,
+}
+
+
+@register(
+    "q211_minhash_star2_overcap",
+    # Pure candidate-TOPOLOGY gate for the widened star: output is the
+    # raw distinct (id_a, id_b) candidate set, no verify stage — every
+    # nth_value edge the branch emits lands in the output directly, so
+    # the gate hash is maximally sensitive to the branch (a verify
+    # filter would hide topology errors on low-Jaccard random-collision
+    # pairs, which is exactly what over-cap buckets under 1-perm bands
+    # are made of).  Verify semantics over ring candidates are already
+    # gated by q208/q33; clustering by q212.
+    oracle=f"""
+    WITH {_STAR2_CAND_CTES}
+    SELECT id_a, id_b FROM cand
+    """,
+    doc=(
+        "MinHash LSH candidate pairs under 16x1 banding (the "
+        "recall-heavy knob setting) with the widened ring+star over-cap "
+        "policy (star_k=2): each over-cap doc pairs with its 2 ring "
+        "successors AND the bucket's 2 smallest ids, "
+        "O(n*(ring_c+star_k)) per bucket.  Oracle replays banding, "
+        "under-cap pairs, ring leads, first_value star and the "
+        "nth_value(2) star-2 branch exactly."
+    ),
+)
+def q211_minhash_star2_overcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, **STAR2_KW, shingle_sets=doc_shingle_sets(spark, sf_dir),
+    )
+
+
+@register(
+    "q212_keep_list_star2",
+    # The q210 composite under star_k=2: candidates (incl. the
+    # nth_value star-2 branch) -> exact token-Jaccard >= 1/2 verify ->
+    # bounded-round connected components -> one keeper per cluster.
+    # This is the production shape for pipelines that opt into the
+    # hub-marginal fix (SCALE.md r14: eligible-split clusters 14 -> 0
+    # at star_k=2, measured at 100x) — now oracle-checked end to end.
+    # Convergence: star-1 + star-2 edges keep every over-cap bucket's
+    # candidate graph at diameter <= 2, so the bounded-round CC
+    # argument of q210 carries over unchanged.
+    oracle=f"""
+    WITH RECURSIVE {_STAR2_CAND_CTES},
+    tok AS (
+      SELECT doc_id,
+             list_distinct(list_slice(string_split({_NORM_SQL.format(c='text')}, ' '),
+                                      1, 10000)) AS tk
+      FROM documents
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN tok a ON a.doc_id = c.id_a
+      JOIN tok b ON b.doc_id = c.id_b
+      WHERE len(list_distinct(list_concat(a.tk, b.tk))) > 0
+        AND len(list_intersect(a.tk, b.tk)) * 2
+            >= len(list_distinct(list_concat(a.tk, b.tk)))
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(l.cluster_id, d.doc_id) AS keep
+    FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+    """,
+    doc=(
+        "End-to-end keep-list under the WIDENED star (star_k=2, the "
+        "hub-marginal-residual fix): 16x1-banding LSH candidates incl. "
+        "the nth_value star-2 branch -> exact token-Jaccard >= 1/2 "
+        "verify -> connected components -> one keeper per cluster."
+    ),
+)
+def q212_keep_list_star2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_keep_list(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        threshold_frac=(1, 2),
+        **STAR2_KW,
+        shingle_sets=doc_shingle_sets(spark, sf_dir),
+    )
+
+
 @register(
     "q43_media_features",
     # The fake decode derives every output from md5(content), so the whole
