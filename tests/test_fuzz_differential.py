@@ -158,6 +158,61 @@ def test_ring_tie_axis_scattered_ids(spark, tmp_path_factory):
     assert not bad, "\n".join(bad)
 
 
+def test_star2_two_family_bucket(spark, tmp_path_factory):
+    """r15 (VERDICT r14 item 2): the star_k=2 nth_value branch, gated
+    on a corpus with TWO interleaved clone families deterministically
+    sharing an over-cap LSH bucket (fuzz_corpus two_family — family B
+    shares family A's first 4 words, so their shingle minima co-bucket
+    on bands 5/13 of the md5 affine family; ids interleave A B A A B).
+    Demands (a) exact hash equality Spark-vs-DuckDB for q211 (raw
+    star-2 topology) and q212 (keep-list composite) on that corpus,
+    (b) the branch is LIVE here: star_k=2 emits cross-family edges
+    from B's lowest clone that neither ring nor star-1 produce, and
+    (c) the verify stage keeps the families apart: one keeper each,
+    two distinct clusters (cross-family token Jaccard 0.2 < 1/2)."""
+    from flink_s3_read_write_spark.operators import dedup as D
+    from flink_s3_read_write_spark.queries import registry
+    from flink_s3_read_write_spark.queries_llmdata import (
+        STAR2_KW, doc_shingle_sets)
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    d = str(tmp_path_factory.mktemp("fuzz") / "twofam")
+    build(d, seed=21, two_family=True)
+    reg = registry()
+    con = connect_oracle(d)
+    bad = []
+    for name in ("q211_minhash_star2_overcap", "q212_keep_list_star2"):
+        s, o, _, _ = compare_query(spark, con, reg[name], d)
+        if s != o:
+            bad.append(f"{name}@twofam: spark={s} oracle={o}")
+    assert not bad, "\n".join(bad)
+
+    # the 11-doc planted tail: A clones at 120,122,123,125,126,128,129
+    # and B clones at 121,124,127,130 (B = every 3rd position).
+    a_ids = {120, 122, 123, 125, 126, 128, 129}
+    b_ids = {121, 124, 127, 130}
+    docs = load_table(spark, d, "documents")
+    sh = doc_shingle_sets(spark, d)
+    kw1 = dict(STAR2_KW)
+    kw1["star_k"] = 1
+    p2 = {tuple(r) for r in
+          D.minhash_lsh_pairs(docs, **STAR2_KW, shingle_sets=sh).collect()}
+    p1 = {tuple(r) for r in
+          D.minhash_lsh_pairs(docs, **kw1, shingle_sets=sh).collect()}
+    cross2 = {p for p in p2 - p1
+              if p[0] in b_ids and p[1] in a_ids}
+    assert cross2, ("expected star-2-only cross-family edges from B's "
+                    "lowest clone (the 2nd-smallest id of the shared "
+                    "bucket); the nth_value branch emitted nothing new")
+
+    rows = {r[0]: (r[1], r[2]) for r in reg["q212_keep_list_star2"]
+            .fn(spark, d).collect()}
+    assert {rows[i][0] for i in a_ids} == {120}, "family A must be ONE cluster"
+    assert {rows[i][0] for i in b_ids} == {121}, "family B must be ONE cluster"
+    assert [i for i in sorted(a_ids | b_ids) if rows[i][1]] == [120, 121], \
+        "exactly one keeper per family (cross verify must fail at 1/2)"
+
+
 def test_engine_error_attributes_the_failing_side(spark, fuzz_dir):
     """compare_query tags engine failures with the side that raised
     (ADVICE r12): a broken Spark fn surfaces as EngineError('spark'),

@@ -63,7 +63,8 @@ def _write(out: str, name: str, cols: dict, schema: pa.Schema) -> None:
 
 
 def build(out: str, seed: int, scale: int = 1,
-          degen_cluster: int = 0, degen_scatter: bool = False) -> None:
+          degen_cluster: int = 0, degen_scatter: bool = False,
+          two_family: bool = False) -> None:
     """``scale`` multiplies every fact-table row count (dims and the
     planted-duplicate counts stay fixed) — the same fact-grows-
     faster-than-dim shape as the scale_stress replica, here with
@@ -87,6 +88,22 @@ def build(out: str, seed: int, scale: int = 1,
       stray rows, stressing the lead/first_value frame logic the
       contiguous corpora only brush (plus SimHash payload ties: every
       clone shares the identical simhash payload through the window).
+
+    ``two_family`` (r15, VERDICT r14 item 2) appends TWO interleaved
+    clone families that deterministically share an LSH band bucket
+    under q211/q212's 16x1 banding: family A = 7 clones of a 12-word
+    text, family B = 4 clones of a text sharing A's first 4 words
+    (shared shingles "key agg row" / "agg row scan" co-min on bands 5
+    and 13 of the md5 affine family — fixed texts, so this is
+    hash-deterministic, not seed luck).  Ids interleave A B A A B A A
+    B A A B, so in the shared over-cap bucket the global min is an A
+    clone, the 2nd-smallest id is B's first clone, and every B sits
+    >= 3 positions from the next B — star_k=1 emits no (B_first, B_j)
+    or far (B_first, A_j) edges from THIS bucket (its star goes to
+    A's min; B-B connectivity still exists via B-only buckets), while
+    star_k=2's nth_value branch emits the second family's hub edges.
+    Token Jaccard across families is 4/20 = 0.2 < 1/2, so the verify
+    stage keeps the two clusters separate in the keep-list composite.
     """
     rng = random.Random(seed)
     os.makedirs(out, exist_ok=True)
@@ -254,6 +271,13 @@ def build(out: str, seed: int, scale: int = 1,
         else:
             texts += [clone_text] * degen_cluster
             nd += degen_cluster
+    if two_family:
+        fam_a = " ".join(WORDS[:12])
+        fam_b = " ".join(WORDS[:4] + WORDS[12:20])
+        # positions 1, 4, 7, 10 of the 11-doc tail block are family B
+        texts += [fam_b if p in (1, 4, 7, 10) else fam_a
+                  for p in range(11)]
+        nd += 11
     if doc_ids is None:
         doc_ids = list(range(nd))
     _write(out, "documents",
@@ -295,11 +319,15 @@ def main() -> int:
                     help="adversarial id axis for the degenerate "
                          "cluster: gappy doc_ids, clones interleaved "
                          "with normal docs (see build())")
+    ap.add_argument("--two-family", action="store_true",
+                    help="append two interleaved clone families that "
+                         "share one LSH bucket under 16x1 banding "
+                         "(the star_k=2 scenario; see build())")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     out = args.out or f"/tmp/spark_graft_fuzz{args.seed}"
     build(out, args.seed, scale=args.scale, degen_cluster=args.degen_cluster,
-          degen_scatter=args.degen_scatter)
+          degen_scatter=args.degen_scatter, two_family=args.two_family)
     print(f"fuzz_corpus: seed={args.seed} scale={args.scale} "
           f"degen_cluster={args.degen_cluster} "
           f"degen_scatter={args.degen_scatter} written to {out}")
