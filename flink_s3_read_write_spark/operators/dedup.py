@@ -417,6 +417,36 @@ def _split_over_cap(
     )
 
 
+def _resolve_over_cap(over_cap: str | None,
+                      cap_bucket_prepass: bool = False) -> str:
+    """Resolve the ``over_cap=None`` sentinel default (ADVICE r14).
+
+    ``None`` means "the production default": ``"ring"`` — UNLESS the
+    caller passed ``cap_bucket_prepass=True`` without naming a policy,
+    which is the drop-era idiom (the prepass is a drop-only knob);
+    those callers keep their pre-r14 semantics with a visible warning
+    instead of a hard error.  An EXPLICIT ``over_cap="ring"`` combined
+    with the prepass still raises in ``_check_over_cap`` — two
+    explicit, conflicting requests must surface, but a default should
+    not retroactively break a previously-valid call.
+    """
+    if over_cap is None:
+        if cap_bucket_prepass:
+            import warnings
+
+            warnings.warn(
+                "cap_bucket_prepass=True without an explicit over_cap "
+                "keeps the legacy 'drop' policy (the prepass is a "
+                "drop-only knob); the production default is 'ring' — "
+                "pass over_cap='drop' to silence this, or drop the "
+                "prepass to adopt the recall-preserving ring policy",
+                stacklevel=3,
+            )
+            return "drop"
+        return "ring"
+    return over_cap
+
+
 def _check_over_cap(
     over_cap: str, ring_c: int, cap_bucket_prepass: bool = False,
     star_k: int = 1,
@@ -543,7 +573,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 50, engine: str = "numpy", hash_src: str = "xxhash64",
     shingle_sets: DataFrame | None = None,
     cap_bucket_prepass: bool = False,
-    over_cap: str = "ring", ring_c: int = 2, star_k: int = 1,
+    over_cap: str | None = None, ring_c: int = 2, star_k: int = 1,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH on the signature.
 
@@ -589,6 +619,7 @@ def minhash_lsh_pairs(
     one of two explicit requests (ADVICE r13); the prepass is a
     drop-only knob — pass ``over_cap="drop"`` with it.
     """
+    over_cap = _resolve_over_cap(over_cap, cap_bucket_prepass)
     _check_over_cap(over_cap, ring_c, cap_bucket_prepass, star_k)
     rows_per_band = num_perm // bands
     sig_fn = minhash_signatures_numpy if engine == "numpy" else minhash_signatures
@@ -958,7 +989,7 @@ def simhash_near_pairs(
     max_bucket: int = 1000, hash_src: str = "xxhash64",
     tok: DataFrame | None = None,
     cap_bucket_prepass: bool = False,
-    over_cap: str = "ring", ring_c: int = 2, star_k: int = 1,
+    over_cap: str | None = None, ring_c: int = 2, star_k: int = 1,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -985,6 +1016,7 @@ def simhash_near_pairs(
     window so the Hamming verify still runs in-row.  Ring pairs face
     the SAME ``max_hamming`` filter as bucket pairs.
     """
+    over_cap = _resolve_over_cap(over_cap, cap_bucket_prepass)
     _check_over_cap(over_cap, ring_c, cap_bucket_prepass, star_k)
     sh = simhash(df, text_col, id_col, hash_src, tok=tok)
     part_bits = 15 if hash_src == "md5" else 16

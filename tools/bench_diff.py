@@ -123,7 +123,19 @@ def main() -> int:
         # The driver line carries only the slowest-15 per-query times,
         # but its "value" is the full-sweep total — compare THAT to the
         # committed baseline's full total, not the shared subset.
-        drv_total = cur.get("value", tot_shared_new)
+        # A sidecar without "value" must fail loudly (ADVICE r14): the
+        # slowest-15 subset sum vs the full-sweep committed total would
+        # make the 1.25 band pass vacuously.
+        if "value" not in cur:
+            print(
+                "ERROR: driver sidecar has no 'value' full-sweep total — "
+                "cannot run the driver-band check against the committed "
+                "full total (the slowest-15 subset sum is not comparable); "
+                "re-run bench.py or drop --driver",
+                file=sys.stderr,
+            )
+            return 2
+        drv_total = cur["value"]
         base_total = sum(oq.values())
         ratio = drv_total / base_total
         print(f"driver-band: total {drv_total:.1f}s vs committed "
