@@ -69,7 +69,15 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # round would count as post-touch confirmation and auto-demote an
 # edited query on stale evidence.
 _TOUCHED_SINCE_ROUND = 15
-_TOUCHED_THIS_ROUND: tuple[str, ...] = ()
+_TOUCHED_THIS_ROUND: tuple[str, ...] = (
+    # r15: the shared minhash_candidates builder widened to star_k=2
+    # (the hub-marginal-residual fix, ADVICE r14) — q33's oracle grew
+    # the nth_value star-2 branch; q54 rides the same candidates (its
+    # exact-closure oracle is unchanged but the Spark-side edge set
+    # moved).  Inert at gate SF; verified on degen + witness tiers.
+    "q33_minhash_dedup_pairs",
+    "q54_dedup_keep_list",
+)
 
 
 def stale_touched() -> list[str]:

@@ -80,10 +80,22 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r09) — MinHash is invariant under set-dedup of the shingle list,
     so the candidate set is unchanged while the tokenize+shingle pass
     is shared with q54's verify stage and q195.
+
+    star_k=2 (r15, ADVICE r14): the production mining/keep-list arc
+    (q33 + q54) opts into the widened star so the measured
+    hub-marginal ring residual cannot split a cluster here — at 100x
+    with q54's 0.9-shingle threshold sitting exactly on the hub edge,
+    star_k=1 split 14/4949 eligible clusters and star_k=2 splits 0
+    (SCALE.md r14), at O(n·(ring_c+star_k)) per over-cap bucket.
+    Inert at gate SF (no bucket exceeds the 50 cap); exercised by the
+    degenerate differential corpora and witnessed at 100x/300x.  The
+    OPERATOR default stays star_k=1 (defended in SCALE.md r14); this
+    is the production-composite opt-in the knob was built for.
     """
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(
-        docs, **MINHASH_KW, shingle_sets=doc_shingle_sets(spark, sf_dir)
+        docs, **MINHASH_KW, star_k=2,
+        shingle_sets=doc_shingle_sets(spark, sf_dir)
     ).cache()
 
 
@@ -234,12 +246,15 @@ def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sig, range(0, 16) t(b)
     ),
     bsz AS (SELECT b, key, COUNT(*) AS n FROM banded GROUP BY b, key),
-    -- Over-cap buckets (n > 50) replay the PRODUCTION DEFAULT
-    -- ring+star policy (over_cap="ring", the default since r14):
+    -- Over-cap buckets (n > 50) replay the ring+star policy at the
+    -- PRODUCTION composite setting: over_cap="ring" (the default
+    -- since r14) WIDENED to star_k=2 (r15, via minhash_candidates) —
     -- each doc pairs with its next ring_c=2 id-order neighbors plus
-    -- the bucket min.  Inert at gate SF (max bucket 3 at sf0.01 /
-    -- 4 at sf0.1) but load-bearing on degenerate corpora — exercised
-    -- by tests/test_fuzz_differential.py's forced-degenerate corpus.
+    -- the bucket's TWO smallest ids (first_value + nth_value(2), the
+    -- hub-marginal-residual fix).  Inert at gate SF (max bucket 3 at
+    -- sf0.01 / 4 at sf0.1) but load-bearing on degenerate corpora —
+    -- exercised by tests/test_fuzz_differential.py's forced-degenerate
+    -- corpora and the 100x/300x witness tier.
     cand AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
       FROM banded x
@@ -267,8 +282,16 @@ def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (PARTITION BY b2.b, b2.key ORDER BY b2.doc_id) AS id_a,
                b2.doc_id AS id_b
         FROM banded b2
-        JOIN bsz ON bsz.b = b2.b AND bsz.key = b2.key AND bsz.n > 50) s
+        JOIN bsz ON bsz.b = b2.b AND bsz.key = b2.key AND bsz.n > 50) s1
       WHERE id_a < id_b
+      UNION
+      SELECT id_a, id_b FROM (
+        SELECT nth_value(b2.doc_id, 2) OVER
+                 (PARTITION BY b2.b, b2.key ORDER BY b2.doc_id) AS id_a,
+               b2.doc_id AS id_b
+        FROM banded b2
+        JOIN bsz ON bsz.b = b2.b AND bsz.key = b2.key AND bsz.n > 50) s2
+      WHERE id_a IS NOT NULL AND id_a < id_b
     ),
     tok AS (
       SELECT doc_id,
@@ -290,11 +313,11 @@ def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "MinHash(64 perms) + 16-band LSH candidates, re-verified with exact "
         "token Jaccard >= 0.5. Catalyst-only: shingle/hash/band via "
-        "higher-order functions; over-cap buckets take the "
-        "production-default ring+star policy (never O(n^2), never "
-        "recall-zero). md5-derived double-hash permutation family so the "
-        "DuckDB oracle replays signatures, banding, and the ring branch "
-        "exactly."
+        "higher-order functions; over-cap buckets take the ring+star "
+        "policy widened to star_k=2 (never O(n^2), never recall-zero, "
+        "and immune to the measured hub-marginal split). md5-derived "
+        "double-hash permutation family so the DuckDB oracle replays "
+        "signatures, banding, and both star branches exactly."
     ),
 )
 def q33_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -970,6 +993,15 @@ def q56_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # <= 2) so the CC labels still match the exact closure — where the
     # old drop default would shatter them into singletons and diverge
     # from this oracle (the r13 300x recall-0.015 failure mode).
+    # Since r15 the builder also widens the star to star_k=2 (ADVICE
+    # r14): the one ring case measured to diverge from this exact
+    # closure — a multi-family over-cap bucket routing the star to the
+    # other family's min while the threshold sits exactly on the hub
+    # edge (14/4949 eligible clusters at 100x) — now emits the second
+    # family's hub edges too (14 -> 0 measured).  No SQL change here:
+    # the oracle IS the exact closure, and widening the candidate set
+    # only moves the verified graph's components TOWARD it (verify
+    # still filters at >= 0.9, so no spurious edges can appear).
     oracle=f"""
     WITH RECURSIVE sh AS (
       SELECT doc_id,

@@ -97,7 +97,7 @@ def _w3_ceiling(mult: int, max_bucket: int, bands: int,
 def witness(con, pairs_pq: str, docs_pq: str, mult: int,
             threshold_num: int = 1, threshold_den: int = 2,
             bands: int = 16, ring_c: int = 2,
-            max_bucket: int = 50) -> dict:
+            max_bucket: int = 50, star_k: int = 1) -> dict:
     """Run W1-W3 against an emitted-pairs parquet; returns verdicts."""
     out: dict = {}
     base_docs = con.sql(
@@ -193,7 +193,7 @@ def witness(con, pairs_pq: str, docs_pq: str, mult: int,
 
     # W3: boundedness per cluster (cap-aware, see _w3_ceiling).
     t0 = time.time()
-    ceiling = _w3_ceiling(mult, max_bucket, bands, ring_c)
+    ceiling = _w3_ceiling(mult, max_bucket, bands, ring_c, star_k)
     w3 = con.sql(f"""
         SELECT COUNT(*) FROM (
           SELECT id_a % {base_docs} AS c, COUNT(*) AS n
@@ -675,12 +675,22 @@ ANN_QUERIES = {"q36_ann_lsh_topk", "q67_ann_ivf_topk"}
 # eligible clusters, vs the drop policy splitting ALL 5000).  q210's
 # 1/2-token threshold has real hub slack, so K2 gates there.
 KEEP_LIST_VERIFY = {
-    "q54_dedup_keep_list": ("shingles", 9, 10, False),
+    # q54 rides the star_k=2 production builder since r15 — the
+    # hub-marginal residual that made K2 report-only (14/4949 split at
+    # 100x) is closed (14 -> 0 measured), so K2 GATES again.
+    "q54_dedup_keep_list": ("shingles", 9, 10, True),
     "q210_keep_list_ring": ("tokens", 1, 2, True),
     # q212 runs star_k=2 — the hub-marginal residual is closed there
     # by construction, and its 1/2-token threshold has hub slack
     # anyway, so K2 gates.
     "q212_keep_list_star2": ("tokens", 1, 2, True),
+}
+
+# The registry entries' actual star widths — q33 rides the star_k=2
+# production builder since r15 (minhash_candidates), so its W3 ceiling
+# must carry the wider star.
+QUERY_STAR_K = {
+    "q33_minhash_dedup_pairs": 2,
 }
 
 # The registry entries' actual bucket caps — W3's ceiling is cap-aware.
@@ -747,7 +757,8 @@ def main() -> int:
             else:
                 rec = witness(con, f"{pairs_pq}/*.parquet",
                               f"{args.sf}/documents.parquet", args.mult,
-                              tnum, tden, max_bucket=mb)
+                              tnum, tden, max_bucket=mb,
+                              star_k=QUERY_STAR_K.get(name, 1))
             rec.update({"query": name, "mult": args.mult,
                         "spark_sec": spark_sec})
             print(json.dumps(rec))
