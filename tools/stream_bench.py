@@ -106,6 +106,11 @@ def main() -> int:
                          "throughput on a shared box swings 2-3x with "
                          "scheduler noise — committing one cold sample is how "
                          "the r08 sidecar published a phantom 70%% regression.")
+    ap.add_argument("--band-factor", type=float, default=2.0,
+                    help="flag any job whose best-attempt throughput drops "
+                         "past this factor below the committed sidecar "
+                         "(exit 1); the streaming twin of bench_diff's "
+                         "driver-band rule")
     args = ap.parse_args()
 
     spark = build_session("stream-bench", cpus=args.cpus)
@@ -185,11 +190,29 @@ def main() -> int:
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "STREAM_BENCH.json",
         )
+        # Band rule vs the COMMITTED sidecar (r15, VERDICT r14 item 5
+        # — the streaming twin of bench_diff's driver-band): each
+        # job's new best-attempt throughput must stay within
+        # --band-factor of the committed number.  Min-of-N already
+        # absorbs scheduler noise, so a 2x drop on the best attempt is
+        # a code-or-environment regression worth a look, not box mood.
+        flagged = []
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                prev = json.load(f).get("jobs", {})
+            for name, rec in out.items():
+                old = prev.get(name, {}).get("rows_per_sec")
+                if old and rec["rows_per_sec"] * args.band_factor < old:
+                    flagged.append(
+                        f"{name}: {old} -> {rec['rows_per_sec']} rows/s "
+                        f"(past the {args.band_factor}x band)")
         with open(sidecar, "w") as f:
             json.dump(line, f, indent=1)
             f.write("\n")
         print(json.dumps(line))
-        return 0
+        for msg in flagged:
+            print(f"BAND: {msg}", file=sys.stderr)
+        return 1 if flagged else 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
