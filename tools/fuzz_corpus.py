@@ -330,7 +330,8 @@ def main() -> int:
           degen_scatter=args.degen_scatter, two_family=args.two_family)
     print(f"fuzz_corpus: seed={args.seed} scale={args.scale} "
           f"degen_cluster={args.degen_cluster} "
-          f"degen_scatter={args.degen_scatter} written to {out}")
+          f"degen_scatter={args.degen_scatter} "
+          f"two_family={args.two_family} written to {out}")
     return 0
 
 
