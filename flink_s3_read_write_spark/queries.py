@@ -77,6 +77,10 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # moved).  Inert at gate SF; verified on degen + witness tiers.
     "q33_minhash_dedup_pairs",
     "q54_dedup_keep_list",
+    # r15: q183's ltv rounding moved to exact integer HALF_UP after
+    # fuzz seed 44 caught the engines disagreeing on a quotient that
+    # terminates exactly on the 6-dp half boundary.
+    "q183_cohort_ltv_triangle",
 )
 
 

@@ -3220,10 +3220,18 @@ def q182_top_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(rev) OVER (PARTITION BY cohort ORDER BY months_since
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
       FROM rev)
+    -- LTV rounding in EXACT integer arithmetic (r15): round(double, 6)
+    -- diverged between engines when the true quotient terminates
+    -- exactly on the half boundary (fuzz seed 44: 33453.8015625 ->
+    -- Spark HALF_UP .801563 vs DuckDB binary-double round .801562).
+    -- HALF_UP at the 1e-6 grid == (2*rev_micros + users) DIV
+    -- (2*users) for non-negative operands — exact BIGINTs on both
+    -- engines, then ONE shared double division by 1e6.
     SELECT CAST(cohort AS VARCHAR) AS cohort,
            CAST(months_since AS INTEGER) AS months_since,
            sz.cohort_users,
-           round(CAST(cum_rev AS DOUBLE) / sz.cohort_users, 6) AS ltv_per_user
+           CAST((2 * CAST(cum_rev * 1000000 AS BIGINT) + sz.cohort_users)
+                // (2 * sz.cohort_users) AS DOUBLE) / 1e6 AS ltv_per_user
     FROM cum JOIN sz USING (cohort)
     WHERE months_since <= 12
     """,
@@ -3236,8 +3244,9 @@ def q182_top_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "months-since domain (<= 80 rows per cohort - the q160 "
         "argument), so the only corpus-scale work is the first-order "
         "collapse and one (cohort, month) partial aggregate; cohort "
-        "sizes attach from a broadcast-sized table and LTV divides "
-        "exact decimals in double (round 6)."
+        "sizes attach from a broadcast-sized table and LTV is rounded "
+        "HALF_UP at 6 dp in exact integer arithmetic (the double "
+        "round diverges between engines on half-boundary quotients)."
     ),
 )
 def q183_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3268,13 +3277,23 @@ def q183_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = rev.select(
         "cohort", "months_since", F.sum("rev").over(w).alias("cum_rev")
     ).filter(F.col("months_since") <= 12)
-    return cum.join(F.broadcast(sz), "cohort").select(
+    # HALF_UP at 6 dp in exact integers — see the oracle note: the
+    # double round diverges between engines when the true quotient
+    # terminates exactly on the half boundary.  cum_rev is an exact
+    # DECIMAL, so rev_micros is an exact BIGINT (bounded: per-cell
+    # revenue * 1e6 << 2^63 at any realistic cohort-month grain);
+    # `div` is Spark's integral division (== floor here: operands
+    # are non-negative), the DuckDB twin is `//`.
+    staged = cum.join(F.broadcast(sz), "cohort").select(
         F.col("cohort").cast("string").alias("cohort"),
         F.col("months_since").cast("int").alias("months_since"),
         F.col("cohort_users").cast("bigint").alias("cohort_users"),
-        F.round(
-            F.col("cum_rev").cast("double") / F.col("cohort_users"), 6
-        ).alias("ltv_per_user"),
+        (F.col("cum_rev") * 1000000).cast("bigint").alias("_rev_micros"),
+    )
+    return staged.select(
+        "cohort", "months_since", "cohort_users",
+        (F.expr("(2 * _rev_micros + cohort_users) div (2 * cohort_users)")
+         .cast("double") / F.lit(1e6)).alias("ltv_per_user"),
     )
 
 

@@ -158,6 +158,25 @@ def test_ring_tie_axis_scattered_ids(spark, tmp_path_factory):
     assert not bad, "\n".join(bad)
 
 
+def test_round_half_boundary_exact_division(spark, tmp_path_factory):
+    """r15: fuzz seed 44 caught q183's ltv quotient landing EXACTLY on
+    the 6-dp half boundary (33453.8015625 — reachable because the fuzz
+    corpus snaps order totals to whole hundreds), where Spark's
+    round(double, 6) (HALF_UP on the shortest decimal repr) and
+    DuckDB's (binary-double arithmetic) disagree by one ulp of the
+    grid.  The fix computes HALF_UP in exact integer arithmetic on
+    both engines ((2*rev_micros + users) DIV (2*users)); this pins the
+    triggering corpus so the class cannot regress silently."""
+    from flink_s3_read_write_spark.queries import registry
+
+    d = str(tmp_path_factory.mktemp("fuzz") / "s44")
+    build(d, seed=44)
+    con = connect_oracle(d)
+    s, o, _, _ = compare_query(
+        spark, con, registry()["q183_cohort_ltv_triangle"], d)
+    assert s == o, f"q183@seed44: spark={s} oracle={o}"
+
+
 def test_star2_two_family_bucket(spark, tmp_path_factory):
     """r15 (VERDICT r14 item 2): the star_k=2 nth_value branch, gated
     on a corpus with TWO interleaved clone families deterministically
