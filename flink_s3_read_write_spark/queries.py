@@ -79,8 +79,11 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "q54_dedup_keep_list",
     # r15: q183's ltv rounding moved to exact integer HALF_UP after
     # fuzz seed 44 caught the engines disagreeing on a quotient that
-    # terminates exactly on the 6-dp half boundary.
+    # terminates exactly on the 6-dp half boundary; q177's cusum_peak
+    # (the other 6-dp division of exact integers) hardened the same
+    # way preemptively.
     "q183_cohort_ltv_triangle",
+    "q177_cusum_changepoint",
 )
 
 

@@ -2833,9 +2833,21 @@ def q176_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY abs(num) DESC, ts_us, event_id) AS rn
       FROM c)
+    -- Peak rounding in EXACT integer arithmetic (r15, the q183
+    -- boundary class): HALF-AWAY-FROM-ZERO of (num/n) at integer
+    -- grid is sign * ((2*|num| + n) // (2*n)) — num is an exact
+    -- DECIMAL(38,0) and n a positive count, so both engines compute
+    -- the identical integer, then ONE shared double division by 1e6
+    -- (the value grid is micro-units, so rounding num/n to integers
+    -- IS rounding the peak to 6 dp).
+    -- NB: DuckDB's // is INTEGER division only for integer operands
+    -- (DECIMAL // falls back to float division), so abs(num) is cast
+    -- to BIGINT first (|num| < 2^63 at any tested tier; a 10^19-row
+    -- key would need the DECIMAL path).
     SELECT event_type, event_id AS change_event_id,
-           round(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
-             AS cusum_peak
+           CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END
+                * ((2 * CAST(abs(num) AS BIGINT) + n) // (2 * n))
+                AS DOUBLE) / 1e6 AS cusum_peak
     FROM rk WHERE rn = 1
     """,
     doc=(
@@ -2893,11 +2905,17 @@ def q177_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("event_id").alias("change_event_id"),
-            F.round(
-                F.col("num").cast("double")
-                / (F.col("n").cast("double") * F.lit(1000000.0)),
-                6,
-            ).alias("cusum_peak"),
+            # exact half-away-from-zero at the micro grid — see the
+            # oracle note (q183 boundary class); `div` truncates but
+            # operands are made non-negative first, so it equals floor
+            (
+                F.when(F.col("num") < 0, F.lit(-1)).otherwise(F.lit(1))
+                * F.expr("(2 * abs(num) + n) div (2 * n)").cast("bigint")
+            ).cast("double").alias("_peak_int"),
+        )
+        .select(
+            "event_type", "change_event_id",
+            (F.col("_peak_int") / F.lit(1e6)).alias("cusum_peak"),
         )
     )
 
