@@ -278,6 +278,14 @@ def build(out: str, seed: int, scale: int = 1,
         texts += [fam_b if p in (1, 4, 7, 10) else fam_a
                   for p in range(11)]
         nd += 11
+        if doc_ids is not None:
+            # composing with degen_scatter: ids are already gappy —
+            # keep the planted tail on the same gappy axis (still
+            # strictly increasing, so the A-B interleave order holds)
+            cur = doc_ids[-1]
+            for _ in range(11):
+                cur += rng.randrange(1, 997)
+                doc_ids.append(cur)
     if doc_ids is None:
         doc_ids = list(range(nd))
     _write(out, "documents",
