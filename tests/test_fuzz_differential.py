@@ -232,6 +232,32 @@ def test_star2_two_family_bucket(spark, tmp_path_factory):
         "exactly one keeper per family (cross verify must fail at 1/2)"
 
 
+def test_all_adversarial_knobs_composed(spark, tmp_path_factory):
+    """r15: every corpus-adversarial knob at once — 60 scattered
+    clones on a gappy id axis PLUS the two interleaved clone families
+    — exact hash equality for the whole dedup-family subset (pair
+    miners, both forced-gate entries, all three keep-list
+    composites).  The composition itself crashed the corpus builder
+    on first construction (doc_ids/texts length mismatch), so this
+    also pins that the knobs stay composable."""
+    from flink_s3_read_write_spark.queries import registry
+
+    d = str(tmp_path_factory.mktemp("fuzz") / "combo48")
+    build(d, seed=48, degen_cluster=60, degen_scatter=True,
+          two_family=True)
+    reg = registry()
+    con = connect_oracle(d)
+    bad = []
+    for name in ("q33_minhash_dedup_pairs", "q34_simhash_near_pairs",
+                 "q208_minhash_ring_overcap", "q209_simhash_ring_overcap",
+                 "q54_dedup_keep_list", "q210_keep_list_ring",
+                 "q211_minhash_star2_overcap", "q212_keep_list_star2"):
+        s, o, _, _ = compare_query(spark, con, reg[name], d)
+        if s != o:
+            bad.append(f"{name}@combo48: spark={s} oracle={o}")
+    assert not bad, "\n".join(bad)
+
+
 def test_engine_error_attributes_the_failing_side(spark, fuzz_dir):
     """compare_query tags engine failures with the side that raised
     (ADVICE r12): a broken Spark fn surfaces as EngineError('spark'),
