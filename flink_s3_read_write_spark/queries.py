@@ -68,23 +68,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # editing any query; otherwise a pre-edit green row from the previous
 # round would count as post-touch confirmation and auto-demote an
 # edited query on stale evidence.
-_TOUCHED_SINCE_ROUND = 15
-_TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # r15: the shared minhash_candidates builder widened to star_k=2
-    # (the hub-marginal-residual fix, ADVICE r14) — q33's oracle grew
-    # the nth_value star-2 branch; q54 rides the same candidates (its
-    # exact-closure oracle is unchanged but the Spark-side edge set
-    # moved).  Inert at gate SF; verified on degen + witness tiers.
-    "q33_minhash_dedup_pairs",
-    "q54_dedup_keep_list",
-    # r15: q183's ltv rounding moved to exact integer HALF_UP after
-    # fuzz seed 44 caught the engines disagreeing on a quotient that
-    # terminates exactly on the 6-dp half boundary; q177's cusum_peak
-    # (the other 6-dp division of exact integers) hardened the same
-    # way preemptively.
-    "q183_cohort_ltv_triangle",
-    "q177_cusum_changepoint",
-)
+_TOUCHED_SINCE_ROUND = 16
+_TOUCHED_THIS_ROUND: tuple[str, ...] = ()
 
 
 def stale_touched() -> list[str]:
