@@ -636,3 +636,46 @@ def test_ring_star_k_two_family_bucket(spark):
     }
     assert got[(10, 30)] == (10 * 111, 30 * 111)
     assert got[(0, 20)] == (0, 20 * 111)
+
+
+def test_ring_star_k_three_family_bucket(spark):
+    """The >=3-family residual, pinned structurally (ADVICE r15):
+    star_k=2 is sufficient for exactly TWO co-bucketed near-dup
+    families — with THREE families interleaved in one over-cap
+    bucket, the third family's hub edges route to neither of the two
+    smallest bucket ids, so a verify threshold sitting exactly on the
+    hub edge can still split the third family's cluster.  star_k=3
+    restores them.  This is the triage key for a K2 witness failure
+    under the gating q54 entry: split clusters whose only hub edges
+    run through a bucket shared with TWO lower-id families are this
+    documented residual — raise star_k, not a bug
+    (tools/witness_oracle.KEEP_LIST_VERIFY carries the pointer)."""
+    from flink_s3_read_write_spark.operators.dedup import _ring_pairs
+
+    # one bucket: family A = {0, 30}, B = {10, 40}, C = {20, 50} —
+    # interleaved so the two smallest ids (0, 10) belong to A and B.
+    rows = [(i, 0, 7) for i in (0, 10, 20, 30, 40, 50)]
+    over = spark.createDataFrame(rows, "doc_id long, band int, k int")
+
+    def pairs(star_k):
+        return {
+            (r.id_a, r.id_b)
+            for r in _ring_pairs(over, ["band", "k"], "doc_id",
+                                 ring_c=1, star_k=star_k).collect()
+        }
+
+    # C's hub edge (20, 50) is absent at star_k=2: ring gives
+    # (20, 30) and (40, 50), stars give edges to 0 and 10 only.
+    p2 = pairs(2)
+    assert (20, 50) not in p2
+    # ... so if verify accepts ONLY intra-family edges (threshold on
+    # the hub), C = {20, 50} has no surviving edge and splits.
+    fam = {0: "A", 30: "A", 10: "B", 40: "B", 20: "C", 50: "C"}
+    intra2 = {p for p in p2 if fam[p[0]] == fam[p[1]]}
+    assert intra2 == {(0, 30), (10, 40)}  # C unconnected
+    # star_k=3 adds the 3rd-smallest id (20 — C's min) as a star
+    # center, restoring C's hub edge and every family's connectivity.
+    p3 = pairs(3)
+    assert (20, 50) in p3
+    intra3 = {p for p in p3 if fam[p[0]] == fam[p[1]]}
+    assert intra3 == {(0, 30), (10, 40), (20, 50)}

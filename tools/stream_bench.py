@@ -206,12 +206,22 @@ def main() -> int:
                     flagged.append(
                         f"{name}: {old} -> {rec['rows_per_sec']} rows/s "
                         f"(past the {args.band_factor}x band)")
-        with open(sidecar, "w") as f:
+        # Regressions must not overwrite their own baseline (ADVICE
+        # r15): if any job breached the band, the committed sidecar
+        # survives untouched and the regressed numbers go to a
+        # side-path for a human to inspect/accept — otherwise a second
+        # run of the same regression would pass vacuously against the
+        # just-written regressed baseline (bench_diff's discipline).
+        target = sidecar if not flagged else sidecar + ".regressed"
+        with open(target, "w") as f:
             json.dump(line, f, indent=1)
             f.write("\n")
         print(json.dumps(line))
         for msg in flagged:
             print(f"BAND: {msg}", file=sys.stderr)
+        if flagged:
+            print(f"BAND: committed baseline kept; regressed numbers "
+                  f"written to {target}", file=sys.stderr)
         return 1 if flagged else 0
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -539,13 +539,26 @@ def witness_ann_ivf(con, contract_pq: str, emb_pq: str, mult: int,
         FROM top5
     """).fetchone()
     i1 = bool(all_have_k) and bool(recall_ok) and n_queries == exp_q
-    i2 = cos_sum == exp_sum
+    # One grid-ulp tolerance (ADVICE r15): both sides cast double
+    # cosines to DECIMAL(30,6), and that 6-dp rounding is the same
+    # engine-divergent half-boundary class q183/q177 fixed — Spark
+    # rounds HALF_UP on the shortest decimal repr, DuckDB rounds the
+    # binary double, so a cosine landing exactly on the 6-dp half
+    # boundary legitimately differs by 1e-6 between engines.  Exact
+    # integer rounding (the q183 fix) is unavailable here — cosines
+    # carry irrational sqrt intermediates — so the witness compares
+    # within one ulp of the decimal grid (plus float-sum headroom); a
+    # genuinely wrong neighbor set moves the sum by a full cosine gap,
+    # orders of magnitude past this band.
+    i2_diff = abs(cos_sum - exp_sum)
+    i2 = i2_diff <= 1.0000001e-6
     out["i1_contract_flags"] = {"n_queries": n_queries,
                                 "expected_queries": exp_q,
                                 "all_have_k": bool(all_have_k),
                                 "recall_ok": bool(recall_ok), "ok": i1}
     out["i2_exact_arm_replay"] = {"contract_sum": cos_sum,
-                                  "replayed_sum": exp_sum, "ok": i2,
+                                  "replayed_sum": exp_sum,
+                                  "abs_diff": i2_diff, "ok": i2,
                                   "sec": round(time.time() - t0, 1)}
     out["pass"] = i1 and i2
     return out
@@ -678,6 +691,21 @@ KEEP_LIST_VERIFY = {
     # q54 rides the star_k=2 production builder since r15 — the
     # hub-marginal residual that made K2 report-only (14/4949 split at
     # 100x) is closed (14 -> 0 measured), so K2 GATES again.
+    # DOCUMENTED RESIDUAL (ADVICE r15): star_k=2 is structurally
+    # sufficient for exactly TWO co-bucketed near-dup families — an
+    # over-cap bucket hosting >=3 families at a threshold sitting
+    # exactly on the hub edge (q54's 0.9-shingle: J = s/(s+1)) would
+    # reproduce the split for the THIRD family, because its hub edge
+    # routes to neither of the two smallest bucket ids (pinned
+    # structurally in tests/test_dedup.py::
+    # test_ring_star_k_three_family_bucket; star_k=3 restores it).
+    # The witness replica corpora plant non-overlapping clusters whose
+    # over-cap buckets host at most the colliding-pair regime the
+    # two-family fuzz corpus engineers, so K2 gates on them (0/4949 at
+    # 300x).  TRIAGE for a future K2 failure here: if every split
+    # cluster's hub edges run through a bucket shared with TWO
+    # lower-id families, it is this residual — widen star_k on the
+    # production builder, don't hunt a CC bug.
     "q54_dedup_keep_list": ("shingles", 9, 10, True),
     "q210_keep_list_ring": ("tokens", 1, 2, True),
     # q212 runs star_k=2 — the hub-marginal residual is closed there
