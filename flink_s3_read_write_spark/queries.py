@@ -69,7 +69,14 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # round would count as post-touch confirmation and auto-demote an
 # edited query on stale evidence.
 _TOUCHED_SINCE_ROUND = 16
-_TOUCHED_THIS_ROUND: tuple[str, ...] = ()
+_TOUCHED_THIS_ROUND: tuple[str, ...] = (
+    # r16: means moved to exact integer HALF_UP after the snap-groups
+    # knob planted the non-dyadic 9-dp half boundary (u/5120) and the
+    # raw round(double, 9) paths diverged between engines — the q183
+    # class, now closed at its own documented bound.
+    "q88_stats_aggregates",
+    "q166_ab_test_ztest",
+)
 
 
 def stale_touched() -> list[str]:

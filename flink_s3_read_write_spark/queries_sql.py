@@ -849,8 +849,18 @@ def q86_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * CAST(l_extendedprice AS DECIMAL(20,6))) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
+    -- mean in EXACT integer arithmetic (r16): the snap-groups fuzz
+    -- knob proved round(double, 9) diverges between engines when the
+    -- true quotient's decimal expansion terminates at digit 10 with a
+    -- 5 AND the value is non-dyadic (163841/5120: Spark HALF_UP
+    -- .000195313 vs DuckDB binary-double .000195312 — the q183
+    -- class).  Quantities are non-negative, so HALF_UP at the 1e-9
+    -- grid == (2*qty_nanos + n) // (2*n) over exact BIGINTs, then one
+    -- shared double division.  stddev/corr stay double: their sqrt
+    -- intermediates are irrational and cannot land on a boundary.
     SELECT l_returnflag, n,
-           round(CAST(sx AS DOUBLE) / n, 9) AS mean_qty,
+           CAST((2 * CAST(sx * 1000000000 AS BIGINT) + n)
+                // (2 * n) AS DOUBLE) / 1e9 AS mean_qty,
            round(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                 / (CAST(n AS DOUBLE) * (n - 1))), 9) AS stddev_qty,
            round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
@@ -892,10 +902,17 @@ def q88_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.col("sxy").cast("double")
     var_num_x = n * sxx - sx * sx
     var_num_y = n * syy - sy * sy
+    # HALF_UP at 9 dp in exact integers (see the oracle note): sx is
+    # an exact DECIMAL, so qty_nanos = sx*1e9 is an exact BIGINT
+    # (bounded: total quantity * 1e9 << 2^63 at any realistic
+    # per-flag grain); quantities are non-negative so `div` == the
+    # HALF_UP numerator floor on both engines.
+    m = m.withColumn("_qn", (F.col("sx") * 1000000000).cast("bigint"))
     return m.select(
         "l_returnflag",
         "n",
-        F.round(sx / n, 9).alias("mean_qty"),
+        (F.expr("(2 * _qn + n) div (2 * n)").cast("double") / F.lit(1e9))
+        .alias("mean_qty"),
         F.round(F.sqrt(var_num_x / (n.cast("double") * (n - 1))), 9).alias(
             "stddev_qty"
         ),
@@ -2266,9 +2283,19 @@ def q165_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(v * v) FILTER (variant = 0) AS saa,
              SUM(v * v) FILTER (variant = 1) AS sbb
       FROM x)
+    -- arm means in EXACT integer arithmetic (r16, the q88/q183
+    -- class): values can be negative, so HALF_UP (away from zero) at
+    -- the 1e-9 grid == sign(K) * ((2*|K| + n) // (2*n)) with
+    -- K = sum * 1e9 an exact BIGINT.  z keeps the double form: its
+    -- sqrt denominator is irrational, so it cannot land on a grid
+    -- half boundary.
     SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-           round(CAST(sa AS DOUBLE) / n_a, 9) AS mean_a,
-           round(CAST(sb AS DOUBLE) / n_b, 9) AS mean_b,
+           CAST(CAST(sign(CAST(sa * 1000000000 AS BIGINT)) AS BIGINT)
+                * ((2 * abs(CAST(sa * 1000000000 AS BIGINT)) + n_a)
+                   // (2 * n_a)) AS DOUBLE) / 1e9 AS mean_a,
+           CAST(CAST(sign(CAST(sb * 1000000000 AS BIGINT)) AS BIGINT)
+                * ((2 * abs(CAST(sb * 1000000000 AS BIGINT)) + n_b)
+                   // (2 * n_b)) AS DOUBLE) / 1e9 AS mean_b,
            round((CAST(sb AS DOUBLE) / n_b - CAST(sa AS DOUBLE) / n_a)
              / sqrt(((n_a * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
                        / (CAST(n_a AS DOUBLE) * (n_a - 1))) / n_a
@@ -2313,11 +2340,19 @@ def q166_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_a = (n_a * saa - sa * sa) / (n_a.cast("double") * (n_a - 1))
     var_b = (n_b * sbb - sb * sb) / (n_b.cast("double") * (n_b - 1))
     z = (mean_b - mean_a) / F.sqrt(var_a / n_a + var_b / n_b)
+    # HALF_UP (away from zero) at 9 dp in exact integers — see the
+    # oracle note; values can be negative, hence the sign/abs form.
+    m = (m.withColumn("_ka", (F.col("sa") * 1000000000).cast("bigint"))
+          .withColumn("_kb", (F.col("sb") * 1000000000).cast("bigint")))
+    exact = ("cast(sign(_k{s}) as bigint) * "
+             "((2 * abs(_k{s}) + n_{s}) div (2 * n_{s}))")
     return m.select(
         n_a.cast("bigint").alias("n_a"),
         n_b.cast("bigint").alias("n_b"),
-        F.round(mean_a, 9).alias("mean_a"),
-        F.round(mean_b, 9).alias("mean_b"),
+        (F.expr(exact.format(s="a")).cast("double") / F.lit(1e9))
+        .alias("mean_a"),
+        (F.expr(exact.format(s="b")).cast("double") / F.lit(1e9))
+        .alias("mean_b"),
         F.round(z, 9).alias("z"),
         (F.abs(z) > 1.96).alias("significant"),
     )

@@ -177,6 +177,57 @@ def test_round_half_boundary_exact_division(spark, tmp_path_factory):
     assert s == o, f"q183@seed44: spark={s} oracle={o}"
 
 
+def test_snap_groups_half_boundary_means(spark, tmp_path_factory):
+    """r16 (VERDICT r15 item 3): the snap-groups corpus probes the
+    round(double, 9) half-boundary bound AT its own boundary — groups
+    engineered so exact means land on 10-digit-terminating decimals
+    ending in 5, in BOTH sub-regimes:
+    - dyadic (u/1024, flag 'A' / even-user stratum): binary-exact
+      double, both engines round it the same way;
+    - NON-dyadic (u/5120, flag 'R' / odd-user stratum): the double
+      sits off the true boundary and the raw round paths genuinely
+      diverge (verified below), which forced q88/q166's means into
+      exact integer HALF_UP (the q183 fix class).
+    Pins (a) exact Spark-vs-DuckDB hash equality for q88/q166 on the
+    planted corpus, (b) the plant is non-vacuous: the raw
+    round(double, 9) forms DISAGREE across engines on the planted
+    non-dyadic quotient, so the exact-integer mean is load-bearing."""
+    import duckdb
+
+    from flink_s3_read_write_spark.queries import registry
+
+    d = str(tmp_path_factory.mktemp("fuzz") / "snap51")
+    build(d, seed=51, snap_groups=4096)
+    reg = registry()
+    con = connect_oracle(d)
+    bad = []
+    for name in ("q88_stats_aggregates", "q166_ab_test_ztest"):
+        s, o, _, _ = compare_query(spark, con, reg[name], d)
+        if s != o:
+            bad.append(f"{name}@snap51: spark={s} oracle={o}")
+    assert not bad, "\n".join(bad)
+
+    # non-vacuity: the planted flag-'R' mean is a non-dyadic 9-dp
+    # half boundary on which the RAW round forms diverge.
+    n, s = duckdb.sql(
+        f"SELECT COUNT(*), SUM(CAST(l_quantity AS DECIMAL(20,6))) "
+        f"FROM '{d}/lineitem.parquet' WHERE l_returnflag = 'R'"
+    ).fetchone()
+    assert int(n) % 5120 == 0
+    u = int(s) // (int(n) // 5120)
+    assert u % 2 == 1 and u % 5 != 0 and int(s) * 5120 == u * int(n)
+    raw_spark = spark.sql(
+        f"SELECT round(CAST({int(s)} AS DOUBLE) / {int(n)}, 9)"
+    ).collect()[0][0]
+    raw_duck = duckdb.sql(
+        f"SELECT round(CAST({int(s)} AS DOUBLE) / {int(n)}, 9)"
+    ).fetchone()[0]
+    assert raw_spark != raw_duck, (
+        "the planted non-dyadic boundary no longer diverges between "
+        "the raw round paths — the regime moved; re-probe "
+        "fuzz_corpus._DIVERGENT_U")
+
+
 def test_star2_two_family_bucket(spark, tmp_path_factory):
     """r15 (VERDICT r14 item 2): the star_k=2 nth_value branch, gated
     on a corpus with TWO interleaved clone families deterministically

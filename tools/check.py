@@ -202,6 +202,18 @@ def main() -> int:
              "dataframe path external comparators use (catches lossy "
              "type coercions fetchall() hides)",
     )
+    ap.add_argument(
+        "--witness-above", type=int, default=0, metavar="N",
+        help="two-tier sweep protocol (r16): when the corpus has more "
+             "than N documents rows, verify the expensive text-family "
+             "entries (witness_oracle.WITNESS_SUBSTITUTE) with their "
+             "corpus-independent witness invariants instead of the "
+             "full O(docs x shingles x perms) DuckDB replay — makes "
+             "the sf0.1 full-registry sweep routine (q212's replay "
+             "alone is ~280 s there).  0 (default) = always full "
+             "replay.  False negatives stay covered by the full "
+             "replay at <= sf0.01 and the replica witness tiers.",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -228,12 +240,45 @@ def main() -> int:
     spark = build_session("check")
     con = connect_oracle(args.sf)
 
+    witness_set: set = set()
+    if args.witness_above:
+        n_docs = con.sql(
+            f"SELECT COUNT(*) FROM '{args.sf}/documents.parquet'"
+        ).fetchone()[0]
+        if n_docs > args.witness_above:
+            sys.path.insert(
+                0, os.path.dirname(os.path.abspath(__file__)))
+            from witness_oracle import (  # noqa: PLC0415
+                WITNESS_SUBSTITUTE, substitute_check)
+            witness_set = set(WITNESS_SUBSTITUTE)
+            print(f"witness tier active: {n_docs} docs > "
+                  f"{args.witness_above} — {len(witness_set)} entries "
+                  f"verified by invariants instead of full replay")
+
     reg = registry()
     names = args.names or sorted(reg)
     failures = 0
     for name in names:
         q = reg[name]
         t0 = time.time()
+        if name in witness_set:
+            spark.catalog.clearCache()
+            try:
+                rec = substitute_check(spark, con, q.fn, name, args.sf)
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL  {name}: witness error: "
+                      f"{type(e).__name__}: {e}")
+                failures += 1
+                continue
+            if rec["pass"]:
+                print(f"WIT   {name}: witness-substitute pass "
+                      f"[{time.time()-t0:.1f}s]")
+            else:
+                failures += 1
+                import json as _json
+                print(f"FAIL  {name}: witness-substitute: "
+                      f"{_json.dumps(rec, default=str)[:400]}")
+            continue
         try:
             s, o, srows, orows = compare_query(
                 spark, con, q, args.sf, pandas=args.pandas)

@@ -56,6 +56,13 @@ WORDS = ("key agg row scan slow fast table value part hash merge batch "
 SIZES = {"customer": 200, "supplier": 20, "part": 250, "orders": 1600,
          "events": 1500, "documents": 120, "embeddings": 120}
 
+# Numerators u (odd, coprime to 5) for which u/5120 is a
+# 10-digit-terminating decimal ending in 5 AND the engines' round
+# paths were probed to DISAGREE (Spark shortest-repr HALF_UP rounds
+# up, DuckDB's binary-double round lands below) — the non-dyadic
+# 9-dp half-boundary family the --snap-groups knob plants.
+_DIVERGENT_U = (163841, 163851, 163861, 163871, 163881)
+
 
 def _write(out: str, name: str, cols: dict, schema: pa.Schema) -> None:
     pq.write_table(pa.table(cols, schema=schema),
@@ -64,7 +71,7 @@ def _write(out: str, name: str, cols: dict, schema: pa.Schema) -> None:
 
 def build(out: str, seed: int, scale: int = 1,
           degen_cluster: int = 0, degen_scatter: bool = False,
-          two_family: bool = False) -> None:
+          two_family: bool = False, snap_groups: int = 0) -> None:
     """``scale`` multiplies every fact-table row count (dims and the
     planted-duplicate counts stay fixed) — the same fact-grows-
     faster-than-dim shape as the scale_stress replica, here with
@@ -104,6 +111,30 @@ def build(out: str, seed: int, scale: int = 1,
     star_k=2's nth_value branch emits the second family's hub edges.
     Token Jaccard across families is 4/20 = 0.2 < 1/2, so the verify
     stage keeps the two clusters separate in the keep-list composite.
+
+    ``snap_groups`` (r16, VERDICT r15 item 3) probes the documented
+    cross-engine round(double, 9) half-boundary bound AT its own
+    boundary (SCALE.md r15: "a 9-dp half boundary needs ... a group of
+    >= 4096 rows with specific numerator parity — impossible on the
+    gate and fuzz corpora").  With snap_groups = N (a power of two,
+    >= 1024; the documented regime is 4096), the two reachable
+    mean-of-exact-sums sites get groups engineered to land EXACTLY on
+    the boundary:
+    - lineitem: returnflag 'A' padded to N rows whose integer
+      quantities sum to N*u/1024 with u ODD, so q88's
+      mean_qty = u/1024 — a binary-exact double whose decimal
+      expansion terminates at digit 10 with a 5, i.e. the exact 9-dp
+      half boundary (Spark HALF_UP on the shortest repr vs DuckDB on
+      the binary double — the q183 divergence class);
+    - events: the 'purchase' / even-user stratum (q166's variant A)
+      padded to N rows of 3-dp values summing to an integer-dollar
+      total with mean u'/1024, u' odd — same boundary through the
+      DECIMAL(20,6) cast path.
+    The count-FRACTION sites (q179/q181-class, n_obs/n_total) stay
+    un-planted: their boundary needs a reduced denominator of
+    2^10*5^9 ~ 2e9 distinct rows — the analytic bound, out of reach
+    by construction, not by corpus accident.  Padded rows keep valid
+    FKs (existing orderkeys / user domain) and in-domain values.
     """
     rng = random.Random(seed)
     os.makedirs(out, exist_ok=True)
@@ -201,6 +232,90 @@ def build(out: str, seed: int, scale: int = 1,
             li["l_linestatus"].append(rng.choice("OF"))
             li["l_shipdate"].append(
                 o_date[ok] + dt.timedelta(days=rng.randrange(1, 121)))
+    if snap_groups:
+        N = snap_groups
+        if N < 1024 or (N & (N - 1)):
+            raise ValueError("snap_groups must be a power of two >= 1024")
+        # q88 regime: pad returnflag 'A' to exactly n_tgt (a multiple
+        # of N) rows whose INTEGER quantity sum is (n_tgt/1024)*u with
+        # u odd -> mean_qty == u/1024, a binary-exact double on the
+        # exact 9-dp half boundary.
+        n_a = sum(1 for f in li["l_returnflag"] if f == "A")
+        s_a = int(sum(q for q, f in zip(li["l_quantity"],
+                                        li["l_returnflag"]) if f == "A"))
+        n_tgt = ((n_a + 128) // N + 1) * N
+        d_n = n_tgt - n_a
+        # u odd, padded-row mean (d_s/d_n) inside the [1, 50] domain
+        u = (round((s_a + 25 * d_n) * 1024 / n_tgt)) | 1
+        while True:
+            d_s = (n_tgt // 1024) * u - s_a
+            if d_n <= d_s <= 49 * d_n:
+                break
+            u += 2 if d_s < d_n else -2
+        base, rem = divmod(d_s, d_n)
+        # per-order next linenumber for the FK-valid pad targets
+        pad_keys = list(range(min(no, 200)))
+        next_ln = {ok: 1 + sum(1 for k in li["l_orderkey"] if k == ok)
+                   for ok in pad_keys}
+        for i in range(d_n):
+            ok = pad_keys[i % len(pad_keys)]
+            qty = float(base + (1 if i < rem else 0))
+            li["l_orderkey"].append(ok)
+            li["l_partkey"].append(rng.randrange(np_))
+            li["l_suppkey"].append(rng.randrange(ns))
+            li["l_linenumber"].append(next_ln[ok])
+            next_ln[ok] += 1
+            li["l_quantity"].append(qty)
+            li["l_extendedprice"].append(round(qty * rng.uniform(9, 99), 2))
+            li["l_discount"].append(rng.randrange(0, 11) / 100.0)
+            li["l_tax"].append(rng.randrange(0, 9) / 100.0)
+            li["l_returnflag"].append("A")
+            li["l_linestatus"].append(rng.choice("OF"))
+            li["l_shipdate"].append(
+                o_date[ok] + dt.timedelta(days=rng.randrange(1, 121)))
+        assert sum(1 for f in li["l_returnflag"] if f == "A") == n_tgt
+        assert int(sum(q for q, f in zip(li["l_quantity"],
+                                         li["l_returnflag"])
+                       if f == "A")) == (n_tgt // 1024) * u and u % 2 == 1
+        # NON-DYADIC regime (the one that actually diverges): pad
+        # returnflag 'R' to a multiple of 5*1024 rows with quantity
+        # sum (n/5120)*u', u' from the VERIFIED-divergent family —
+        # u'/5120 is a 10-digit-terminating decimal ending in 5 whose
+        # value is NOT a dyadic rational, so the double sits off the
+        # true boundary and Spark's shortest-repr HALF_UP disagrees
+        # with DuckDB's binary-double round (probed: 163841/5120 ->
+        # .000195313 vs .000195312).  This is the regime the r15
+        # SCALE.md bound declared unreachable; planting it forced the
+        # q88/q166 exact-integer mean fix.
+        u_nd = _DIVERGENT_U[rng.randrange(len(_DIVERGENT_U))]
+        n_r = sum(1 for f in li["l_returnflag"] if f == "R")
+        s_r = int(sum(q for q, f in zip(li["l_quantity"],
+                                        li["l_returnflag"]) if f == "R"))
+        nd = 5 * 1024
+        # headroom so the padded rows' mean (d_s/d_n) stays <= 50
+        lo = max(n_r + 128, (50 * n_r - s_r) // 18 + 1)
+        n_tgt = ((lo + nd - 1) // nd) * nd
+        d_n = n_tgt - n_r
+        d_s = (n_tgt // nd) * u_nd - s_r
+        assert d_n <= d_s <= 50 * d_n, (n_r, s_r, n_tgt, d_s)
+        base, rem = divmod(d_s, d_n)
+        for i in range(d_n):
+            ok = pad_keys[i % len(pad_keys)]
+            qty = float(base + (1 if i < rem else 0))
+            li["l_orderkey"].append(ok)
+            li["l_partkey"].append(rng.randrange(np_))
+            li["l_suppkey"].append(rng.randrange(ns))
+            li["l_linenumber"].append(next_ln[ok])
+            next_ln[ok] += 1
+            li["l_quantity"].append(qty)
+            li["l_extendedprice"].append(round(qty * rng.uniform(9, 99), 2))
+            li["l_discount"].append(rng.randrange(0, 11) / 100.0)
+            li["l_tax"].append(rng.randrange(0, 9) / 100.0)
+            li["l_returnflag"].append("R")
+            li["l_linestatus"].append(rng.choice("OF"))
+            li["l_shipdate"].append(
+                o_date[ok] + dt.timedelta(days=rng.randrange(1, 121)))
+        assert sum(1 for f in li["l_returnflag"] if f == "R") == n_tgt
     _write(out, "lineitem", li,
            pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
                       ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
@@ -221,12 +336,75 @@ def build(out: str, seed: int, scale: int = 1,
                 if rng.random() < 0.3 else
                 dt.timedelta(seconds=rng.uniform(0, 2_592_000)))
           for _ in range(ne)]
+    etypes = [rng.choice(ETYPE) for _ in range(ne)]
+    values = [round(rng.uniform(-10, 100), 3) for _ in range(ne)]
+    if snap_groups:
+        N = snap_groups
+        # q166 regime: pad the 'purchase' / even-user stratum
+        # (variant A) to n_tgt rows whose 3-dp values sum to the
+        # integer-dollar total (n_tgt/1024)*u', u' odd ->
+        # mean_a == u'/1024, the same exact 9-dp half boundary
+        # through the DECIMAL(20,6) cast path.
+        n_a = sum(1 for uid, et in zip(users, etypes)
+                  if et == "purchase" and uid % 2 == 0)
+        s_a = sum(round(v * 1000) for uid, et, v in zip(users, etypes, values)
+                  if et == "purchase" and uid % 2 == 0)  # exact millis
+        n_tgt = ((n_a + 128) // N + 1) * N
+        d_n = n_tgt - n_a
+        # u' odd, padded-row milli mean inside the [-10000, 100000]
+        # value domain
+        u = (round((s_a / 1000 + 45 * d_n) * 1024 / n_tgt)) | 1
+        while True:
+            d_s = 1000 * (n_tgt // 1024) * u - s_a
+            if -9999 * d_n <= d_s <= 99999 * d_n:
+                break
+            u += 2 if d_s < -9999 * d_n else -2
+        base, rem = divmod(d_s, d_n)
+        for i in range(d_n):
+            milli = base + (1 if i < rem else 0)
+            users.append(2 * rng.randrange(20))  # even: variant A
+            ts.append(t0 + dt.timedelta(seconds=rng.uniform(0, 2_592_000)))
+            etypes.append("purchase")
+            values.append(milli / 1000.0)
+        ne += d_n
+        assert sum(1 for uid, et in zip(users, etypes)
+                   if et == "purchase" and uid % 2 == 0) == n_tgt
+        assert sum(round(v * 1000) for uid, et, v in
+                   zip(users, etypes, values)
+                   if et == "purchase" and uid % 2 == 0) \
+            == 1000 * (n_tgt // 1024) * u and u % 2 == 1
+        # NON-DYADIC regime for the ODD-user stratum (q166's
+        # variant B): pad to a multiple of 5120 rows of 3-dp values
+        # whose milli sum is 1000*(n/5120)*u' — the dollar sum is the
+        # exact integer (n/5120)*u', so mean_b computes the same
+        # divergent double u'/5120 the lineitem plant exercises.
+        u_nd = _DIVERGENT_U[rng.randrange(len(_DIVERGENT_U))]
+        n_b = sum(1 for uid, et in zip(users, etypes)
+                  if et == "purchase" and uid % 2 == 1)
+        s_b = sum(round(v * 1000) for uid, et, v in
+                  zip(users, etypes, values)
+                  if et == "purchase" and uid % 2 == 1)
+        nd = 5 * 1024
+        n_tgt = ((n_b + 128 + nd - 1) // nd) * nd
+        d_n = n_tgt - n_b
+        d_s = 1000 * (n_tgt // nd) * u_nd - s_b
+        assert -9999 * d_n <= d_s <= 99999 * d_n, (n_b, s_b, n_tgt, d_s)
+        base, rem = divmod(d_s, d_n)
+        for i in range(d_n):
+            milli = base + (1 if i < rem else 0)
+            users.append(2 * rng.randrange(19) + 1)  # odd: variant B
+            ts.append(t0 + dt.timedelta(seconds=rng.uniform(0, 2_592_000)))
+            etypes.append("purchase")
+            values.append(milli / 1000.0)
+        ne += d_n
+        assert sum(1 for uid, et in zip(users, etypes)
+                   if et == "purchase" and uid % 2 == 1) == n_tgt
     _write(out, "events",
            {"event_id": list(range(ne)),
             "ts": ts,
             "user_id": users,
-            "event_type": [rng.choice(ETYPE) for _ in range(ne)],
-            "value": [round(rng.uniform(-10, 100), 3) for _ in range(ne)],
+            "event_type": etypes,
+            "value": values,
             "props": ['{"k": %d}' % rng.randrange(100) for _ in range(ne)]},
            pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),
                       ("user_id", pa.int64()), ("event_type", pa.string()),
@@ -331,15 +509,24 @@ def main() -> int:
                     help="append two interleaved clone families that "
                          "share one LSH bucket under 16x1 banding "
                          "(the star_k=2 scenario; see build())")
+    ap.add_argument("--snap-groups", type=int, default=0,
+                    help="plant N-row groups (N a power of two >= "
+                         "1024; the documented regime is 4096) whose "
+                         "exact means land on the 9-dp half boundary "
+                         "u/1024 — probes the round(double, 9) "
+                         "cross-engine class at its own boundary "
+                         "(see build())")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     out = args.out or f"/tmp/spark_graft_fuzz{args.seed}"
     build(out, args.seed, scale=args.scale, degen_cluster=args.degen_cluster,
-          degen_scatter=args.degen_scatter, two_family=args.two_family)
+          degen_scatter=args.degen_scatter, two_family=args.two_family,
+          snap_groups=args.snap_groups)
     print(f"fuzz_corpus: seed={args.seed} scale={args.scale} "
           f"degen_cluster={args.degen_cluster} "
           f"degen_scatter={args.degen_scatter} "
-          f"two_family={args.two_family} written to {out}")
+          f"two_family={args.two_family} "
+          f"snap_groups={args.snap_groups} written to {out}")
     return 0
 
 

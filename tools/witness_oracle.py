@@ -97,11 +97,21 @@ def _w3_ceiling(mult: int, max_bucket: int, bands: int,
 def witness(con, pairs_pq: str, docs_pq: str, mult: int,
             threshold_num: int = 1, threshold_den: int = 2,
             bands: int = 16, ring_c: int = 2,
-            max_bucket: int = 50, star_k: int = 1) -> dict:
-    """Run W1-W3 against an emitted-pairs parquet; returns verdicts."""
+            max_bucket: int = 50, star_k: int = 1,
+            planted: bool = True) -> dict:
+    """Run W1-W3 against an emitted-pairs parquet; returns verdicts.
+
+    ``planted=False`` (r16, VERDICT r15 item 4): the corpus is NOT a
+    scale_stress replica — run only the corpus-independent invariant
+    (W1 soundness: bit-exact re-derivation + threshold clearance of
+    EVERY emitted pair) and skip W2/W3, whose cluster arithmetic
+    (doc_id % base_docs) presumes the replica's planted layout.
+    This is the witness tier of the two-tier sf0.1+ sweep protocol
+    (false negatives stay covered by the full replay at <= sf0.01)."""
     out: dict = {}
-    base_docs = con.sql(
+    base_docs = (con.sql(
         f"SELECT COUNT(*) FROM '{docs_pq}'").fetchone()[0] // mult
+        if planted else 0)
 
     # W1: bit-exact jaccard re-derivation on EVERY emitted pair.
     # tok is materialized ONCE as a temp table — it is joined twice,
@@ -138,6 +148,14 @@ def witness(con, pairs_pq: str, docs_pq: str, mult: int,
     n_pairs = con.sql(f"SELECT COUNT(*) FROM '{pairs_pq}'").fetchone()[0]
     out["w1_soundness"] = {"pairs": n_pairs, "violations": bad,
                            "sec": round(time.time() - t0, 1)}
+
+    if not planted:
+        out["w2_cluster_connectivity"] = out["w3_boundedness"] = (
+            "skipped: replica-structure invariant (corpus has no "
+            "planted clusters); W1 gates here, recall is covered by "
+            "the full replay at <= sf0.01")
+        out["pass"] = bad == 0
+        return out
 
     # W2: planted-cluster connectivity via K=8 unrolled min-label
     # rounds over the FULL emitted pair graph (each member's label =
@@ -210,7 +228,8 @@ def witness(con, pairs_pq: str, docs_pq: str, mult: int,
 
 def witness_simhash(con, pairs_pq: str, docs_pq: str, mult: int,
                     max_hamming: int = 3, bands: int = 4,
-                    ring_c: int = 2, max_bucket: int = 1000) -> dict:
+                    ring_c: int = 2, max_bucket: int = 1000,
+                    planted: bool = True) -> dict:
     """W1/W3 witnesses for the SimHash family (q34 shape: id_a, id_b,
     hamming).  W1 recomputes every doc's exact 60-bit md5 simhash in
     DuckDB — one pass, 60 SUM columns per doc instead of a
@@ -237,8 +256,12 @@ def witness_simhash(con, pairs_pq: str, docs_pq: str, mult: int,
     star_k knob addresses) and are counted in the report.  W3 is the
     same O(n) ring ceiling."""
     out: dict = {}
-    base_docs = con.sql(
+    # planted=False (r16): W1 and W2s are corpus-independent (both
+    # derive from the recomputed per-doc simhash, no replica layout) —
+    # only W3's per-cluster arithmetic needs the planted structure.
+    base_docs = (con.sql(
         f"SELECT COUNT(*) FROM '{docs_pq}'").fetchone()[0] // mult
+        if planted else 0)
 
     t0 = time.time()
     vote_cols = ",\n             ".join(
@@ -322,18 +345,24 @@ def witness_simhash(con, pairs_pq: str, docs_pq: str, mult: int,
         "expected_pairs": w2s[1], "missing": w2s[0],
         "sec": round(time.time() - t0, 1)}
 
-    t0 = time.time()
-    ceiling = _w3_ceiling(mult, max_bucket, bands, ring_c)
-    w3 = con.sql(f"""
-        SELECT COUNT(*) FROM (
-          SELECT id_a % {base_docs} AS c, COUNT(*) AS n
-          FROM '{pairs_pq}'
-          WHERE id_a % {base_docs} = id_b % {base_docs}
-          GROUP BY c HAVING COUNT(*) > {ceiling})
-    """).fetchone()[0]
-    out["w3_boundedness"] = {"ceiling_per_cluster": ceiling,
-                             "violations": w3,
-                             "sec": round(time.time() - t0, 1)}
+    if planted:
+        t0 = time.time()
+        ceiling = _w3_ceiling(mult, max_bucket, bands, ring_c)
+        w3 = con.sql(f"""
+            SELECT COUNT(*) FROM (
+              SELECT id_a % {base_docs} AS c, COUNT(*) AS n
+              FROM '{pairs_pq}'
+              WHERE id_a % {base_docs} = id_b % {base_docs}
+              GROUP BY c HAVING COUNT(*) > {ceiling})
+        """).fetchone()[0]
+        out["w3_boundedness"] = {"ceiling_per_cluster": ceiling,
+                                 "violations": w3,
+                                 "sec": round(time.time() - t0, 1)}
+    else:
+        w3 = 0
+        out["w3_boundedness"] = (
+            "skipped: replica-structure invariant (corpus has no "
+            "planted clusters); W1 + W2s gate here")
     out["w2_cluster_connectivity"] = "skipped: Hamming<=3 capture of "\
         "suffix variants is not an operator invariant (see docstring; "\
         "W2s is the invariant that does gate for SimHash)"
@@ -567,7 +596,8 @@ def witness_ann_ivf(con, contract_pq: str, emb_pq: str, mult: int,
 def witness_keep_list(con, keep_pq: str, docs_pq: str, mult: int,
                       verify_on: str = "shingles",
                       tnum: int = 9, tden: int = 10,
-                      k2_gates: bool = True) -> dict:
+                      k2_gates: bool = True,
+                      planted: bool = True) -> dict:
     """Witness for the keep-list composites (q54 shape: doc_id,
     cluster_id, keep) — internal consistency + planted recall, all
     O(docs):
@@ -595,8 +625,12 @@ def witness_keep_list(con, keep_pq: str, docs_pq: str, mult: int,
     graph to refute; that stays with the pair-stage witnesses (W1)
     and the replay tiers."""
     out: dict = {}
-    base_docs = con.sql(
+    # planted=False (r16): K1 structure and K3 accounting are
+    # corpus-independent internal-consistency invariants; only K2's
+    # planted-recall arithmetic presumes the replica layout.
+    base_docs = (con.sql(
         f"SELECT COUNT(*) FROM '{docs_pq}'").fetchone()[0] // mult
+        if planted else 0)
 
     t0 = time.time()
     k1 = con.sql(f"""
@@ -625,6 +659,23 @@ def witness_keep_list(con, keep_pq: str, docs_pq: str, mult: int,
         "dup_rows": k1[0], "missing_docs": k1[1], "bad_keep_flag": k1[2],
         "label_not_member": k1[3], "label_not_min": k1[4],
         "sec": round(time.time() - t0, 1)}
+
+    if not planted:
+        t0 = time.time()
+        keepers, labels = con.sql(f"""
+            SELECT SUM(CASE WHEN keep THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT cluster_id)
+            FROM '{keep_pq}'
+        """).fetchone()
+        out["k2_planted_recall"] = (
+            "skipped: replica-structure invariant (corpus has no "
+            "planted clusters); K1 + K3 gate here, recall is covered "
+            "by the full replay at <= sf0.01 and the replica tiers")
+        out["k3_keeper_accounting"] = {
+            "keepers": int(keepers), "distinct_labels": int(labels),
+            "sec": round(time.time() - t0, 1)}
+        out["pass"] = sum(k1) == 0 and keepers == labels
+        return out
 
     t0 = time.time()
     if verify_on == "shingles":
@@ -728,6 +779,61 @@ QUERY_MAX_BUCKET = {
     "q34_simhash_near_pairs": 1000,
     "q209_simhash_ring_overcap": 2,
 }
+
+# Two-tier sweep protocol (r16, VERDICT r15 item 4): the text-family
+# replay oracles are O(docs x shingles x 64 perms) in DuckDB, which
+# makes the FULL-registry sweep at sf0.1 expensive (q212's replay
+# alone ~280 s) — while the Spark engine side stays cheap.  Above the
+# full-replay tier, `tools/check.py --witness-above N` substitutes the
+# corpus-independent witness invariants for these entries:
+#   pair miners  -> W1 soundness (bit-exact re-derivation + threshold
+#                   clearance of EVERY emitted pair);
+#   simhash      -> W1 + W2s (zero-hamming clique);
+#   keep-lists   -> K1 structure + K3 keeper accounting.
+# False NEGATIVES outside those invariants stay covered by the full
+# replay at <= sf0.01 (the driver gate) and by the replica witness
+# tiers (K2/W2/W3 at 100x-300x).  q211 is deliberately NOT
+# substitutable: it emits raw candidate TOPOLOGY (no verify filter),
+# so no soundness invariant applies — its replay is cheap (~2 s at
+# sf0.1) and stays the oracle at every tier.
+WITNESS_SUBSTITUTE = (SIMHASH_QUERIES | KEEP_LIST_QUERIES
+                      | {"q33_minhash_dedup_pairs",
+                         "q208_minhash_ring_overcap"})
+
+
+def substitute_check(spark, con, q_fn, name: str, sf_dir: str) -> dict:
+    """Run ``name``'s Spark side and verify it with the
+    corpus-independent witness subset (planted=False) instead of the
+    full replay oracle — the witness tier of the two-tier protocol.
+    Returns the witness record (``rec["pass"]`` gates)."""
+    if name not in WITNESS_SUBSTITUTE:
+        raise ValueError(f"{name} has no witness substitution")
+    tmp = tempfile.mkdtemp(prefix="witness_sub_")
+    try:
+        t0 = time.time()
+        sdf = q_fn(spark, sf_dir)
+        pairs_pq = os.path.join(tmp, f"{name}_pairs")
+        sdf.write.mode("overwrite").parquet(pairs_pq)
+        spark_sec = round(time.time() - t0, 1)
+        docs = f"{sf_dir}/documents.parquet"
+        mb = QUERY_MAX_BUCKET.get(name, 50)
+        if name in KEEP_LIST_QUERIES:
+            von, kn, kd, _ = KEEP_LIST_VERIFY[name]
+            rec = witness_keep_list(con, f"{pairs_pq}/*.parquet", docs,
+                                    0, von, kn, kd, planted=False)
+        elif name in SIMHASH_QUERIES:
+            rec = witness_simhash(con, f"{pairs_pq}/*.parquet", docs,
+                                  0, max_bucket=mb, planted=False)
+        else:
+            rec = witness(con, f"{pairs_pq}/*.parquet", docs, 0,
+                          1, 2, max_bucket=mb,
+                          star_k=QUERY_STAR_K.get(name, 1),
+                          planted=False)
+        rec.update({"query": name, "tier": "witness-substitute",
+                    "spark_sec": spark_sec})
+        return rec
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> int:
