@@ -597,7 +597,9 @@ def witness_keep_list(con, keep_pq: str, docs_pq: str, mult: int,
                       verify_on: str = "shingles",
                       tnum: int = 9, tden: int = 10,
                       k2_gates: bool = True,
-                      planted: bool = True) -> dict:
+                      planted: bool = True,
+                      edges_big: int | None = None,
+                      edges_base: int | None = None) -> dict:
     """Witness for the keep-list composites (q54 shape: doc_id,
     cluster_id, keep) — internal consistency + planted recall, all
     O(docs):
@@ -619,6 +621,25 @@ def witness_keep_list(con, keep_pq: str, docs_pq: str, mult: int,
          false-fail the operator for being correct.
       K3 KEEPER ACCOUNTING: keep=true count == distinct cluster_id
          count (exactly one keeper per emitted cluster).
+      K4 VERIFIED-EDGE GROWTH CEILING (r16, VERDICT r15 item 5; runs
+         only when the caller measures ``edges_big``/``edges_base``):
+         every verified edge on the replica is either WITHIN one
+         planted cluster (the mult copies of one base doc — at most
+         C(mult, 2) each, base_docs * C(mult, 2) total) or CROSSES
+         two base docs' copy-clusters, which requires the variant
+         pair to clear the verify threshold — bounded by the base
+         tier's verified pair count times the mult x mult copy
+         pairings, with a 2x margin for threshold-boundary variants
+         (a suffix token can push a base pair sitting just under the
+         threshold over it):
+
+           edges_big <= base_docs*C(mult,2) + 2*edges_base*mult^2
+
+         This mechanizes the r15 attribution of q212's 47x shuffle
+         growth (verified-edge multiplication, content-driven): a
+         genuine n^2 regression (a blown bucket pairing all-pairs
+         across clusters) exceeds the ceiling by orders of magnitude
+         and fails the gate instead of needing a human re-derivation.
 
     NOT checked (documented): label soundness — two genuinely
     unrelated docs sharing a cluster_id would need the verified pair
@@ -716,8 +737,18 @@ def witness_keep_list(con, keep_pq: str, docs_pq: str, mult: int,
     out["k3_keeper_accounting"] = {
         "keepers": int(keepers), "distinct_labels": int(labels),
         "sec": round(time.time() - t0, 1)}
+    k4_ok = True
+    if edges_big is not None and edges_base is not None:
+        ceiling = (base_docs * mult * (mult - 1) // 2
+                   + 2 * edges_base * mult * mult)
+        k4_ok = edges_big <= ceiling
+        out["k4_edge_growth"] = {
+            "edges_base": edges_base, "edges_big": edges_big,
+            "ceiling": ceiling,
+            "growth": round(edges_big / max(1, edges_base), 1),
+            "ok": k4_ok}
     out["pass"] = (sum(k1) == 0 and (k2 == 0 or not k2_gates)
-                   and keepers == labels)
+                   and keepers == labels and k4_ok)
     if not k2_gates:
         out["k2_planted_recall"]["gates"] = False
     return out
@@ -764,6 +795,35 @@ KEEP_LIST_VERIFY = {
     # anyway, so K2 gates.
     "q212_keep_list_star2": ("tokens", 1, 2, True),
 }
+
+def _keep_list_pair_stage(name: str, spark, sf_dir: str):
+    """The verified-pair stage of each keep-list composite, with the
+    SAME knobs dedup_keep_list forwards — K4's edge counts must count
+    the composite's own edges, not a sibling entry's.  Kept next to
+    KEEP_LIST_VERIFY so a knob change updates both or fails loudly."""
+    from flink_s3_read_write_spark.operators import dedup as D
+    from flink_s3_read_write_spark.queries_llmdata import (
+        MINHASH_KW, STAR2_KW, doc_shingle_sets, minhash_candidates)
+    from flink_s3_read_write_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    if name == "q54_dedup_keep_list":
+        return D.minhash_dedup_pairs_verified(
+            docs, threshold=0.9, verify_on="shingles",
+            threshold_frac=(9, 10), **MINHASH_KW,
+            cand=minhash_candidates(spark, sf_dir),
+            toks=doc_shingle_sets(spark, sf_dir))
+    if name == "q210_keep_list_ring":
+        return D.minhash_dedup_pairs_verified(
+            docs, threshold=0.5, threshold_frac=(1, 2), **MINHASH_KW,
+            max_bucket=2, over_cap="ring", ring_c=2,
+            shingle_sets=doc_shingle_sets(spark, sf_dir))
+    if name == "q212_keep_list_star2":
+        return D.minhash_dedup_pairs_verified(
+            docs, threshold=0.5, threshold_frac=(1, 2), **STAR2_KW,
+            shingle_sets=doc_shingle_sets(spark, sf_dir))
+    raise ValueError(f"no pair stage mapped for {name}")
+
 
 # The registry entries' actual star widths — q33 rides the star_k=2
 # production builder since r15 (minhash_candidates), so its W3 ceiling
@@ -845,6 +905,12 @@ def main() -> int:
                     help="replica multiplier (= planted cluster size)")
     ap.add_argument("--threshold-frac", default="1/2",
                     help="verify threshold as num/den (default 1/2)")
+    ap.add_argument("--base-sf", default=None,
+                    help="the replica's SOURCE corpus dir — when "
+                         "given, keep-list entries also run the K4 "
+                         "verified-edge growth gate (edges on the "
+                         "replica vs base_docs*C(mult,2) + "
+                         "2*base_edges*mult^2; see witness_keep_list)")
     ap.add_argument("names", nargs="*", default=None)
     args = ap.parse_args()
     tnum, tden = (int(x) for x in args.threshold_frac.split("/"))
@@ -880,10 +946,18 @@ def main() -> int:
                                       args.mult)
             elif name in KEEP_LIST_QUERIES:
                 von, kn, kd, k2g = KEEP_LIST_VERIFY[name]
+                e_big = e_base = None
+                if args.base_sf:
+                    e_big = _keep_list_pair_stage(
+                        name, spark, args.sf).count()
+                    e_base = _keep_list_pair_stage(
+                        name, spark, args.base_sf).count()
                 rec = witness_keep_list(con, f"{pairs_pq}/*.parquet",
                                         f"{args.sf}/documents.parquet",
                                         args.mult, von, kn, kd,
-                                        k2_gates=k2g)
+                                        k2_gates=k2g,
+                                        edges_big=e_big,
+                                        edges_base=e_base)
             elif name in SIMHASH_QUERIES:
                 rec = witness_simhash(con, f"{pairs_pq}/*.parquet",
                                       f"{args.sf}/documents.parquet",
