@@ -421,28 +421,26 @@ def _resolve_over_cap(over_cap: str | None,
                       cap_bucket_prepass: bool = False) -> str:
     """Resolve the ``over_cap=None`` sentinel default (ADVICE r14).
 
-    ``None`` means "the production default": ``"ring"`` — UNLESS the
-    caller passed ``cap_bucket_prepass=True`` without naming a policy,
-    which is the drop-era idiom (the prepass is a drop-only knob);
-    those callers keep their pre-r14 semantics with a visible warning
-    instead of a hard error.  An EXPLICIT ``over_cap="ring"`` combined
-    with the prepass still raises in ``_check_over_cap`` — two
-    explicit, conflicting requests must surface, but a default should
-    not retroactively break a previously-valid call.
+    ``None`` means "the production default": ``"ring"``.  History of
+    the ``cap_bucket_prepass=True``-without-a-policy idiom (the
+    drop-era call shape — the prepass is a drop-only knob): r15 gave
+    it a one-round deprecation window (drop semantics + a visible
+    warning, so the r14 default flip could not retroactively break a
+    previously-valid call); the window closed with ZERO internal warn
+    hits (r16, VERDICT r15 item 6), so it is now a hard error like
+    the explicit ring+prepass conflict — an ambiguous knob
+    combination must surface, not silently pick a policy.  Callers
+    name their intent: ``over_cap="drop"`` with the prepass, or no
+    prepass for the ring default.
     """
     if over_cap is None:
         if cap_bucket_prepass:
-            import warnings
-
-            warnings.warn(
+            raise ValueError(
                 "cap_bucket_prepass=True without an explicit over_cap "
-                "keeps the legacy 'drop' policy (the prepass is a "
-                "drop-only knob); the production default is 'ring' — "
-                "pass over_cap='drop' to silence this, or drop the "
-                "prepass to adopt the recall-preserving ring policy",
-                stacklevel=3,
-            )
-            return "drop"
+                "is ambiguous (the prepass is a drop-only knob; the "
+                "production default is 'ring') — pass over_cap='drop' "
+                "with the prepass, or drop the prepass to adopt the "
+                "recall-preserving ring policy")
         return "ring"
     return over_cap
 

@@ -157,21 +157,17 @@ def test_over_cap_ring_policy(spark, docs):
             D.minhash_lsh_pairs(degen, **bad)
         with pytest.raises(ValueError):
             D.simhash_near_pairs(degen, **bad)
-    # Sentinel default (r15, ADVICE r14): the prepass WITHOUT an
-    # explicit over_cap is the drop-era idiom — it keeps drop
-    # semantics with a visible warning instead of hard-erroring
-    # (a default must not retroactively break a valid call); the
-    # explicit ring+prepass conflict above still raises.
-    with pytest.warns(UserWarning, match="drop-only knob"):
-        dflt = D.minhash_lsh_pairs(degen, max_bucket=50,
-                                   cap_bucket_prepass=True)
-    assert dflt.count() == 0  # drop semantics: the 60-doc bucket vanishes
-    with pytest.warns(UserWarning, match="drop-only knob"):
-        s_dflt = D.simhash_near_pairs(degen, max_bucket=3,
-                                      cap_bucket_prepass=True)
-    assert sorted(map(tuple, s_dflt.collect())) == sorted(
-        map(tuple, D.simhash_near_pairs(degen, max_bucket=3,
-                                        over_cap="drop").collect()))
+    # Sentinel default (r16, VERDICT r15 item 6): the prepass WITHOUT
+    # an explicit over_cap (the drop-era idiom) had its one-round
+    # r15 deprecation window (drop semantics + warning); the window
+    # closed with zero internal warn hits, so the ambiguous
+    # combination is now a hard error — callers must name the policy.
+    with pytest.raises(ValueError, match="drop-only knob"):
+        D.minhash_lsh_pairs(degen, max_bucket=50,
+                            cap_bucket_prepass=True)
+    with pytest.raises(ValueError, match="drop-only knob"):
+        D.simhash_near_pairs(degen, max_bucket=3,
+                             cap_bucket_prepass=True)
 
     # 1. No over-cap bucket -> ring (the default) is value-identical
     # to the explicit legacy drop policy.
