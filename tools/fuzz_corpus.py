@@ -71,7 +71,8 @@ def _write(out: str, name: str, cols: dict, schema: pa.Schema) -> None:
 
 def build(out: str, seed: int, scale: int = 1,
           degen_cluster: int = 0, degen_scatter: bool = False,
-          two_family: bool = False, snap_groups: int = 0) -> None:
+          two_family: bool = False, snap_groups: int = 0,
+          tie_grid: int = 0) -> None:
     """``scale`` multiplies every fact-table row count (dims and the
     planted-duplicate counts stay fixed) — the same fact-grows-
     faster-than-dim shape as the scale_stress replica, here with
@@ -135,6 +136,19 @@ def build(out: str, seed: int, scale: int = 1,
     2^10*5^9 ~ 2e9 distinct rows — the analytic bound, out of reach
     by construction, not by corpus accident.  Padded rows keep valid
     FKs (existing orderkeys / user domain) and in-domain values.
+
+    ``tie_grid`` (r16, VERDICT r15 item 2 — fuzz attention for the
+    rank/weight-boundary tail family: rank-exact percentiles q185/
+    q175, weighted-median crossings q186, mode ties q194, KS steps
+    q188, RFM quintiles q196, PPS pointer algebra q198): when K > 0,
+    the corpus floods exact-tie plateaus across every rank boundary —
+    events.value drawn from a K-value grid (vs ~continuous), order
+    totals snapped to whole hundreds at 80% (vs 30%), and event
+    timestamps on the 1-second grid at 70% (vs 30%), so duplicate
+    latencies, duplicate weights and duplicate prices sit ON the
+    crossing/percentile boundaries where lower-median selection,
+    2*cw >= tw cross-multiplication and rank-vs-interpolation
+    semantics actually diverge between naive engines.
     """
     rng = random.Random(seed)
     os.makedirs(out, exist_ok=True)
@@ -197,7 +211,8 @@ def build(out: str, seed: int, scale: int = 1,
     days = [day0 + dt.timedelta(days=rng.randrange(0, 2400))
             for _ in range(400)]
     o_date = [rng.choice(days) for _ in range(no)]
-    o_total = [float(rng.randrange(1, 500) * 100) if rng.random() < 0.3
+    snap_p = 0.8 if tie_grid else 0.3
+    o_total = [float(rng.randrange(1, 500) * 100) if rng.random() < snap_p
                else round(rng.uniform(100.0, 50000.0), 2)
                for _ in range(no)]
     _write(out, "orders",
@@ -332,12 +347,20 @@ def build(out: str, seed: int, scale: int = 1,
     t0 = dt.datetime(2024, 1, 1)
     users = [rng.randrange(1 + min(39, int(rng.expovariate(0.12))))
              for _ in range(ne)]
+    grid_p = 0.7 if tie_grid else 0.3
     ts = [t0 + (dt.timedelta(seconds=rng.randrange(0, 5000))
-                if rng.random() < 0.3 else
+                if rng.random() < grid_p else
                 dt.timedelta(seconds=rng.uniform(0, 2_592_000)))
           for _ in range(ne)]
     etypes = [rng.choice(ETYPE) for _ in range(ne)]
-    values = [round(rng.uniform(-10, 100), 3) for _ in range(ne)]
+    if tie_grid:
+        # K-value grid spanning the same [-10, 100] domain: plateaus
+        # of duplicate values cross every rank boundary.
+        values = [round(-10 + rng.randrange(tie_grid) * 110.0
+                        / max(1, tie_grid - 1), 3)
+                  for _ in range(ne)]
+    else:
+        values = [round(rng.uniform(-10, 100), 3) for _ in range(ne)]
     if snap_groups:
         N = snap_groups
         # q166 regime: pad the 'purchase' / even-user stratum
@@ -516,17 +539,25 @@ def main() -> int:
                          "u/1024 — probes the round(double, 9) "
                          "cross-engine class at its own boundary "
                          "(see build())")
+    ap.add_argument("--tie-grid", type=int, default=0,
+                    help="draw events.value from a K-value grid and "
+                         "raise the snapped-total/gridded-timestamp "
+                         "rates so exact-tie plateaus cross every "
+                         "rank/weight boundary (the percentile/"
+                         "weighted-median/PPS tail regime; see "
+                         "build())")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     out = args.out or f"/tmp/spark_graft_fuzz{args.seed}"
     build(out, args.seed, scale=args.scale, degen_cluster=args.degen_cluster,
           degen_scatter=args.degen_scatter, two_family=args.two_family,
-          snap_groups=args.snap_groups)
+          snap_groups=args.snap_groups, tie_grid=args.tie_grid)
     print(f"fuzz_corpus: seed={args.seed} scale={args.scale} "
           f"degen_cluster={args.degen_cluster} "
           f"degen_scatter={args.degen_scatter} "
           f"two_family={args.two_family} "
-          f"snap_groups={args.snap_groups} written to {out}")
+          f"snap_groups={args.snap_groups} "
+          f"tie_grid={args.tie_grid} written to {out}")
     return 0
 
 

@@ -98,7 +98,7 @@ def witness(con, pairs_pq: str, docs_pq: str, mult: int,
             threshold_num: int = 1, threshold_den: int = 2,
             bands: int = 16, ring_c: int = 2,
             max_bucket: int = 50, star_k: int = 1,
-            planted: bool = True) -> dict:
+            planted: bool = True, soundness: bool = True) -> dict:
     """Run W1-W3 against an emitted-pairs parquet; returns verdicts.
 
     ``planted=False`` (r16, VERDICT r15 item 4): the corpus is NOT a
@@ -107,27 +107,46 @@ def witness(con, pairs_pq: str, docs_pq: str, mult: int,
     EVERY emitted pair) and skip W2/W3, whose cluster arithmetic
     (doc_id % base_docs) presumes the replica's planted layout.
     This is the witness tier of the two-tier sf0.1+ sweep protocol
-    (false negatives stay covered by the full replay at <= sf0.01)."""
+    (false negatives stay covered by the full replay at <= sf0.01).
+
+    ``soundness=False`` (r16, VERDICT r15 item 7): the output is raw
+    candidate TOPOLOGY (q211 — no verify stage, no jaccard column),
+    so W1 does not apply; W2 connectivity (candidates are a superset
+    of the verified pairs whose connectivity K2 witnesses) and W3
+    boundedness (the ring O(n) ceiling is a candidate-count bound in
+    the first place) both run on bare (id_a, id_b) pairs and gate."""
     out: dict = {}
     base_docs = (con.sql(
         f"SELECT COUNT(*) FROM '{docs_pq}'").fetchone()[0] // mult
         if planted else 0)
+    if not soundness and not planted:
+        raise ValueError("soundness=False leaves no applicable "
+                         "invariant on a non-replica corpus")
 
     # W1: bit-exact jaccard re-derivation on EVERY emitted pair.
     # tok is materialized ONCE as a temp table — it is joined twice,
     # and an inlined CTE would tokenize the corpus twice (and at 300x
     # spill the box dry).
-    t0 = time.time()
-    con.sql("DROP TABLE IF EXISTS w_tok")
-    con.sql(f"""
+    if not soundness:
+        bad = 0
+        out["w1_soundness"] = (
+            "skipped: candidate topology (no verify stage, no "
+            "jaccard column) — W2 connectivity + W3 boundedness gate")
+        n_pairs = con.sql(
+            f"SELECT COUNT(*) FROM '{pairs_pq}'").fetchone()[0]
+        out["pairs"] = n_pairs
+    if soundness:
+        t0 = time.time()
+        con.sql("DROP TABLE IF EXISTS w_tok")
+        con.sql(f"""
         CREATE TEMP TABLE w_tok AS
         SELECT doc_id,
                list_distinct(list_slice(
                    string_split({_NORM_SQL.format(c='text')}, ' '),
                    1, 10000)) AS tk
         FROM '{docs_pq}'
-    """)
-    bad = con.sql(f"""
+        """)
+        bad = con.sql(f"""
         WITH chk AS (
           SELECT p.jaccard,
                  CASE WHEN len(list_distinct(list_concat(a.tk, b.tk))) > 0
@@ -143,11 +162,12 @@ def witness(con, pairs_pq: str, docs_pq: str, mult: int,
         SELECT COUNT(*) FROM chk
         WHERE j_exact <> jaccard
            OR i_n * {threshold_den} < u_n * {threshold_num}
-    """).fetchone()[0]
-    con.sql("DROP TABLE IF EXISTS w_tok")
-    n_pairs = con.sql(f"SELECT COUNT(*) FROM '{pairs_pq}'").fetchone()[0]
-    out["w1_soundness"] = {"pairs": n_pairs, "violations": bad,
-                           "sec": round(time.time() - t0, 1)}
+        """).fetchone()[0]
+        con.sql("DROP TABLE IF EXISTS w_tok")
+        n_pairs = con.sql(
+            f"SELECT COUNT(*) FROM '{pairs_pq}'").fetchone()[0]
+        out["w1_soundness"] = {"pairs": n_pairs, "violations": bad,
+                               "sec": round(time.time() - t0, 1)}
 
     if not planted:
         out["w2_cluster_connectivity"] = out["w3_boundedness"] = (
@@ -830,7 +850,13 @@ def _keep_list_pair_stage(name: str, spark, sf_dir: str):
 # must carry the wider star.
 QUERY_STAR_K = {
     "q33_minhash_dedup_pairs": 2,
+    "q211_minhash_star2_overcap": 2,
 }
+
+# Raw candidate-topology entries (no verify stage): witnessed with
+# soundness=False — W2 connectivity + W3 boundedness gate, W1 n/a
+# (r16, VERDICT r15 item 7).
+CANDIDATE_QUERIES = {"q211_minhash_star2_overcap"}
 
 # The registry entries' actual bucket caps — W3's ceiling is cap-aware.
 QUERY_MAX_BUCKET = {
@@ -838,6 +864,7 @@ QUERY_MAX_BUCKET = {
     "q208_minhash_ring_overcap": 2,
     "q34_simhash_near_pairs": 1000,
     "q209_simhash_ring_overcap": 2,
+    "q211_minhash_star2_overcap": 2,
 }
 
 # Two-tier sweep protocol (r16, VERDICT r15 item 4): the text-family
@@ -966,7 +993,8 @@ def main() -> int:
                 rec = witness(con, f"{pairs_pq}/*.parquet",
                               f"{args.sf}/documents.parquet", args.mult,
                               tnum, tden, max_bucket=mb,
-                              star_k=QUERY_STAR_K.get(name, 1))
+                              star_k=QUERY_STAR_K.get(name, 1),
+                              soundness=name not in CANDIDATE_QUERIES)
             rec.update({"query": name, "mult": args.mult,
                         "spark_sec": spark_sec})
             print(json.dumps(rec))
