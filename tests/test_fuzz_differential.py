@@ -283,6 +283,55 @@ def test_star2_two_family_bucket(spark, tmp_path_factory):
         "exactly one keeper per family (cross verify must fail at 1/2)"
 
 
+def test_tie_grid_rank_boundary_family(spark, tmp_path_factory):
+    """r16 (VERDICT r15 item 2): the r11 rotation tail is the
+    rank/weight-boundary family (rank-exact percentiles, weighted
+    medians, mode ties, KS steps, quintiles, PPS pointers) — and the
+    only real bugs of r14-r15 came from aged-tail boundary regimes.
+    The tie-grid corpus floods exact-tie plateaus across every rank
+    boundary (13-value events grid, 80% snapped totals, 70% gridded
+    timestamps).  Pins (a) the regime is live: the value domain
+    collapses to the grid and at least one segment's total weight is
+    even (the 2*cw == tw exact-half crossing is reachable), (b) the
+    tail-family representatives match their oracles bit-for-bit on
+    that corpus."""
+    import duckdb
+
+    from flink_s3_read_write_spark.queries import registry
+
+    d = str(tmp_path_factory.mktemp("fuzz") / "tie52")
+    build(d, seed=52, tie_grid=13)
+
+    nv, even_tw = duckdb.sql(f"""
+        SELECT (SELECT COUNT(DISTINCT value)
+                FROM '{d}/events.parquet'),
+               (SELECT COUNT(*) FROM (
+                  SELECT c.c_mktsegment,
+                         SUM((SELECT COUNT(*)
+                              FROM '{d}/lineitem.parquet' l
+                              WHERE l.l_orderkey = o.o_orderkey)) AS tw
+                  FROM '{d}/orders.parquet' o
+                  JOIN '{d}/customer.parquet' c
+                    ON c.c_custkey = o.o_custkey
+                  GROUP BY 1) t WHERE tw % 2 = 0)
+    """).fetchone()
+    assert nv == 13, nv
+    assert even_tw >= 1, "no even-total-weight segment: exact-half " \
+                         "crossing unreachable on this corpus"
+
+    reg = registry()
+    con = connect_oracle(d)
+    bad = []
+    for name in ("q175_quantile_normalize", "q185_interevent_latency",
+                 "q186_weighted_median", "q188_ks_two_sample",
+                 "q193_deterministic_sample", "q194_mode_per_group",
+                 "q196_rfm_segmentation", "q198_pps_systematic_sample"):
+        s, o, _, _ = compare_query(spark, con, reg[name], d)
+        if s != o:
+            bad.append(f"{name}@tie52: spark={s} oracle={o}")
+    assert not bad, "\n".join(bad)
+
+
 def test_all_adversarial_knobs_composed(spark, tmp_path_factory):
     """r15: every corpus-adversarial knob at once — 60 scattered
     clones on a gappy id axis PLUS the two interleaved clone families
