@@ -40,6 +40,62 @@ def davg(col: Column | str, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def round9_exact(num: str, den: str) -> Column:
+    """``round(num/den, 9)`` with HALF_UP (away from zero) computed in
+    EXACT integer arithmetic — the cross-engine-safe form of a rounded
+    rational (r16).
+
+    Why: ``round(double, 9)`` diverges between Spark (HALF_UP on the
+    double's shortest decimal repr) and DuckDB (binary-double scaling)
+    whenever the TRUE quotient's decimal expansion terminates at digit
+    10 with a 5 and the value is not a dyadic rational — probed and
+    measured (1092 divergent boundaries among the u/(2^10*5^k)
+    fraction family alone; the q183/q88 class).  Any rounded output
+    that IS a rational of two in-scope integers therefore rounds the
+    integers, not the double:
+
+        sign(num) * ((2*|num|*10^9 + den) DIV (2*den)) / 1e9
+
+    ``num``/``den`` are SQL expression strings over INTEGER-VALUED
+    columns (pre-scale decimals: cents, micros).  Arithmetic runs in
+    DECIMAL(38,0) (Spark) so products like marginal*marginal never
+    overflow int64; the oracle twin (``round9_exact_sql``) uses
+    HUGEINT.  Width guard (documented, same class as q183's
+    rev_micros): the QUOTIENT |num/den|*1e9 must fit int64, i.e.
+    |value| < 9.2e9 — true for every fraction/ratio/expectation in
+    the registry at any tested SF; Spark's decimal ``div`` narrows to
+    long WITHOUT an ANSI error, so a site whose rounded value could
+    exceed 9.2e9 must not use this helper.  den = 0 yields NULL on
+    both engines — an IMPROVEMENT on the raw form, which raised
+    DIVIDE_BY_ZERO under Spark's ANSI default; no registry site can
+    reach it (denominators are GROUP BY counts >= 1 or NOT-NULL
+    guarded), so this branch is defensive, not semantic.
+    """
+    return F.expr(
+        f"CASE WHEN ({den}) = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE CAST(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END * "
+        f"((CAST(2 AS DECIMAL(38,0)) * abs(CAST(({num}) AS DECIMAL(38,0))) "
+        f"  * 1000000000 + CAST(({den}) AS DECIMAL(38,0))) "
+        f" div (CAST(2 AS DECIMAL(38,0)) * CAST(({den}) AS DECIMAL(38,0)))) "
+        f"AS DOUBLE) / 1.0E9 END"
+    )
+
+
+def round9_exact_sql(num: str, den: str) -> str:
+    """DuckDB twin of :func:`round9_exact` — substitute into oracle
+    SQL strings.  HUGEINT arithmetic; the intermediate never escapes
+    (cast back to BIGINT then DOUBLE), so the pandas-lossy HUGEINT
+    guard in tools/check.py is not tripped."""
+    return (
+        f"CASE WHEN ({den}) = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE CAST(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END * "
+        f"CAST(((CAST(2 AS HUGEINT) * abs(CAST(({num}) AS HUGEINT)) "
+        f"  * 1000000000 + CAST(({den}) AS HUGEINT)) "
+        f" // (CAST(2 AS HUGEINT) * CAST(({den}) AS HUGEINT))) AS BIGINT) "
+        f"AS DOUBLE) / 1e9 END"
+    )
+
+
 def strict_double(col: Column | str, alias: str | None = None) -> Column:
     """Fail-fast numeric cast.
 
