@@ -71,13 +71,20 @@ def round9_exact(num: str, den: str) -> Column:
     reach it (denominators are GROUP BY counts >= 1 or NOT-NULL
     guarded), so this branch is defensive, not semantic.
     """
+    return roundn_exact(num, den, 9)
+
+
+def roundn_exact(num: str, den: str, dp: int) -> Column:
+    """:func:`round9_exact` at an arbitrary decimal grid ``dp``
+    (q3_formatted's reference-faithful 2-dp money mean uses dp=2)."""
+    g = 10 ** dp
     return F.expr(
         f"CASE WHEN ({den}) = 0 THEN CAST(NULL AS DOUBLE) "
         f"ELSE CAST(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END * "
         f"((CAST(2 AS DECIMAL(38,0)) * abs(CAST(({num}) AS DECIMAL(38,0))) "
-        f"  * 1000000000 + CAST(({den}) AS DECIMAL(38,0))) "
+        f"  * {g} + CAST(({den}) AS DECIMAL(38,0))) "
         f" div (CAST(2 AS DECIMAL(38,0)) * CAST(({den}) AS DECIMAL(38,0)))) "
-        f"AS DOUBLE) / 1.0E9 END"
+        f"AS DOUBLE) / {float(g)!r} END"
     )
 
 
@@ -86,13 +93,19 @@ def round9_exact_sql(num: str, den: str) -> str:
     SQL strings.  HUGEINT arithmetic; the intermediate never escapes
     (cast back to BIGINT then DOUBLE), so the pandas-lossy HUGEINT
     guard in tools/check.py is not tripped."""
+    return roundn_exact_sql(num, den, 9)
+
+
+def roundn_exact_sql(num: str, den: str, dp: int) -> str:
+    """DuckDB twin of :func:`roundn_exact`."""
+    g = 10 ** dp
     return (
         f"CASE WHEN ({den}) = 0 THEN CAST(NULL AS DOUBLE) "
         f"ELSE CAST(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END * "
         f"CAST(((CAST(2 AS HUGEINT) * abs(CAST(({num}) AS HUGEINT)) "
-        f"  * 1000000000 + CAST(({den}) AS HUGEINT)) "
+        f"  * {g} + CAST(({den}) AS HUGEINT)) "
         f" // (CAST(2 AS HUGEINT) * CAST(({den}) AS HUGEINT))) AS BIGINT) "
-        f"AS DOUBLE) / 1e9 END"
+        f"AS DOUBLE) / {float(g)!r} END"
     )
 
 

@@ -76,6 +76,25 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # class, now closed at its own documented bound.
     "q88_stats_aggregates",
     "q166_ab_test_ztest",
+    # r16, second wave: EVERY remaining rounded output that is a
+    # rational of in-scope integers moved to the shared exact
+    # HALF_UP helper (functions/numeric.round9_exact + DuckDB twin) —
+    # count fractions, cents ratios, expectation products, chi-square
+    # cells, TWAP, PMI lift, rule confidence/lift, interpolation.
+    # The sqrt/corr/z sites stay double: irrational intermediates
+    # cannot land on a decimal grid boundary.
+    "q169_twap",
+    "q171_benford_audit",
+    "q174_classifier_eval",
+    "q179_contingency_table",
+    "q180_mom_revenue_growth",
+    "q181_markov_transitions",
+    "q187_percent_of_parent",
+    "q188_ks_two_sample",
+    "q191_linear_interpolation",
+    "q195_prefix_filter_ssjoin",
+    "q200_pmi_collocations",
+    "q206_association_rules",
 )
 
 

@@ -26,6 +26,12 @@ from pyspark.sql import functions as F
 from flink_s3_read_write_spark.operators.dedup import (
     DIGEST_LANE2_KEY, DIGEST_P1, DIGEST_P2,
 )
+from flink_s3_read_write_spark.functions.numeric import (
+    round9_exact,
+)
+from flink_s3_read_write_spark.functions.numeric import (
+    round9_exact_sql as _R9,
+)
 from flink_s3_read_write_spark.queries import register
 from flink_s3_read_write_spark.sources.io import load_table
 
@@ -774,11 +780,12 @@ def q197_min_cost_paths(
       CROSS JOIN n
       WHERE 10 * d.s_ab >= sa.s)
     SELECT antecedent, consequent, s_ab, s_a, s_c,
-           round(CAST(s_ab AS DOUBLE) / CAST(s_a AS DOUBLE), 9) AS confidence,
-           round((CAST(s_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE))
-                 / (CAST(s_a AS DOUBLE) * CAST(s_c AS DOUBLE)), 9) AS lift
+           {a} AS confidence,
+           {b} AS lift
     FROM rules
-    """,
+    """.format(a=_R9('s_ab', 's_a'),
+               b=_R9('CAST(s_ab AS HUGEINT) * n_baskets',
+                     'CAST(s_a AS HUGEINT) * s_c')),
     doc=(
         "Association-rule mining (market-basket support / confidence "
         "/ lift) over order baskets - the classic retail co-purchase "
@@ -832,8 +839,10 @@ def q206_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.lit(10) * F.col("s_ab") >= F.col("s_a"))
         .select(
             "antecedent", "consequent", "s_ab", "s_a", "s_c",
-            F.round(conf, 9).alias("confidence"),
-            F.round(lift, 9).alias("lift"),
+            # exact rational rounding (r16, the q88/q183 class)
+            round9_exact("s_ab", "s_a").alias("confidence"),
+            round9_exact("CAST(s_ab AS DECIMAL(38,0)) * n_baskets",
+                         "CAST(s_a AS DECIMAL(38,0)) * s_c").alias("lift"),
         )
     )
 

@@ -24,6 +24,12 @@ from flink_s3_read_write_spark.operators import dedup as D
 from flink_s3_read_write_spark.operators import multimodal as M
 from flink_s3_read_write_spark.operators import similarity as S
 from flink_s3_read_write_spark.operators import textstats as T
+from flink_s3_read_write_spark.functions.numeric import (
+    round9_exact,
+)
+from flink_s3_read_write_spark.functions.numeric import (
+    round9_exact_sql as _R9,
+)
 from flink_s3_read_write_spark.queries import register
 from flink_s3_read_write_spark.sources.io import load_table
 
@@ -4370,12 +4376,14 @@ def q167_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(SUM(CASE WHEN pred = 0 AND act = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
       FROM s)
     SELECT tp, fp, fn, tn,
-           round(CAST(tp AS DOUBLE) / (tp + fp), 9) AS precision,
-           round(CAST(tp AS DOUBLE) / (tp + fn), 9) AS recall,
-           round(2.0 * tp / (2.0 * tp + fp + fn), 9) AS f1,
-           round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 9) AS accuracy
+           {a} AS precision,
+           {b} AS recall,
+           {c} AS f1,
+           {d} AS accuracy
     FROM c
-    """,
+    """.format(a=_R9('tp', 'tp + fp'), b=_R9('tp', 'tp + fn'),
+               c=_R9('2 * tp', '2 * tp + fp + fn'),
+               d=_R9('tp + tn', 'tp + fp + fn + tn')),
     doc=(
         "In-engine model evaluation: a deterministic linear probe "
         "(md5-seeded integer weights, the q102 hash-weight idea on "
@@ -4419,12 +4427,13 @@ def q174_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("tn"),
     )
     tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    # exact rational rounding (r16, the q88/q183 class)
     return c.select(
         "tp", "fp", "fn", "tn",
-        F.round(tp.cast("double") / (tp + fp), 9).alias("precision"),
-        F.round(tp.cast("double") / (tp + fn), 9).alias("recall"),
-        F.round(F.lit(2.0) * tp / (F.lit(2.0) * tp + fp + fn), 9).alias("f1"),
-        F.round((tp + tn).cast("double") / (tp + fp + fn + tn), 9).alias("accuracy"),
+        round9_exact("tp", "tp + fp").alias("precision"),
+        round9_exact("tp", "tp + fn").alias("recall"),
+        round9_exact("2 * tp", "2 * tp + fp + fn").alias("f1"),
+        round9_exact("tp + tn", "tp + fp + fn + tn").alias("accuracy"),
     )
 
 
@@ -4602,7 +4611,7 @@ def q192_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT i.doc_a, i.doc_b,
            CAST(i.i AS BIGINT) AS n_common,
            CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
-           round(CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE), 9)
+           {_R9('i.i', 'sa.n + sb.n - i.i')}
              AS jaccard
     FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
                  JOIN sz sb ON sb.doc_id = i.doc_b
@@ -4704,11 +4713,8 @@ def q195_prefix_filter_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b",
             F.col("i").alias("n_common"),
             F.col("n_a"), F.col("n_b"),
-            F.round(
-                F.col("i").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("i")).cast("double"),
-                9,
-            ).alias("jaccard"),
+            # exact rational rounding (r16, the q88/q183 class)
+            round9_exact("i", "n_a + n_b - i").alias("jaccard"),
         )
     )
 
@@ -4734,6 +4740,7 @@ def q195_prefix_filter_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb AS (SELECT SUM(c_ab) AS nb FROM big),
     lift AS (
       SELECT b.bigram, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+             nu.nu AS nu, nb.nb AS nb2,
              (CAST(b.c_ab AS DOUBLE) * CAST(nu.nu AS DOUBLE)
               * CAST(nu.nu AS DOUBLE))
              / (CAST(nb.nb AS DOUBLE) * CAST(ua.c AS DOUBLE)
@@ -4748,7 +4755,9 @@ def q195_prefix_filter_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lift)
     SELECT CAST(rank AS INTEGER) AS rank, bigram,
            CAST(c_ab AS BIGINT) AS c_ab, CAST(c_a AS BIGINT) AS c_a,
-           CAST(c_b AS BIGINT) AS c_b, round(lift, 9) AS lift
+           CAST(c_b AS BIGINT) AS c_b,
+           {_R9('CAST(c_ab AS HUGEINT) * nu * nu',
+                'CAST(nb2 AS HUGEINT) * c_a * c_b')} AS lift
     FROM r WHERE rank <= 20
     """,
     doc=(
@@ -4822,7 +4831,8 @@ def q200_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ub), "tok_b")
         .crossJoin(nu)
         .crossJoin(nb)
-        .select("bigram", "c_ab", "c_a", "c_b", lift_col.alias("lift"))
+        .select("bigram", "c_ab", "c_a", "c_b", "nu", "nb",
+                lift_col.alias("lift"))
     )
     # Sort+limit first (TakeOrderedAndProject — per-partition top-k,
     # never a single-partition window sort of the full vocab²-bounded
@@ -4834,10 +4844,15 @@ def q200_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.row_number().over(Window.orderBy(F.desc("lift"), "bigram")).alias("rank"),
     )
+    # exact rational rounding (r16): rank keeps the raw double order
+    # (identical on both engines); the EMITTED lift rounds the exact
+    # rational c_ab*Nu^2 / (Nb*c_a*c_b) HALF_UP.
     return r.select(
         F.col("rank").cast("int"),
         "bigram", "c_ab", "c_a", "c_b",
-        F.round("lift", 9).alias("lift"),
+        round9_exact("CAST(c_ab AS DECIMAL(38,0)) * nu * nu",
+                     "CAST(nb AS DECIMAL(38,0)) * c_a * c_b")
+        .alias("lift"),
     )
 
 

@@ -9,7 +9,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_s3_read_write_spark.functions.numeric import dsum
+from flink_s3_read_write_spark.functions.numeric import (
+    dsum,
+    round9_exact,
+)
+from flink_s3_read_write_spark.functions.numeric import (
+    round9_exact_sql as _R9,
+)
 from flink_s3_read_write_spark.queries import register
 from flink_s3_read_write_spark.sources.io import load_table
 from flink_s3_read_write_spark.sql import run_sql
@@ -2409,7 +2415,7 @@ def q168_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q169_twap",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT event_type, value, epoch_us(ts) AS ts_us,
              lead(epoch_us(ts)) OVER (PARTITION BY event_type
@@ -2421,7 +2427,8 @@ def q168_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
              nxt_us - ts_us AS dur
       FROM e WHERE nxt_us IS NOT NULL)
     SELECT event_type,
-           round(CAST(SUM(vw) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE), 9) AS twap,
+           {_R9('CAST(SUM(vw) * 1000000 AS HUGEINT)',
+                'CAST(SUM(dur) AS HUGEINT) * 1000000')} AS twap,
            CAST(SUM(dur) AS BIGINT) AS total_us
     FROM w GROUP BY event_type
     """,
@@ -2458,9 +2465,12 @@ def q169_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("vw").alias("svw"), F.sum("dur").alias("sdur"))
         .select(
             "event_type",
-            F.round(
-                F.col("svw").cast("double") / F.col("sdur").cast("double"), 9
-            ).alias("twap"),
+            # twap = svw/sdur with svw an exact DECIMAL(·,6): scale
+            # both sides by 1e6 to integers and round HALF_UP exactly
+            # (r16 — the probed round(double, 9) divergence class).
+            round9_exact("CAST(svw * 1000000 AS DECIMAL(38,0))",
+                         "CAST(sdur AS DECIMAL(38,0)) * 1000000")
+            .alias("twap"),
             F.col("sdur").cast("bigint").alias("total_us"),
         )
     )
@@ -2519,13 +2529,16 @@ def q170_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q171_benford_audit",
     # Benford expectations are inlined as shared 12-dp literals (NOT
     # engine log10 calls — libm log is not guaranteed identically
-    # rounded across JVMs/C libraries), so every double op here is the
-    # same literal-seeded arithmetic on both engines.
-    oracle="""
-    WITH digits(digit, p) AS (VALUES
-      (1, 0.301029995664), (2, 0.176091259056), (3, 0.124938736608),
-      (4, 0.096910013008), (5, 0.079181246048), (6, 0.066946789631),
-      (7, 0.057991946978), (8, 0.051152522447), (9, 0.045757490561)),
+    # rounded across JVMs/C libraries).  Since r16 the literals are
+    # carried as INTEGER picomils (p * 1e12), so n_expected and
+    # frac_obs are exact rationals rounded HALF_UP in integer
+    # arithmetic — the probed round(double, 9) divergence class
+    # cannot reach them.
+    oracle=f"""
+    WITH digits(digit, pm) AS (VALUES
+      (1, 301029995664), (2, 176091259056), (3, 124938736608),
+      (4, 96910013008), (5, 79181246048), (6, 66946789631),
+      (7, 57991946978), (8, 51152522447), (9, 45757490561)),
     o AS (
       SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
                   AS INTEGER) AS digit
@@ -2533,8 +2546,9 @@ def q170_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM o GROUP BY digit),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM o)
     SELECT d.digit, COALESCE(c.n_obs, 0) AS n_obs,
-           round(CAST(d.p AS DOUBLE) * n.n_total, 9) AS n_expected,
-           round(CAST(COALESCE(c.n_obs, 0) AS DOUBLE) / n.n_total, 9) AS frac_obs
+           {_R9('CAST(d.pm AS HUGEINT) * n.n_total', '1000000000000')}
+             AS n_expected,
+           {_R9('COALESCE(c.n_obs, 0)', 'n.n_total')} AS frac_obs
     FROM digits d LEFT JOIN c ON c.digit = d.digit, n
     """,
     doc=(
@@ -2552,14 +2566,15 @@ def q170_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q171_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integer picomils (p * 1e12) — see the oracle note
     _BENFORD = {
-        1: 0.301029995664, 2: 0.176091259056, 3: 0.124938736608,
-        4: 0.096910013008, 5: 0.079181246048, 6: 0.066946789631,
-        7: 0.057991946978, 8: 0.051152522447, 9: 0.045757490561,
+        1: 301029995664, 2: 176091259056, 3: 124938736608,
+        4: 96910013008, 5: 79181246048, 6: 66946789631,
+        7: 57991946978, 8: 51152522447, 9: 45757490561,
     }
     spark_ = spark
     digits = spark_.createDataFrame(
-        [(d, p) for d, p in _BENFORD.items()], "digit int, p double"
+        [(d, pm) for d, pm in _BENFORD.items()], "digit int, pm long"
     )
     orders = load_table(spark, sf_dir, "orders")
     o = orders.filter(F.col("o_totalprice") >= 1).select(
@@ -2579,10 +2594,9 @@ def q171_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "digit",
             F.col("n_obs").cast("bigint").alias("n_obs"),
-            F.round(F.col("p") * F.col("n_total"), 9).alias("n_expected"),
-            F.round(
-                F.col("n_obs").cast("double") / F.col("n_total"), 9
-            ).alias("frac_obs"),
+            round9_exact("CAST(pm AS DECIMAL(38,0)) * n_total",
+                         "1000000000000").alias("n_expected"),
+            round9_exact("n_obs", "n_total").alias("frac_obs"),
         )
     )
 
@@ -3046,7 +3060,7 @@ def q178_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q179_contingency_table",
-    oracle="""
+    oracle=f"""
     WITH j AS (
       SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
@@ -3056,10 +3070,12 @@ def q178_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct AS (SELECT pri, SUM(n) AS nc FROM cell GROUP BY pri),
     tot AS (SELECT SUM(n) AS nt FROM cell)
     SELECT cell.seg, cell.pri, cell.n,
-           round(CAST(rt.nr * ct.nc AS DOUBLE) / tot.nt, 9) AS n_expected,
-           round((cell.n - CAST(rt.nr * ct.nc AS DOUBLE) / tot.nt)
-                 * (cell.n - CAST(rt.nr * ct.nc AS DOUBLE) / tot.nt)
-                 / (CAST(rt.nr * ct.nc AS DOUBLE) / tot.nt), 9) AS chi2_cell
+           {_R9('CAST(rt.nr AS HUGEINT) * ct.nc', 'tot.nt')} AS n_expected,
+           {_R9('(CAST(cell.n AS HUGEINT) * tot.nt '
+                ' - CAST(rt.nr AS HUGEINT) * ct.nc) '
+                '* (CAST(cell.n AS HUGEINT) * tot.nt '
+                '   - CAST(rt.nr AS HUGEINT) * ct.nc)',
+                'CAST(tot.nt AS HUGEINT) * rt.nr * ct.nc')} AS chi2_cell
     FROM cell JOIN rt USING (seg) JOIN ct USING (pri), tot
     """,
     doc=(
@@ -3086,34 +3102,40 @@ def q179_contingency_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt = cell.groupBy("seg").agg(F.sum("n").alias("nr"))
     ct = cell.groupBy("pri").agg(F.sum("n").alias("nc"))
     tot = cell.agg(F.sum("n").alias("nt"))
-    exp = (F.col("nr") * F.col("nc")).cast("double") / F.col("nt")
+    # Exact rational rounding (r16): n_expected = nr*nc/nt and
+    # chi2_cell = (n*nt - nr*nc)^2 / (nt*nr*nc) — both HALF_UP over
+    # DECIMAL(38,0) integers (the probed round(double, 9) class).
+    dev = ("(CAST(n AS DECIMAL(38,0)) * nt "
+           "- CAST(nr AS DECIMAL(38,0)) * nc)")
     return (
         cell.join(F.broadcast(rt), "seg")
         .join(F.broadcast(ct), "pri")
         .crossJoin(F.broadcast(tot))
         .select(
             "seg", "pri", F.col("n").cast("bigint").alias("n"),
-            F.round(exp, 9).alias("n_expected"),
-            F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, 9).alias("chi2_cell"),
+            round9_exact("CAST(nr AS DECIMAL(38,0)) * nc", "nt")
+            .alias("n_expected"),
+            round9_exact(f"{dev} * {dev}",
+                         "CAST(nt AS DECIMAL(38,0)) * nr * nc")
+            .alias("chi2_cell"),
         )
     )
 
 
 @register(
     "q180_mom_revenue_growth",
-    oracle="""
+    oracle=f"""
     WITH r AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
              SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS rev
       FROM orders GROUP BY 1),
     g AS (
-      SELECT CAST(month AS VARCHAR) AS month,
-             CAST(rev AS DOUBLE) AS revenue,
+      SELECT CAST(month AS VARCHAR) AS month, rev,
              lag(rev) OVER (ORDER BY month) AS prev
       FROM r)
-    SELECT month, round(revenue, 2) AS revenue,
-           round((revenue - CAST(prev AS DOUBLE)) / CAST(prev AS DOUBLE), 9)
-             AS mom_growth
+    SELECT month, round(CAST(rev AS DOUBLE), 2) AS revenue,
+           {_R9('CAST((rev - prev) * 100 AS HUGEINT)',
+                'CAST(prev * 100 AS HUGEINT)')} AS mom_growth
     FROM g WHERE prev IS NOT NULL
     """,
     doc=(
@@ -3136,17 +3158,17 @@ def q180_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("month")
     g = r.select(
         F.col("month").cast("string").alias("month"),
-        F.col("rev").cast("double").alias("revenue"),
+        F.col("rev").alias("rev"),
         F.lag("rev").over(w).alias("prev"),
     ).filter(F.col("prev").isNotNull())
+    # Exact rational rounding (r16): the growth ratio is
+    # cents/cents — HALF_UP over integers, not round(double, 9).
     return g.select(
         "month",
-        F.round("revenue", 2).alias("revenue"),
-        F.round(
-            (F.col("revenue") - F.col("prev").cast("double"))
-            / F.col("prev").cast("double"),
-            9,
-        ).alias("mom_growth"),
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        round9_exact("CAST((rev - prev) * 100 AS DECIMAL(38,0))",
+                     "CAST(prev * 100 AS DECIMAL(38,0))")
+        .alias("mom_growth"),
     )
 
 
@@ -3163,9 +3185,9 @@ def q180_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
     m AS (SELECT src, SUM(n) AS n_src FROM t GROUP BY src)
     SELECT t.src, t.dst, t.n,
-           round(CAST(t.n AS DOUBLE) / m.n_src, 9) AS p
+           {p9} AS p
     FROM t JOIN m USING (src)
-    """,
+    """.format(p9=_R9('t.n', 'm.n_src')),
     doc=(
         "First-order Markov transition matrix over per-user event "
         "streams (the clickstream model behind next-action prediction "
@@ -3195,7 +3217,8 @@ def q181_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.join(F.broadcast(m), "src")
         .select(
             "src", "dst", F.col("n").cast("bigint").alias("n"),
-            F.round(F.col("n").cast("double") / F.col("n_src"), 9).alias("p"),
+            # exact rational rounding (r16, the q88/q183 class)
+            round9_exact("n", "n_src").alias("p"),
         )
     )
 
@@ -3594,10 +3617,13 @@ def q186_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(rev) OVER () AS global_rev
       FROM rev)
     SELECT region, nation, CAST(rev AS DOUBLE) AS revenue,
-           round(CAST(rev AS DOUBLE) / CAST(region_rev AS DOUBLE), 9) AS pct_of_region,
-           round(CAST(rev AS DOUBLE) / CAST(global_rev AS DOUBLE), 9) AS pct_of_global
+           {a} AS pct_of_region,
+           {b} AS pct_of_global
     FROM tot
-    """,
+    """.format(a=_R9('CAST(rev * 100 AS HUGEINT)',
+                        'CAST(region_rev * 100 AS HUGEINT)'),
+                  b=_R9('CAST(rev * 100 AS HUGEINT)',
+                        'CAST(global_rev * 100 AS HUGEINT)')),
     doc=(
         "Hierarchical percent-of-parent: nation revenue as a share of "
         "its region and of the world (the drill-down share readout "
@@ -3631,15 +3657,16 @@ def q187_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").over(wr).alias("region_rev"),
         F.sum("rev").over(wg).alias("global_rev"),
     )
+    # exact rational rounding (r16): shares are cents/cents
     return tot.select(
         "region", "nation",
         F.col("rev").cast("double").alias("revenue"),
-        F.round(
-            F.col("rev").cast("double") / F.col("region_rev").cast("double"), 9
-        ).alias("pct_of_region"),
-        F.round(
-            F.col("rev").cast("double") / F.col("global_rev").cast("double"), 9
-        ).alias("pct_of_global"),
+        round9_exact("CAST(rev * 100 AS DECIMAL(38,0))",
+                     "CAST(region_rev * 100 AS DECIMAL(38,0))")
+        .alias("pct_of_region"),
+        round9_exact("CAST(rev * 100 AS DECIMAL(38,0))",
+                     "CAST(global_rev * 100 AS DECIMAL(38,0))")
+        .alias("pct_of_global"),
     )
 
 
@@ -3670,12 +3697,12 @@ def q187_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(MAX(abs(f1 * n.n2 - f2 * n.n1)) AS BIGINT) AS ks_num
       FROM cum, n)
     SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2, d.ks_num,
-           round(CAST(d.ks_num AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2), 9) AS ks_stat,
+           {k9} AS ks_stat,
            CAST(d.ks_num AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2)
              > 1.36 * sqrt((n.n1 + CAST(n.n2 AS DOUBLE)) / (CAST(n.n1 AS DOUBLE) * n.n2))
              AS drift_detected
     FROM d, n
-    """,
+    """.format(k9=_R9('d.ks_num', 'CAST(n.n1 AS HUGEINT) * n.n2')),
     doc=(
         "Two-sample Kolmogorov-Smirnov drift test between source "
         "groups on document length - the nonparametric "
@@ -3724,7 +3751,11 @@ def q188_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n1").cast("bigint").alias("n1"),
             F.col("n2").cast("bigint").alias("n2"),
             "ks_num",
-            F.round(stat, 9).alias("ks_stat"),
+            # exact rational rounding (r16); the drift compare keeps
+            # the raw double form — its sqrt rhs is irrational, so the
+            # boolean cannot sit on a representable boundary.
+            round9_exact("ks_num", "CAST(n1 AS DECIMAL(38,0)) * n2")
+            .alias("ks_stat"),
             (stat > crit).alias("drift_detected"),
         )
     )
@@ -3936,13 +3967,17 @@ def q190_fuzzy_string_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY t_us, grid_last, event_id NULLS LAST
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
     SELECT event_type, t_us AS grid_us,
-           round(CASE WHEN tn = tp THEN vp
-                      ELSE vp + (vn - vp) * (CAST(t_us - tp AS DOUBLE)
-                                             / CAST(tn - tp AS DOUBLE)) END, 9)
+           CASE WHEN tn = tp THEN round(vp, 9)
+                ELSE {i9} END
              AS interp_value
     FROM f
     WHERE grid_last = 1 AND vp IS NOT NULL AND vn IS NOT NULL
-    """,
+    """.format(i9=_R9(
+        'CAST(CAST(vp AS DECIMAL(20,3)) * 1000 AS HUGEINT) * (tn - tp)'
+        ' + (CAST(CAST(vn AS DECIMAL(20,3)) * 1000 AS HUGEINT)'
+        '    - CAST(CAST(vp AS DECIMAL(20,3)) * 1000 AS HUGEINT))'
+        '   * (t_us - tp)',
+        'CAST(tn - tp AS HUGEINT) * 1000')),
     doc=(
         "Linear-interpolation resampling of an irregular series onto "
         "an hourly grid (the step LOCF/q131 can't do: values BETWEEN "
@@ -4032,12 +4067,22 @@ def q191_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("t_us").alias("grid_us"),
-            F.round(
-                F.when(F.col("tn") == F.col("tp"), F.col("vp")).otherwise(
-                    F.col("vp") + (F.col("vn") - F.col("vp")) * frac
-                ),
-                9,
-            ).alias("interp_value"),
+            # exact rational rounding (r16): the interpolation is
+            # [vp_m*(tn-tp) + (vn_m-vp_m)*(t-tp)] / [1000*(tn-tp)]
+            # over integer millis/micros — and second-grid gaps make
+            # the denominator 2-5-rich, so the 9-dp half boundary is
+            # genuinely reachable here (the q88/q183 class).
+            F.when(
+                F.col("tn") == F.col("tp"), F.round(F.col("vp"), 9)
+            ).otherwise(round9_exact(
+                "CAST(CAST(vp AS DECIMAL(20,3)) * 1000 AS DECIMAL(38,0))"
+                " * (tn - tp)"
+                " + (CAST(CAST(vn AS DECIMAL(20,3)) * 1000 AS DECIMAL(38,0))"
+                "    - CAST(CAST(vp AS DECIMAL(20,3)) * 1000"
+                "           AS DECIMAL(38,0)))"
+                "   * (t_us - tp)",
+                "CAST(tn - tp AS DECIMAL(38,0)) * 1000",
+            )).alias("interp_value"),
         )
     )
 
