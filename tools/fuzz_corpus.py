@@ -132,10 +132,15 @@ def build(out: str, seed: int, scale: int = 1,
       total with mean u'/1024, u' odd — same boundary through the
       DECIMAL(20,6) cast path.
     The count-FRACTION sites (q179/q181-class, n_obs/n_total) stay
-    un-planted: their boundary needs a reduced denominator of
-    2^10*5^9 ~ 2e9 distinct rows — the analytic bound, out of reach
-    by construction, not by corpus accident.  Padded rows keep valid
-    FKs (existing orderkeys / user domain) and in-domain values.
+    un-planted here, but NOT because they are unreachable — a probe
+    found 1092 divergent boundaries in the u/(2^10*5^k) fraction
+    family (any group count divisible by 5120 with the right
+    numerator residue reaches them), which is why the r16 second
+    wave moved every such site to exact integer HALF_UP
+    (functions/numeric.round9_exact); the helper's property test
+    covers the divergent family directly, so a corpus plant per site
+    would be redundant.  Padded rows keep valid FKs (existing
+    orderkeys / user domain) and in-domain values.
 
     ``tie_grid`` (r16, VERDICT r15 item 2 — fuzz attention for the
     rank/weight-boundary tail family: rank-exact percentiles q185/
