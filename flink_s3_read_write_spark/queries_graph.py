@@ -828,10 +828,6 @@ def q206_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("r.antecedent", "r.consequent", "r.s_ab")
     sa = sup.select(F.col("p").alias("antecedent"), F.col("s").alias("s_a"))
     sc = sup.select(F.col("p").alias("consequent"), F.col("s").alias("s_c"))
-    conf = F.col("s_ab").cast("double") / F.col("s_a").cast("double")
-    lift = (F.col("s_ab").cast("double") * F.col("n_baskets").cast("double")) / (
-        F.col("s_a").cast("double") * F.col("s_c").cast("double")
-    )
     return (
         directed.join(F.broadcast(sa), "antecedent")
         .join(F.broadcast(sc), "consequent")

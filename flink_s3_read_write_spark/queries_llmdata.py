@@ -4426,7 +4426,6 @@ def q174_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when((F.col("pred") == 0) & (F.col("act") == 0), 1).otherwise(0))
         .cast("bigint").alias("tn"),
     )
-    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
     # exact rational rounding (r16, the q88/q183 class)
     return c.select(
         "tp", "fp", "fn", "tn",

@@ -4055,9 +4055,6 @@ def q191_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(wn).alias("vn"),
         F.last(t_obs, ignorenulls=True).over(wn).alias("tn"),
     )
-    frac = (F.col("t_us") - F.col("tp")).cast("double") / (
-        F.col("tn") - F.col("tp")
-    ).cast("double")
     return (
         f.filter(
             (F.col("grid_last") == 1)
