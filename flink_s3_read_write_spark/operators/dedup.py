@@ -821,7 +821,12 @@ def connected_components(
     """
     # Both orientations from ONE pass over ``pairs`` — a 2-branch
     # union would compute the (expensive: LSH + verify) pair pipeline
-    # twice before this cache even fills.
+    # twice before this cache even fills.  Cached pre-partitioned on
+    # ``src``, the per-round join key: every round's contribution join
+    # then reuses the cached distribution instead of re-exchanging the
+    # edge table (guide §2.4 — two operations keyed the same way share
+    # one exchange), so only the (vertex-sized) label table moves per
+    # round once labels outgrow the broadcast threshold.
     edges = (
         pairs.select(
             F.explode(
@@ -833,6 +838,7 @@ def connected_components(
         )
         .select("e.src", "e.dst")
         .distinct()
+        .repartition("src")
         .cache()
     )
     labels = (
@@ -841,26 +847,34 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    label_t = labels.schema["label"].dataType.simpleString()
     for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
+        # One round = ONE join + ONE aggregate (r16; was join + agg +
+        # left-join = 3 exchanges + 2 sorts + an SMJ per round): each
+        # vertex's new label is min over {own label} ∪ {in-neighbor
+        # labels}, computed by unioning the label table (tagged with
+        # its own label in ``_own``) with the per-edge contributions
+        # and taking one grouped min.  Identical update rule, so the
+        # round-by-round label sequence — and therefore the fixpoint
+        # AND the round count — are unchanged.
+        contrib = (
+            edges.join(labels, edges.src == labels.id)
+            .select(
+                F.col("dst").alias("id"), "label",
+                F.lit(None).cast(label_t).alias("_own"),
+            )
         )
         # One job per round: the new labels carry a per-row `chg` flag
         # (label strictly decreased), the checkpoint is lazy, and the
         # convergence probe is an agg over it — so a single action both
         # materializes the round's labels and returns whether anything
-        # changed (no second join-the-old-labels pass).
+        # changed.
         new_labels = (
-            labels.join(nbr, labels.id == nbr.src, "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
-                    "label"
-                ),
-                (F.coalesce(F.col("nbr_min"), F.col("label")) < F.col("label")).alias("chg"),
-            )
+            labels.select("id", "label", F.col("label").alias("_own"))
+            .unionByName(contrib)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"), F.min("_own").alias("_old"))
+            .select("id", "label", (F.col("label") < F.col("_old")).alias("chg"))
             .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(F.max("chg")).first()[0]
@@ -988,6 +1002,7 @@ def simhash_near_pairs(
     tok: DataFrame | None = None,
     cap_bucket_prepass: bool = False,
     over_cap: str | None = None, ring_c: int = 2, star_k: int = 1,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -1013,10 +1028,21 @@ def simhash_near_pairs(
     ``minhash_lsh_pairs``, with the simhash carried through the
     window so the Hamming verify still runs in-row.  Ring pairs face
     the SAME ``max_hamming`` filter as bucket pairs.
+
+    ``sig`` (r16) injects a precomputed signature frame (``id_col``,
+    ``simhash: long``) — the shared-cached-builder hook, same
+    CONTRACT as ``cand``/``toks`` on minhash_dedup_pairs_verified: it
+    must equal ``simhash(df, text_col, id_col, hash_src, tok=...)``
+    under the SAME hash engine, e.g. ``queries_llmdata.doc_simhash``.
+    Several registry queries band the same signature table under
+    different bucket knobs; injecting the one cached table means the
+    tokenize→hash→vote aggregation runs once per session, not once
+    per query.  Bit-identical output either way (asserted in
+    tests/test_dedup.py).
     """
     over_cap = _resolve_over_cap(over_cap, cap_bucket_prepass)
     _check_over_cap(over_cap, ring_c, cap_bucket_prepass, star_k)
-    sh = simhash(df, text_col, id_col, hash_src, tok=tok)
+    sh = sig if sig is not None else simhash(df, text_col, id_col, hash_src, tok=tok)
     part_bits = 15 if hash_src == "md5" else 16
     mask = (1 << part_bits) - 1
     parts = [

@@ -141,6 +141,57 @@ def doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
 
+def doc_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct token SET per doc — the token-grain verify sets, cached (r16).
+
+    Exactly ``array_distinct(tokens(text))``, the frame
+    minhash_dedup_pairs_verified rebuilds from raw text whenever
+    ``verify_on="tokens"`` and no ``toks`` is injected.  Four registry
+    queries (q33/q208/q210/q212) verify at the token grain, and before
+    r16 each re-ran the normalize+tokenize regex pass per query;
+    deriving from the cached doc_tokens table makes the marginal cost
+    one array_distinct projection.  Values are identical by
+    construction (same Catalyst expressions over the same rows)."""
+    return doc_tokens(spark, sf_dir).select(
+        "doc_id", F.array_distinct("w").alias("toks")
+    ).cache()
+
+
+def ring_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q208/q210 shared LSH candidate pipeline, cached (r16).
+
+    The forced-over-cap knob set (max_bucket=2, over_cap="ring",
+    ring_c=2) under the production 16x4 banding: q208 emits the
+    verified pairs and q210 the keep-list composite of the SAME
+    candidate set, and before r16 each rebuilt the full signature →
+    banding → split → ring pipeline.  Same CacheManager discipline as
+    minhash_candidates (q33/q54)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, **MINHASH_KW,
+        max_bucket=2, over_cap="ring", ring_c=2,
+        shingle_sets=doc_shingle_sets(spark, sf_dir),
+    ).cache()
+
+
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit md5-engine SimHash signature per doc, cached (r16).
+
+    The tokenize → md5-hash → SWAR vote aggregation is the dominant
+    cost of both SimHash queries (q34, q209); they differ only in the
+    banding bucket cap, which applies strictly AFTER the signature, so
+    one cached signature table serves both (the ``sig`` injection hook
+    on dedup.simhash_near_pairs — bit-identity with the uninjected
+    path is asserted in tests/test_dedup.py)."""
+    return D.simhash(
+        load_table(spark, sf_dir, "documents"),
+        hash_src="md5",
+        tok=doc_tokens(spark, sf_dir).select(
+            "doc_id", F.explode("w").alias("tok")
+        ),
+    ).cache()
+
+
 @register(
     "q30_dedup_exact",
     oracle="""
@@ -331,6 +382,7 @@ def q33_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_pairs_verified(
         docs, threshold=0.5, **MINHASH_KW,
         cand=minhash_candidates(spark, sf_dir),
+        toks=doc_token_sets(spark, sf_dir),
     )
 
 
@@ -442,8 +494,8 @@ def q208_minhash_ring_overcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_dedup_pairs_verified(
         docs, threshold=0.5, **MINHASH_KW,
-        max_bucket=2, over_cap="ring", ring_c=2,
-        shingle_sets=doc_shingle_sets(spark, sf_dir),
+        cand=ring_candidates(spark, sf_dir),
+        toks=doc_token_sets(spark, sf_dir),
     )
 
 
@@ -536,15 +588,13 @@ def q208_minhash_ring_overcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q34_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # token explode off the shared cached doc_tokens table — the
-    # tokenize pass is q34's dominant cost (SCALE.md r09 A/B) and it
-    # now runs once per session across the whole text family
+    # signature off the shared cached doc_simhash table (r16; the
+    # tokenize+vote aggregation is q34's dominant cost and is shared
+    # with q209, which bands the SAME signatures under a forced cap)
     return D.simhash_near_pairs(
         load_table(spark, sf_dir, "documents"),
         hash_src="md5",
-        tok=doc_tokens(spark, sf_dir).select(
-            "doc_id", F.explode("w").alias("tok")
-        ),
+        sig=doc_simhash(spark, sf_dir),
     )
 
 
@@ -641,9 +691,7 @@ def q209_simhash_ring_overcap(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         hash_src="md5",
         max_bucket=2, over_cap="ring", ring_c=2,
-        tok=doc_tokens(spark, sf_dir).select(
-            "doc_id", F.explode("w").alias("tok")
-        ),
+        sig=doc_simhash(spark, sf_dir),
     )
 
 
@@ -1198,8 +1246,8 @@ def q210_keep_list_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         threshold_frac=(1, 2),
         **MINHASH_KW,
-        max_bucket=2, over_cap="ring", ring_c=2,
-        shingle_sets=doc_shingle_sets(spark, sf_dir),
+        cand=ring_candidates(spark, sf_dir),
+        toks=doc_token_sets(spark, sf_dir),
     )
 
 
@@ -1313,6 +1361,19 @@ STAR2_KW: dict = {
 }
 
 
+def star2_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q211/q212 shared STAR2_KW candidate pipeline, cached (r16).
+
+    q211 IS this candidate set (the pure-topology gate) and q212
+    verifies + clusters it; before r16 each rebuilt the 16x1-banding
+    signature → split → ring+star pipeline.  Same CacheManager
+    discipline as minhash_candidates / ring_candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, **STAR2_KW, shingle_sets=doc_shingle_sets(spark, sf_dir),
+    ).cache()
+
+
 @register(
     "q211_minhash_star2_overcap",
     # Pure candidate-TOPOLOGY gate for the widened star: output is the
@@ -1338,10 +1399,7 @@ STAR2_KW: dict = {
     ),
 )
 def q211_minhash_star2_overcap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(
-        docs, **STAR2_KW, shingle_sets=doc_shingle_sets(spark, sf_dir),
-    )
+    return star2_candidates(spark, sf_dir)
 
 
 @register(
@@ -1400,7 +1458,8 @@ def q212_keep_list_star2(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         threshold_frac=(1, 2),
         **STAR2_KW,
-        shingle_sets=doc_shingle_sets(spark, sf_dir),
+        cand=star2_candidates(spark, sf_dir),
+        toks=doc_token_sets(spark, sf_dir),
     )
 
 

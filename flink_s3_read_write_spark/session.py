@@ -117,8 +117,10 @@ def release_shared_builders(spark: SparkSession) -> None:
     """Release every session-lifetime shared materialization at once.
 
     The shared builders (doc_tokens / doc_shingle_sets /
-    minhash_candidates in queries_llmdata, customer_parts /
-    basket_po / basket_pairs / purchase_edges in queries_graph)
+    doc_token_sets / doc_simhash / minhash_candidates /
+    ring_candidates / star2_candidates in queries_llmdata,
+    customer_parts / basket_po / basket_pairs / purchase_edges in
+    queries_graph)
     ``.cache()`` per call and rely on the plan-keyed CacheManager to
     dedupe — they deliberately have no per-builder unpersist, because
     mid-session eviction would silently double-execute every

@@ -383,6 +383,25 @@ def test_md5_simhash_near_pairs(docs):
     assert not any(5 in p for p in got)
 
 
+def test_simhash_sig_injection_bit_identical(docs):
+    """r16 ``sig`` hook contract: injecting a precomputed signature
+    frame built by the SAME engine (dedup.simhash) yields pairs
+    bit-identical to the uninjected path, under production knobs and
+    under the forced-cap ring knobs (q209's shape)."""
+    sig = D.simhash(docs, hash_src="md5")
+    for kw in (
+        {},
+        {"max_bucket": 2, "over_cap": "ring", "ring_c": 2},
+    ):
+        base = sorted(
+            map(tuple, D.simhash_near_pairs(docs, hash_src="md5", **kw).collect())
+        )
+        injected = sorted(
+            map(tuple, D.simhash_near_pairs(docs, hash_src="md5", sig=sig, **kw).collect())
+        )
+        assert injected == base
+
+
 def test_md5_short_docs_excluded_from_lsh_banding(spark):
     df = spark.createDataFrame(
         [(1, "one two"), (2, "alpha beta"), (3, "x"), (4, "")],
