@@ -715,6 +715,7 @@ def minhash_dedup_pairs_verified(
     threshold_frac: tuple[int, int] | None = None,
     cand: DataFrame | None = None,
     toks: DataFrame | None = None,
+    scores: DataFrame | None = None,
     **kwargs,
 ) -> DataFrame:
     """LSH candidates re-verified with exact Jaccard ≥ threshold.
@@ -747,6 +748,52 @@ def minhash_dedup_pairs_verified(
     silently reflects a different LSH family.  Callers should derive
     both from one shared parameter dict (``queries_llmdata.
     MINHASH_KW`` is the registry's single source of truth).
+
+    ``scores`` (r16) injects the pre-threshold verify-score table —
+    ``minhash_verify_scores`` output, the shared-cached-builder hook
+    one level above ``cand``/``toks``: the expensive candidate⋈sets
+    join with the exact |∩|/|∪| counts runs once per session when two
+    registry queries verify the SAME (cand, toks) under different
+    threshold forms (q208's double compare vs q210's integer
+    cross-multiplication).  Each caller's own threshold predicate
+    still runs verbatim over the exact integer counts, so outputs are
+    bit-identical to the uninjected path.  Same trust contract as
+    ``cand``/``toks``.
+    """
+    id_col = kwargs.get("id_col", "doc_id")
+    if scores is None:
+        scores = minhash_verify_scores(
+            df, verify_on=verify_on, cand=cand, toks=toks, **kwargs
+        )
+    inter_n = F.col("_in")
+    union_n = F.col("_un")
+    jac = F.when(union_n > 0, inter_n.cast("double") / union_n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    if threshold_frac is not None:
+        num, den = threshold_frac
+        keep = (union_n > 0) & (inter_n * F.lit(den) >= union_n * F.lit(num))
+    else:
+        keep = jac >= threshold
+    return scores.filter(keep).select("id_a", "id_b", jac.alias("jaccard"))
+
+
+def minhash_verify_scores(
+    df: DataFrame, *,
+    verify_on: str = "tokens",
+    cand: DataFrame | None = None,
+    toks: DataFrame | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Exact per-candidate-pair set counts: (id_a, id_b, _in, _un).
+
+    The verify stage of ``minhash_dedup_pairs_verified`` WITHOUT the
+    threshold filter — the candidates⋈comparison-sets join plus the
+    exact intersection/union sizes, which is the whole cost of the
+    verify.  Split out (r16) so a session can cache it once and apply
+    several different threshold predicates over the same exact
+    integer counts.  ``cand``/``toks`` carry the r08 injection
+    contract documented on ``minhash_dedup_pairs_verified``.
     """
     id_col = kwargs.get("id_col", "doc_id")
     text_col = kwargs.get("text_col", "text")
@@ -785,18 +832,13 @@ def minhash_dedup_pairs_verified(
             toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b")), "id_b"
         )
     )
-    inter_n = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("long")
-    union_n = F.size(F.array_union(F.col("toks_a"), F.col("toks_b"))).cast("long")
-    jac = F.when(union_n > 0, inter_n.cast("double") / union_n.cast("double")).otherwise(
-        F.lit(0.0)
+    return joined.select(
+        "id_a", "id_b",
+        F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+        .cast("long").alias("_in"),
+        F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+        .cast("long").alias("_un"),
     )
-    joined = joined.withColumn("jaccard", jac)
-    if threshold_frac is not None:
-        num, den = threshold_frac
-        keep = (union_n > 0) & (inter_n * F.lit(den) >= union_n * F.lit(num))
-    else:
-        keep = F.col("jaccard") >= threshold
-    return joined.filter(keep).select("id_a", "id_b", "jaccard")
 
 
 def connected_components(

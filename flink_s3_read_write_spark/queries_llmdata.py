@@ -174,6 +174,23 @@ def ring_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
 
+def ring_verify_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q208/q210 shared verify-score table, cached (r16 wave 2).
+
+    The candidates⋈token-sets join with exact |∩|/|∪| counts over the
+    shared ring_candidates — the dominant cost of BOTH queries after
+    the candidate pipeline is shared.  q208 filters it with the double
+    compare and q210's keep-list with the integer cross-multiplication;
+    both predicates run verbatim over the same exact counts, so each
+    query's output is unchanged (dedup.minhash_dedup_pairs_verified
+    ``scores`` hook)."""
+    return D.minhash_verify_scores(
+        load_table(spark, sf_dir, "documents"),
+        cand=ring_candidates(spark, sf_dir),
+        toks=doc_token_sets(spark, sf_dir),
+    ).cache()
+
+
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit md5-engine SimHash signature per doc, cached (r16).
 
@@ -494,8 +511,7 @@ def q208_minhash_ring_overcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_dedup_pairs_verified(
         docs, threshold=0.5, **MINHASH_KW,
-        cand=ring_candidates(spark, sf_dir),
-        toks=doc_token_sets(spark, sf_dir),
+        scores=ring_verify_scores(spark, sf_dir),
     )
 
 
@@ -1246,8 +1262,7 @@ def q210_keep_list_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         threshold_frac=(1, 2),
         **MINHASH_KW,
-        cand=ring_candidates(spark, sf_dir),
-        toks=doc_token_sets(spark, sf_dir),
+        scores=ring_verify_scores(spark, sf_dir),
     )
 
 

@@ -118,7 +118,8 @@ def release_shared_builders(spark: SparkSession) -> None:
 
     The shared builders (doc_tokens / doc_shingle_sets /
     doc_token_sets / doc_simhash / minhash_candidates /
-    ring_candidates / star2_candidates in queries_llmdata,
+    ring_candidates / ring_verify_scores / star2_candidates in
+    queries_llmdata,
     customer_parts / basket_po / basket_pairs / purchase_edges in
     queries_graph)
     ``.cache()`` per call and rely on the plan-keyed CacheManager to

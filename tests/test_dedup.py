@@ -402,6 +402,23 @@ def test_simhash_sig_injection_bit_identical(docs):
         assert injected == base
 
 
+def test_verify_scores_injection_bit_identical(docs):
+    """r16 ``scores`` hook contract: verifying through a precomputed
+    minhash_verify_scores table yields pairs bit-identical to the
+    inline path, under BOTH threshold forms (double compare and
+    integer cross-multiplication) — the q208/q210 sharing shape."""
+    scores = D.minhash_verify_scores(docs)
+    for kw in ({"threshold": 0.5}, {"threshold": 0.5, "threshold_frac": (1, 2)}):
+        base = sorted(
+            map(tuple, D.minhash_dedup_pairs_verified(docs, **kw).collect())
+        )
+        injected = sorted(
+            map(tuple, D.minhash_dedup_pairs_verified(docs, scores=scores, **kw).collect())
+        )
+        assert injected == base
+        assert base, "hook test must exercise a non-empty pair set"
+
+
 def test_md5_short_docs_excluded_from_lsh_banding(spark):
     df = spark.createDataFrame(
         [(1, "one two"), (2, "alpha beta"), (3, "x"), (4, "")],
