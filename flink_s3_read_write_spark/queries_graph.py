@@ -33,7 +33,7 @@ from flink_s3_read_write_spark.functions.numeric import (
     round9_exact_sql as _R9,
 )
 from flink_s3_read_write_spark.queries import register
-from flink_s3_read_write_spark.sources.io import load_table
+from flink_s3_read_write_spark.sources.io import load_table, shared_builder
 
 # Shared bipartite purchase-graph edge build (both directions, int
 # node ids).  The oracle twin of this CTE prefix is _E_SQL below.
@@ -101,6 +101,7 @@ def cap_baskets(df: DataFrame, key: str, max_basket: int = MAX_BASKET) -> DataFr
     return df.join(F.broadcast(whales), key, "left_anti")
 
 
+@shared_builder
 def customer_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (c=custkey, p=partkey) purchase set, cached.
 
@@ -119,6 +120,7 @@ def customer_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@shared_builder
 def basket_po(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (o=orderkey, p=partkey) basket table, cached.
 
@@ -133,6 +135,7 @@ def basket_po(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@shared_builder
 def basket_pairs(
     spark: SparkSession, sf_dir: str, max_basket: int = MAX_BASKET
 ) -> DataFrame:
@@ -163,6 +166,7 @@ def basket_pairs(
     )
 
 
+@shared_builder
 def purchase_edges(spark: SparkSession, sf_dir: str, partition_by_u: bool = True) -> DataFrame:
     """Both-direction (u, v) bigint edge table of the purchase graph.
 

@@ -31,7 +31,7 @@ from flink_s3_read_write_spark.functions.numeric import (
     round9_exact_sql as _R9,
 )
 from flink_s3_read_write_spark.queries import register
-from flink_s3_read_write_spark.sources.io import load_table
+from flink_s3_read_write_spark.sources.io import load_table, shared_builder
 
 _NORM_SQL = (
     "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
@@ -79,6 +79,7 @@ MINHASH_KW: dict = {"hash_src": "md5", "shingle_k": 3}
 # accumulates (ADVICE r08).
 
 
+@shared_builder
 def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH candidate pairs (id_a < id_b) on the md5 engine, cached.
 
@@ -105,6 +106,7 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
 
+@shared_builder
 def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, w: array<string>) tokenized corpus, cached (r09).
 
@@ -123,6 +125,7 @@ def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", D.tokens(F.col("text")).alias("w")).cache()
 
 
+@shared_builder
 def doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct MINHASH_KW['shingle_k']-word shingle set per doc, cached.
 
@@ -141,6 +144,7 @@ def doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
 
+@shared_builder
 def doc_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct token SET per doc — the token-grain verify sets, cached (r16).
 
@@ -157,6 +161,7 @@ def doc_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
 
+@shared_builder
 def ring_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q208/q210 shared LSH candidate pipeline, cached (r16).
 
@@ -174,6 +179,7 @@ def ring_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
 
+@shared_builder
 def ring_verify_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q208/q210 shared verify-score table, cached (r16 wave 2).
 
@@ -191,6 +197,7 @@ def ring_verify_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
 
+@shared_builder
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit md5-engine SimHash signature per doc, cached (r16).
 
@@ -1376,6 +1383,7 @@ STAR2_KW: dict = {
 }
 
 
+@shared_builder
 def star2_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q211/q212 shared STAR2_KW candidate pipeline, cached (r16).
 

@@ -96,20 +96,22 @@ def build_session(
 
 def reset_plan_memos() -> None:
     """Clear the Python-side plan-keyed memos (fan_out split counts,
-    IVF centroids).
+    IVF centroids, shared-builder DataFrame handles).
 
     ``spark.catalog.clearCache()`` only unpersists JVM-side cached
-    relations; these two module dicts live in the driver's Python
+    relations; these module dicts live in the driver's Python
     process and would otherwise survive a cache reset (ADVICE r09).
-    Both memos are perf-or-recall-only (fan_out: partition-count
-    guard; IVF: trained centroids), so clearing is always safe and
-    needed only when files under an already-read path were rewritten
-    in place mid-session.
+    All are perf-or-recall-only (fan_out: partition-count guard; IVF:
+    trained centroids; builder memo: analyzed plan HANDLES, r16 — the
+    plans reference paths, not file contents), so clearing is always
+    safe and needed only when files under an already-read path were
+    rewritten in place mid-session.
     """
     from flink_s3_read_write_spark.operators import similarity
     from flink_s3_read_write_spark.sources import io
 
     io._FAN_OUT_SPLITS.clear()
+    io._BUILDER_MEMO.clear()
     similarity._IVF_CENTROIDS.clear()
 
 

@@ -162,6 +162,69 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
 _FAN_OUT_SPLITS: dict[tuple[str, int], int] = {}
 
 
+def shared_builder(fn):
+    """Memoize a shared-cached-builder's DataFrame HANDLE per
+    (session, sf_dir, knobs) — a plan memo, never a result memo (r16).
+
+    The builders construct large expression trees (SWAR vote lanes,
+    md5 banding, LSH splits) and PySpark analyzes the growing tree
+    eagerly on every transformation, so merely RE-CONSTRUCTING a
+    builder costs driver time on every consumer call of every
+    execution (measured 1.3-1.4 s per doc_simhash reconstruction at
+    any SF — it is plan-size-, not data-, dependent; guide §7.3's
+    planning-time trap).  Returning the one analyzed DataFrame makes
+    later calls free while changing nothing the engine executes: the
+    plan is identical by construction (the plan-keyed CacheManager
+    already deduped the materialization; this dedupes the analysis).
+
+    Keyed by ``applicationId`` like ``_FAN_OUT_SPLITS`` above, so a
+    new session can never see a dead session's handles; cleared by
+    ``session.reset_plan_memos`` alongside the other plan memos.
+    Execution semantics are untouched: ``spark.catalog.clearCache()``
+    unpersists the JVM-side data and the memoized handle simply
+    re-materializes from parquet on next use.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, sf_dir, *args, **kwargs):
+        try:
+            app = spark.sparkContext.applicationId
+        except Exception:
+            return fn(spark, sf_dir, *args, **kwargs)
+        key = (app, fn.__module__, fn.__qualname__, sf_dir, args,
+               tuple(sorted(kwargs.items())))
+        df = _BUILDER_MEMO.get(key)
+        if df is None:
+            df = fn(spark, sf_dir, *args, **kwargs)
+            if len(_BUILDER_MEMO) >= 4096:
+                _BUILDER_MEMO.clear()
+            _BUILDER_MEMO[key] = df
+        else:
+            # A bare ``spark.catalog.clearCache()`` (check.py's
+            # per-query isolation, plan_budget's cold derivation,
+            # several tests) drops the CacheManager entries; before the
+            # memo existed every builder call re-ran its body and so
+            # re-registered its own cache AND its nested builders'
+            # (doc_token_sets→doc_tokens, basket_pairs→basket_po).  A
+            # shallow re-``.cache()`` of the outer handle would leave
+            # the inner ones unregistered and change the cold plan
+            # shapes plan_budget pins — so when the handle is found
+            # uncached, re-run the body: the nested wrappers cascade
+            # the same check.  Steady state (no clearCache — the bench)
+            # pays one CacheManager lookup, never a reconstruction.
+            lvl = df.storageLevel
+            if not (lvl.useMemory or lvl.useDisk or lvl.useOffHeap):
+                df = fn(spark, sf_dir, *args, **kwargs)
+                _BUILDER_MEMO[key] = df
+        return df
+    return wrapper
+
+
+# (applicationId, module, builder, sf_dir, knobs) -> DataFrame handle.
+_BUILDER_MEMO: dict = {}
+
+
 def read_text_lines(spark: SparkSession, path: str, *, streaming: bool = False) -> DataFrame:
     """A1/A2: one row per line, single ``value: string`` column.
 

@@ -513,6 +513,35 @@ def test_minhash_shared_builders_materialize_once(spark):
         spark.catalog.clearCache()
 
 
+def test_shared_builder_memo_returns_one_handle(spark):
+    """r16 plan memo: repeated builder calls in one session return the
+    SAME analyzed DataFrame handle (the reconstruction cost was pure
+    driver-side re-analysis), keyed per (session, builder, sf_dir),
+    and reset_plan_memos() drops the handles."""
+    from flink_s3_read_write_spark import queries_llmdata as QL
+    from flink_s3_read_write_spark.session import reset_plan_memos
+    from flink_s3_read_write_spark.sources import io as sio
+
+    reset_plan_memos()
+    try:
+        a = QL.doc_tokens(spark, "/root/testdata/sf0.001")
+        b = QL.doc_tokens(spark, "/root/testdata/sf0.001")
+        assert a is b
+        c = QL.doc_tokens(spark, "/root/testdata/sf0.01")
+        assert c is not a  # sf_dir is part of the key
+        reset_plan_memos()
+        assert not sio._BUILDER_MEMO
+        d = QL.doc_tokens(spark, "/root/testdata/sf0.001")
+        assert d is not a
+        # the handle stays usable across a JVM cache reset: clearCache
+        # unpersists data, the memoized plan just re-materializes.
+        spark.catalog.clearCache()
+        assert d.count() == a.count() > 0
+    finally:
+        reset_plan_memos()
+        spark.catalog.clearCache()
+
+
 def test_q195_reads_shared_shingle_cache(spark):
     """r09: q195's prefix-filter SSJoin derives its shingle postings
     from the shared doc_shingle_sets builder (the table q33/q54 also
