@@ -107,11 +107,14 @@ def reset_plan_memos() -> None:
     safe and needed only when files under an already-read path were
     rewritten in place mid-session.
     """
+    from flink_s3_read_write_spark import sql
     from flink_s3_read_write_spark.operators import similarity
     from flink_s3_read_write_spark.sources import io
 
     io._FAN_OUT_SPLITS.clear()
     io._BUILDER_MEMO.clear()
+    io._TABLE_MEMO.clear()
+    sql._VIEWS_REGISTERED.clear()
     similarity._IVF_CENTROIDS.clear()
 
 

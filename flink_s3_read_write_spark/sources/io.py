@@ -64,9 +64,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     must remain active when the lazy plan later re-reads footers at
     action time), so any later read of third-party nanos parquet in
     the same session also decodes as bigint rather than erroring.
+
+    The resolved DataFrame HANDLE is memoized per (applicationId,
+    sf_dir, name) — r16: ``spark.read.parquet`` lists files and reads
+    a footer for schema on EVERY call, tens of ms per table per query
+    that add up across a 212-query session.  Same plan-memo
+    discipline and caveat as ``_FAN_OUT_SPLITS``/``_BUILDER_MEMO``:
+    identical plan by construction, rewrites-in-place under an
+    already-read path need ``session.reset_plan_memos``.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        return _load_table_fresh(spark, sf_dir, name)
+    key = (app, sf_dir, name)
+    df = _TABLE_MEMO.get(key)
+    if df is None:
+        df = _load_table_fresh(spark, sf_dir, name)
+        if len(_TABLE_MEMO) >= 4096:
+            _TABLE_MEMO.clear()
+        _TABLE_MEMO[key] = df
+    elif name == "events":
+        # keep the documented side effect alive even on memo hits (a
+        # caller may have unset it; the lazy plan needs it at action)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return df
+
+
+# (applicationId, sf_dir, table) -> resolved scan DataFrame handle.
+_TABLE_MEMO: dict = {}
+
+
+def _load_table_fresh(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))

@@ -15,9 +15,28 @@ from flink_s3_read_write_spark.sources.io import TABLES, load_table
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Expose every synthetic table as a temp view for spark.sql."""
+    """Expose every synthetic table as a temp view for spark.sql.
+
+    Registration is skipped when this session's views already point at
+    ``sf_dir`` (r16): every SQL-text query calls this, and re-running
+    ten catalog registrations per call is pure per-query driver
+    overhead.  A different ``sf_dir`` re-registers (the views must
+    follow the corpus), and ``session.reset_plan_memos`` clears the
+    marker along with the other plan memos."""
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = None
+    if app is not None and _VIEWS_REGISTERED.get(app) == sf_dir:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    if app is not None:
+        _VIEWS_REGISTERED[app] = sf_dir
+
+
+# applicationId -> sf_dir whose tables the session's views expose.
+_VIEWS_REGISTERED: dict[str, str] = {}
 
 
 def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:

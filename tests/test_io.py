@@ -519,3 +519,27 @@ def test_fan_out_passthrough_when_jvm_handles_unavailable(spark):
         assert io_mod.fan_out(narrow) is narrow
     finally:
         narrow._jdf = real
+
+
+def test_load_table_memo_contract(spark):
+    """r16 scan-handle memo: one resolved DataFrame per (session,
+    sf_dir, table); different sf_dirs get different handles; the
+    events nanosAsLong side effect survives memo hits even after a
+    caller unsets it; reset_plan_memos drops the handles."""
+    from flink_s3_read_write_spark.session import reset_plan_memos
+
+    reset_plan_memos()
+    try:
+        a = io.load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        assert io.load_table(spark, "/root/testdata/sf0.001", "lineitem") is a
+        assert io.load_table(spark, "/root/testdata/sf0.01", "lineitem") is not a
+        ev = io.load_table(spark, "/root/testdata/sf0.001", "events")
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        ev2 = io.load_table(spark, "/root/testdata/sf0.001", "events")
+        assert ev2 is ev
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+        assert ev2.count() > 0  # lazy plan decodes with the re-asserted flag
+        reset_plan_memos()
+        assert io.load_table(spark, "/root/testdata/sf0.001", "lineitem") is not a
+    finally:
+        reset_plan_memos()
