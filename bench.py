@@ -43,6 +43,14 @@ clear the cache per query so a warm cache can never mask a wrong
 plan.  ``SPARK_GRAFT_BENCH_ISOLATED=1`` restores the old
 clear-per-query policy for an apples-to-apples cold comparison (the
 sidecar then records ``cache_policy: isolated``).
+
+Scaling contract (r17): the output additionally records the RESOLVED
+parallelism (master, ``sc.defaultParallelism``, shuffle partitions)
+and the wall time of an untimed fixed-work CPU probe, so a run at a
+different ``$SPARK_GRAFT_CPUS`` proves it actually ran on fewer
+cores; such runs write their per-query sidecar to
+``BENCH_QUERIES.c<N>.json`` instead of the canonical baseline file.
+Neither addition changes what or how queries are timed.
 """
 
 from __future__ import annotations
@@ -73,6 +81,20 @@ def main() -> int:
     reg = registry()
     names = sys.argv[1:] or sorted(reg)
 
+    # Resolved-parallelism facts (r17): the r16 PERF review could not
+    # distinguish "sf0.1 queries are fixed-overhead-bound" from "the
+    # bench ignores $SPARK_GRAFT_CPUS" because nothing in the output
+    # PROVED what parallelism the session resolved.  Emit it — plus a
+    # core-sensitive CPU probe below — so low-vs-high core runs are
+    # self-describing.  Queries/timing methodology unchanged.
+    parallelism = {
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
+        "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
+        "os_cpus": os.cpu_count(),
+    }
+
     # Warm-up: JVM classloading + first-parquet-footer costs land here.
     try:
         run_one(reg[names[0]].fn, spark, sf_dir)
@@ -102,6 +124,34 @@ def main() -> int:
             "spark.sql.shuffle.partitions"))).select(
             _warm(F.col("id").cast("double"))).write.format("noop").mode(
             "overwrite").save()
+    except Exception:
+        pass
+    # CPU scaling probe (r17, untimed relative to the queries): a
+    # fixed-work, embarrassingly-parallel JVM job — 512M rows through a
+    # 32-deep xxhash64 chain in 256 partitions, no shuffle — whose wall
+    # time scales ~1/cores (measured 4.6 s on local[32] vs 14.2 s on
+    # local[8], ratio 3.1x for a 4x core cut; smaller workloads drown
+    # in per-task overhead).  Recorded in the sidecar + stdout so a
+    # low-core driver run demonstrably resolves fewer cores (the probe
+    # slows ~linearly) even when the sf0.1 per-query numbers are flat
+    # with fixed per-stage overhead.  Runs AFTER the JVM warm-ups so it
+    # is not polluted by codegen/classloading storms; its time is NOT
+    # added to any query nor to the reported total.
+    cpu_probe_sec = None
+    try:
+        from pyspark.sql import functions as F
+
+        spark.sparkContext.setJobDescription("cpu_scaling_probe")
+        h = F.col("id")
+        for _ in range(32):
+            h = F.xxhash64(h)
+        t0 = time.time()
+        # max(), not sum(): summing 512M xxhash64 longs overflows under
+        # ANSI mode and would silently null the probe.
+        spark.range(0, 512_000_000, 1, 256).select(h.alias("h")).agg(
+            F.max("h")).write.format("noop").mode("overwrite").save()
+        cpu_probe_sec = round(time.time() - t0, 3)
+        spark.sparkContext.setJobDescription(None)
     except Exception:
         pass
 
@@ -184,10 +234,17 @@ def main() -> int:
     # tools/bench_diff.py and the round protocol diff against (the r07
     # incident: a 6-query re-bench replaced the committed 207-entry
     # sidecar).
+    # Non-default-CPU runs additionally divert to their own sidecar
+    # (r17, VERDICT r16 #4): the driver's low-core scaling pass used to
+    # clobber the canonical full-core baseline in the working tree,
+    # silently invalidating every cross-round per-query diff.
+    cpus = parallelism["default_parallelism"]
     if sys.argv[1:]:
         sidecar_name = "BENCH_QUERIES.partial.json"
     elif isolated:
         sidecar_name = "BENCH_QUERIES.isolated.json"  # never the baseline
+    elif cpus != (os.cpu_count() or cpus):
+        sidecar_name = f"BENCH_QUERIES.c{cpus}.json"  # never the baseline
     else:
         sidecar_name = "BENCH_QUERIES.json"
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), sidecar_name)
@@ -195,6 +252,8 @@ def main() -> int:
         json.dump(
             {"sf": sf, "n_queries": len(times), "failed": failed,
              "cache_policy": "isolated" if isolated else "session-persistent (r08+)",
+             "cpus": cpus, "parallelism": parallelism,
+             "cpu_probe_sec": cpu_probe_sec,
              "queries": times},
             f, indent=1, sort_keys=True,
         )
@@ -210,6 +269,8 @@ def main() -> int:
         "failed": failed,
         "queries": slowest,
         "queries_detail_file": sidecar_name,
+        "parallelism": parallelism,
+        "cpu_probe_sec": cpu_probe_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     return 0 if not failed else 1
