@@ -760,7 +760,6 @@ def minhash_dedup_pairs_verified(
     bit-identical to the uninjected path.  Same trust contract as
     ``cand``/``toks``.
     """
-    id_col = kwargs.get("id_col", "doc_id")
     if scores is None:
         scores = minhash_verify_scores(
             df, verify_on=verify_on, cand=cand, toks=toks, **kwargs
@@ -860,7 +859,25 @@ def connected_components(
     Input: distinct undirected edges (id_a, id_b).  Output:
     (id, cluster_id) for every vertex appearing in any edge, where
     cluster_id = min vertex id of its component.
+
+    Checkpoint durability (r17, VERDICT r16 #3): when the session has
+    a checkpoint directory configured (``sc.setCheckpointDir``), the
+    per-round label truncation uses RELIABLE ``checkpoint()`` —
+    on a real cluster an executor loss mid-loop then recomputes from
+    checkpointed state instead of killing the job.  Without one it
+    falls back to ``localCheckpoint`` (executor-local blocks), the
+    right trade in local mode where executor==driver and reliable
+    checkpointing would just pay an extra write to disk.
     """
+    spark = pairs.sparkSession
+    try:
+        reliable = spark.sparkContext.getCheckpointDir() is not None
+    except Exception:
+        reliable = False
+
+    def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+        return df.checkpoint(eager=eager) if reliable else df.localCheckpoint(eager=eager)
+
     # Both orientations from ONE pass over ``pairs`` — a 2-branch
     # union would compute the (expensive: LSH + verify) pair pipeline
     # twice before this cache even fills.  Cached pre-partitioned on
@@ -883,11 +900,10 @@ def connected_components(
         .repartition("src")
         .cache()
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
     label_t = labels.schema["label"].dataType.simpleString()
     for _ in range(max_iter):
@@ -911,13 +927,13 @@ def connected_components(
         # convergence probe is an agg over it — so a single action both
         # materializes the round's labels and returns whether anything
         # changed.
-        new_labels = (
+        new_labels = _ckpt(
             labels.select("id", "label", F.col("label").alias("_own"))
             .unionByName(contrib)
             .groupBy("id")
             .agg(F.min("label").alias("label"), F.min("_own").alias("_old"))
-            .select("id", "label", (F.col("label") < F.col("_old")).alias("chg"))
-            .localCheckpoint(eager=False)
+            .select("id", "label", (F.col("label") < F.col("_old")).alias("chg")),
+            eager=False,
         )
         changed = new_labels.agg(F.max("chg")).first()[0]
         labels = new_labels.select("id", "label")

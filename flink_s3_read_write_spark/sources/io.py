@@ -84,7 +84,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df is None:
         df = _load_table_fresh(spark, sf_dir, name)
         if len(_TABLE_MEMO) >= 4096:
-            _TABLE_MEMO.clear()
+            _evict_other_apps(_TABLE_MEMO, app)
         _TABLE_MEMO[key] = df
     elif name == "events":
         # keep the documented side effect alive even on memo hits (a
@@ -94,6 +94,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # (applicationId, sf_dir, table) -> resolved scan DataFrame handle.
+# ASSUMPTION (shared by _BUILDER_MEMO and sql._VIEWS_REGISTERED): one
+# SparkSession per application.  ``spark.newSession()`` clones share
+# the applicationId but have separate catalogs/conf, so a memoized
+# handle bound to a sibling session would leak across them (ADVICE
+# r16).  Nothing in this repo uses newSession(); a caller that does
+# must call ``session.reset_plan_memos`` when switching sessions.
 _TABLE_MEMO: dict = {}
 
 
@@ -181,7 +187,7 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     if n is None:
         n = df.rdd.getNumPartitions()
         if len(_FAN_OUT_SPLITS) >= 4096:  # bound a pathological session
-            _FAN_OUT_SPLITS.clear()
+            _evict_other_apps(_FAN_OUT_SPLITS, key[0])
         _FAN_OUT_SPLITS[key] = n
     if n < target:
         return df.repartition(target)
@@ -229,7 +235,7 @@ def shared_builder(fn):
         if df is None:
             df = fn(spark, sf_dir, *args, **kwargs)
             if len(_BUILDER_MEMO) >= 4096:
-                _BUILDER_MEMO.clear()
+                _evict_other_apps(_BUILDER_MEMO, app)
             _BUILDER_MEMO[key] = df
         else:
             # A bare ``spark.catalog.clearCache()`` (check.py's
@@ -254,6 +260,19 @@ def shared_builder(fn):
 
 # (applicationId, module, builder, sf_dir, knobs) -> DataFrame handle.
 _BUILDER_MEMO: dict = {}
+
+
+def _evict_other_apps(memo: dict, app: str) -> None:
+    """Overflow eviction for the plan memos: drop only entries from
+    OTHER applicationIds (dead sessions), keeping the live session's
+    handles hot (ADVICE r16 — a wholesale clear() silently re-paid
+    full re-resolution for every live entry).  If the live session
+    alone has grown pathological, fall back to clearing it too."""
+    dead = [k for k in memo if k[0] != app]
+    for k in dead:
+        del memo[k]
+    if len(memo) >= 4096:
+        memo.clear()
 
 
 def read_text_lines(spark: SparkSession, path: str, *, streaming: bool = False) -> DataFrame:

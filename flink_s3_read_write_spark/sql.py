@@ -40,5 +40,14 @@ _VIEWS_REGISTERED: dict[str, str] = {}
 
 
 def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run ``query`` against the engine tables as temp views.
+
+    CONSTRAINT (ADVICE r16): while the registration memo is warm,
+    externally dropping or replacing a temp view named in ``TABLES``
+    (``dropTempView`` / ``createOrReplaceTempView``) leaves this
+    function reading a stale or missing view until
+    ``session.reset_plan_memos`` — the views are engine-owned names.
+    Memo keying shares the single-SparkSession-per-app assumption
+    documented at ``sources.io._TABLE_MEMO``."""
     register_views(spark, sf_dir)
     return spark.sql(query)

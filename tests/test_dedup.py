@@ -271,6 +271,36 @@ def test_connected_components_chains_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir configured, CC rounds use RELIABLE
+    checkpoint() (r17 durability knob) — same fixpoint, and the
+    checkpoint dir actually receives RDD state."""
+    import os
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # knob off by default
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        got = {r["id"]: r["cluster_id"]
+               for r in D.connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+        ckpt_root = str(tmp_path / "ckpt")
+        written = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(ckpt_root) for f in fs
+        ]
+        assert written, "reliable checkpoint wrote nothing"
+    finally:
+        # PySpark has no unsetCheckpointDir; reset the JVM-side Option
+        # to None so later tests in this session keep the local
+        # fallback ("checkpointDir_$eq" is Scala's setter name).
+        scala_none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(scala_none)
+
+
 def test_dedup_keep_list_planted(docs):
     rows = {r["doc_id"]: r for r in D.dedup_keep_list(docs, threshold=0.5).collect()}
     assert len(rows) == 6                        # every document labeled
