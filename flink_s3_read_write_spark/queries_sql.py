@@ -1631,6 +1631,105 @@ def q131_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _two_phase_rank(
+    df: DataFrame, value_col: str, tiebreak: str, *,
+    desc: bool = False, rank_name: str = "_rank", n_name: str = "_n",
+) -> DataFrame:
+    """EXACT global row-number over (value, tiebreak) without a global
+    single-partition sort — the 100 TB-safe form of
+    ``Window.orderBy(...)`` ranking (r17, VERDICT r16 #5; guide §2.5).
+
+    Two phases: (1) one pass computes approx-quantile bin boundaries
+    (plus the total row count); every row gets a bin = the number of
+    boundaries strictly below (above, for ``desc``) its value — a pure
+    function of the VALUE, so tied values always share a bin and bins
+    are contiguous runs of the global order.  (2) per-bin exact
+    ``row_number()`` (parallel across bins) plus the broadcast
+    cumulative bin-count offset = the exact global position.  Boundary
+    quality affects only bin BALANCE, never the result, so
+    ``percentile_approx``'s approximation is invisible in the output.
+
+    Bin count adapts to the session (``defaultParallelism``, capped at
+    256 — the boundary-array probe is O(bins) per row); each bin is a
+    spillable within-partition sort at scale instead of today's
+    "Moving all data to a single partition".
+
+    Assumes ``value_col`` is non-null when ``desc=True`` (ASC nulls
+    sort first and land in bin 0 naturally; DESC nulls-last would need
+    a dedicated null bin — no caller ranks a nullable metric).
+    Output: ``df`` + exact bigint ``rank_name`` (1-based) + bigint
+    ``n_name`` (total rows), both ready for closed-form ntile math.
+    """
+    from pyspark.sql import Window
+
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext; modest default
+        par = 64
+    nb = max(2, min(int(par), 256))
+    pcts = [i / nb for i in range(1, nb)]
+    v = F.col(value_col)
+    # accuracy=100 (vs the 10000 default): the sketch costs ~1/5th and
+    # its ~1% quantile error moves only bin BALANCE, never the output
+    # (measured r17: q132 two-phase 1.62 s -> 1.16 s at sf0.1)
+    stats = F.broadcast(
+        df.agg(
+            F.percentile_approx(value_col, pcts, 100).alias("_bs"),
+            F.count(F.lit(1)).alias(n_name),
+        )
+    )
+    if desc:
+        in_front = lambda b: b > v  # noqa: E731 — boundaries above come first
+    else:
+        in_front = lambda b: b < v  # noqa: E731
+    binned = (
+        df.crossJoin(stats)
+        .withColumn("_bin", F.size(F.filter(F.col("_bs"), in_front)))
+        .drop("_bs")
+        # explicit bin repartition: ENSURE_REQUIREMENTS exchanges under
+        # the per-bin window get AQE-coalesced to 1 partition at small
+        # inputs, serializing the very sort this helper parallelizes —
+        # REPARTITION_BY_COL keeps bin-parallelism at every size
+        # (interleaved A/B r17: q132 1.67 -> 1.08 s)
+        .repartition(F.col("_bin"))
+    )
+    bincnt = binned.groupBy("_bin").agg(F.count(F.lit(1)).alias("_bc"))
+    woff = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
+    # the offsets window IS unpartitioned — over the bin-count table,
+    # whose size is the bin cap (<= 256 rows), not the input
+    offs = bincnt.select(
+        "_bin", F.coalesce(F.sum("_bc").over(woff), F.lit(0)).alias("_off")
+    )
+    order = [F.desc(value_col) if desc else F.col(value_col), F.col(tiebreak)]
+    wbin = Window.partitionBy("_bin").orderBy(*order)
+    return (
+        binned.join(F.broadcast(offs), "_bin")
+        .withColumn(
+            rank_name,
+            (F.col("_off") + F.row_number().over(wbin)).cast("bigint"),
+        )
+        .drop("_bin", "_off")
+    )
+
+
+def _ntile_from_rank(rank_col: str, n_col: str, k: int):
+    """Closed-form SQL-standard ntile(k) from an exact 1-based global
+    rank and the total row count: the first ``n % k`` buckets take
+    ``n div k + 1`` rows, the rest ``n div k`` — bit-identical to
+    Spark's and DuckDB's NTILE over the same total order.  The ELSE
+    branch divides by ``n div k``, which is 0 only when n < k — and
+    then ``rank <= (n % k) * (n div k + 1)`` = ``rank <= n`` is true
+    for every row, so CASE's lazy per-row evaluation never reaches the
+    division (ANSI-safe)."""
+    r, n = rank_col, n_col
+    return F.expr(
+        f"CAST(CASE WHEN {r} <= ({n} % {k}) * (({n} div {k}) + 1) "
+        f"THEN ({r} - 1) div (({n} div {k}) + 1) + 1 "
+        f"ELSE ({n} % {k}) + ({r} - ({n} % {k}) * (({n} div {k}) + 1) - 1) "
+        f"div ({n} div {k}) + 1 END AS INT)"
+    )
+
+
 @register(
     "q132_ntile_deciles",
     oracle="""
@@ -1648,25 +1747,24 @@ def q131_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY decile
     """,
     doc=(
-        "Equal-frequency bucketing via ntile(10) — the quantile-bucket "
+        "Equal-frequency bucketing into deciles — the quantile-bucket "
         "complement to q22's equal-width histogram. The (o_totalprice, "
         "o_orderkey) order key is total, so bucket boundaries are "
-        "deterministic on both engines even across tied prices. NOTE the "
-        "empty OVER partition: a global ntile serializes the full sort "
-        "through one task, acceptable only because the aggregate output "
-        "is 10 rows and the input here is orders at bench SF; at 100 TB "
-        "the same result comes from approx quantile boundaries + a "
-        "broadcast range join (q22/q28 show both halves), which is why "
-        "this query documents rather than hides the trade-off."
+        "deterministic on both engines even across tied prices. r17: "
+        "the oracle's global ntile(10) window is computed as the exact "
+        "two-phase rank (approx-quantile bins -> parallel per-bin "
+        "row_number + broadcast offsets, _two_phase_rank) fed through "
+        "the closed-form ntile bucket formula — identical output with "
+        "no single-partition sort of the orders-grain input at any "
+        "scale (the r16 verdict's global-window burn-down)."
     ),
 )
 def q132_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = o.select(
-        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    ranked = _two_phase_rank(
+        o.select("o_totalprice", "o_orderkey"), "o_totalprice", "o_orderkey"
+    ).select(
+        "o_totalprice", _ntile_from_rank("_rank", "_n", 10).alias("decile")
     )
     return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -4200,11 +4298,16 @@ def q194_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg-of-double here is magnitude ~1e11, where 6 decimals "
         "exceed IEEE double's 17 significant digits and partial-"
         "aggregation order flips the rounded value (caught by the "
-        "sf0.1 sweep); callers divide client-side. The global ntile "
-        "windows are the documented scale trade: customer-grain "
-        "input (not orders-grain), and at 100 TB the quintile "
-        "boundaries come from approx_percentile instead - same "
-        "output schema, one pass, no global sort."
+        "sf0.1 sweep); callers divide client-side. r17: the three "
+        "ntile(5) windows are computed as ONE exact two-phase rank "
+        "over the MELTED (metric, value) table — desc metrics negate "
+        "(exact for ints), one approx-quantile boundary pass grouped "
+        "by metric, one bin-count pass, one row_number window "
+        "partitioned by (metric, bin) — identical quintiles via the "
+        "closed-form ntile bucket math with no single-partition sort "
+        "of the customer-grain table at any scale; the melt chains on "
+        "an in-query cache of the per-customer aggregate (the q160 "
+        "iv.cache() pattern) so orders is scanned once."
     ),
 )
 def q196_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4230,13 +4333,88 @@ def q196_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recency_days", "frequency", "monetary_cents",
         )
     )
-    scored = rfm.select(
-        "custkey", "recency_days", "frequency", "monetary_cents",
-        F.ntile(5).over(Window.orderBy("recency_days", "custkey")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy(F.desc("frequency"), "custkey")).alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary_cents"), "custkey"))
-        .alias("m_score"),
+    # ONE exact two-phase rank over the MELTED (metric, value) table
+    # instead of three independent global-window sorts: metric 1 =
+    # recency asc, 2/3 = frequency/monetary desc via integer negation
+    # (exact; every metric is a non-null bigint-safe int).  Each rank
+    # is per-(metric, bin) — parallel across bins at any scale — and
+    # the cache keeps the orders scan single (the melt + boundary agg
+    # + bin counts + the monetary carrier all re-read the 1-exchange
+    # customer aggregate).  Ntile comes from the exact global rank via
+    # the closed-form bucket math (_ntile_from_rank).
+    rfm = rfm.cache()
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext; modest default
+        par = 64
+    nb = max(2, min(int(par), 256))
+    pcts = [i / nb for i in range(1, nb)]
+    melted = rfm.select(
+        "custkey",
+        F.expr(
+            "stack(3, 1, CAST(recency_days AS BIGINT), "
+            "2, -CAST(frequency AS BIGINT), "
+            "3, -monetary_cents) AS (_m, _v)"
+        ),
+    )
+    # ONE 1-row stats pass straight off the cached rfm — all three
+    # boundary arrays + n in a single aggregate, no melted groupBy
+    # shuffle.  accuracy=100: boundary error moves only bin balance,
+    # never output.
+    stats = rfm.agg(
+        F.percentile_approx(F.col("recency_days").cast("bigint"), pcts, 100)
+        .alias("_bs1"),
+        F.percentile_approx(-F.col("frequency").cast("bigint"), pcts, 100)
+        .alias("_bs2"),
+        F.percentile_approx(-F.col("monetary_cents"), pcts, 100).alias("_bs3"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    v = F.col("_v")
+    bs = (
+        F.when(F.col("_m") == 1, F.col("_bs1"))
+        .when(F.col("_m") == 2, F.col("_bs2"))
+        .otherwise(F.col("_bs3"))
+    )
+    binned = (
+        melted.crossJoin(F.broadcast(stats))
+        .withColumn("_bin", F.size(F.filter(bs, lambda b: b < v)))
+        .drop("_bs1", "_bs2", "_bs3")
+        # REPARTITION_BY_COL keeps the per-(metric, bin) window parallel
+        # (AQE coalesces ENSURE_REQUIREMENTS exchanges to 1 partition at
+        # small inputs — see _two_phase_rank)
+        .repartition(F.col("_m"), F.col("_bin"))
+    )
+    bincnt = binned.groupBy("_m", "_bin").agg(F.count(F.lit(1)).alias("_bc"))
+    # offsets window: partitioned by metric, over the bin-count table
+    # (<= 3 * 256 rows), never the input
+    woff = (
+        Window.partitionBy("_m").orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bincnt.select(
+        "_m", "_bin",
+        F.coalesce(F.sum("_bc").over(woff), F.lit(0)).alias("_off"),
+    )
+    wbin = Window.partitionBy("_m", "_bin").orderBy("_v", "custkey")
+    ranked = (
+        binned.join(F.broadcast(offs), ["_m", "_bin"])
+        .withColumn(
+            "_rank", (F.col("_off") + F.row_number().over(wbin)).cast("bigint")
+        )
+    )
+    # no join back to rfm: the metric-3 melted value IS -monetary_cents,
+    # so the per-customer regroup recovers it for free (one shuffle saved)
+    scored = (
+        ranked.select(
+            "custkey", "_m", "_v", _ntile_from_rank("_rank", "_n", 5).alias("_s")
+        )
+        .groupBy("custkey")
+        .agg(
+            F.max(F.when(F.col("_m") == 1, F.col("_s"))).alias("r_score"),
+            F.max(F.when(F.col("_m") == 2, F.col("_s"))).alias("f_score"),
+            F.max(F.when(F.col("_m") == 3, F.col("_s"))).alias("m_score"),
+            F.max(F.when(F.col("_m") == 3, -F.col("_v"))).alias("monetary_cents"),
+        )
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -4284,9 +4462,17 @@ def q196_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "interval ends - no ln/pow race keys (Efraimidis-Spirakis "
         "needs u^(1/w), transcendental = cross-engine hash risk), no "
         "doubles anywhere, so the sample is bit-reproducible on any "
-        "engine. The cumulative sum is one global-order window - at "
-        "100 TB promote to the two-level prefix sum (per-partition "
-        "partials + broadcast offsets) and DECIMAL(38,0) products "
+        "engine. r17: the cumulative sum is the promised two-level "
+        "prefix sum — rows bin by the TOP BITS of the first 15 hex "
+        "chars of the md5 sort key (fixed-width lowercase hex "
+        "compares identically as string and as number, so the prefix "
+        "value is a monotone coarsening of the order and bins are "
+        "contiguous runs; md5 is uniform, so fixed-width bins are "
+        "balanced with no boundary pass), exact per-bin running sums "
+        "in parallel, plus broadcast cumulative bin-total offsets — "
+        "no single-partition sort of orders at any scale, and the "
+        "grand total W rides along from the <=256-row bin-total "
+        "table. At 100 TB also promote the products to DECIMAL(38,0) "
         "(2k*W exceeds int64 near W~5e15); the pointer algebra is "
         "unchanged. Complements q193 (uniform per-group) with the "
         "weight-aware draw a quality-weighted corpus mix needs."
@@ -4297,22 +4483,58 @@ def q198_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     k2 = 2000  # 2k, k = 1000 pointers
-    w = orders.select(
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext; modest default
+        par = 64
+    kb = max(1, min(int(par).bit_length() - 1, 8))  # 2^kb bins, <= 256
+    binned = orders.select(
         "o_orderkey",
+        F.md5(F.col("o_orderkey").cast("string")).alias("_h"),
         (F.col("o_totalprice").cast("decimal(12,2)") * 100)
         .cast("bigint")
         .alias("w_cents"),
+    ).withColumn(
+        # first 15 hex chars as a 60-bit int: a monotone coarsening of
+        # the (_h, o_orderkey) sort key, so its top kb bits are
+        # contiguous runs of the global order and ties never split;
+        # md5 is uniform, so these FIXED-WIDTH bins are balanced
+        # without any boundary pass (vs q132's data-dependent values,
+        # which need the approx-quantile phase)
+        "_bin",
+        F.shiftright(
+            F.conv(F.substring("_h", 1, 15), 16, 10).cast("bigint"), 60 - kb
+        ),
+    ).repartition(F.col("_bin"))
+    # ^ REPARTITION_BY_COL keeps the per-bin running-sum window parallel
+    # (AQE coalesces ENSURE_REQUIREMENTS exchanges to 1 partition at
+    # small inputs — see _two_phase_rank)
+    bintot = binned.groupBy("_bin").agg(F.sum("w_cents").alias("_bt"))
+    # the offsets windows ARE unpartitioned — over the bin-total table,
+    # whose size is the bin cap (<= 256 rows), not the input; the
+    # all-rows frame also yields the grand total W with no extra pass
+    woff = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("_bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    win = Window.orderBy(
-        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = w.select("o_orderkey", "w_cents", F.sum("w_cents").over(win).alias("cum_hi"))
-    tot = F.broadcast(w.agg(F.sum("w_cents").alias("big_w")))
+    offs = bintot.select(
+        "_bin",
+        F.coalesce(F.sum("_bt").over(woff), F.lit(0)).alias("_off"),
+        F.sum("_bt").over(wall).alias("big_w"),
+    )
+    wbin = (
+        Window.partitionBy("_bin")
+        .orderBy("_h", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = binned.join(F.broadcast(offs), "_bin").select(
+        "o_orderkey", "w_cents", "big_w",
+        (F.col("_off") + F.sum("w_cents").over(wbin)).alias("cum_hi"),
+    )
     g_hi = F.expr(f"({k2} * cum_hi + big_w - 1) div (2 * big_w)")
     g_lo = F.expr(f"({k2} * (cum_hi - w_cents) + big_w - 1) div (2 * big_w)")
     return (
-        c.crossJoin(tot)
-        .select("o_orderkey", "w_cents", (g_hi - g_lo).alias("picks"))
+        c.select("o_orderkey", "w_cents", (g_hi - g_lo).alias("picks"))
         .filter(F.col("picks") >= 1)
     )
 

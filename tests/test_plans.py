@@ -739,18 +739,32 @@ def test_q194_mode_argmax_pushes_group_limit(spark, sf_dir):
 
 
 def test_q196_rfm_windows_run_over_customer_grain(spark, sf_dir):
-    """q196: the max-date scalar broadcasts (the only nested-loop is
-    that 1-row cross), the per-customer aggregate is partial/final,
-    and the three ntile windows consume customer-grain rows — never
-    orders-grain (one aggregate between scan and first Window)."""
+    """q196 (r17 two-phase rank): the max-date scalar and the boundary
+    stats broadcast (the only nested-loops are those 1-row crosses),
+    the per-customer aggregate is partial/final, and NO window runs
+    unpartitioned over the customer-grain input — the quintiles come
+    from a row_number window partitioned by (metric, bin), so the only
+    unpartitioned-looking pieces are over the <=3*256-row bin-count
+    table.  A bare `ntile` reappearing means the serial global sort
+    is back (the r16 verdict's 100 TB scale-killer)."""
     from flink_s3_read_write_spark.queries import registry
 
     plan = P.formatted_plan(registry()["q196_rfm_segmentation"].fn(spark, sf_dir))
     assert not P.has(plan, "CartesianProduct"), plan
-    # only the 1-row scalar broadcast may be nested-loop
-    assert P.count(plan, "BroadcastNestedLoopJoin") <= 2, plan
+    # nested-loops may only be the 1-row scalar crosses (max-date +
+    # boundary stats); the cold plan inlines the cached rfm subtree
+    # into every consumer, so pin the KIND, not a textual count
+    for line in plan.splitlines():
+        # tree lines carry the join type; bare "(N) NodeName" detail
+        # headers don't — skip those
+        if "BroadcastNestedLoopJoin" in line and not line.strip().startswith("("):
+            assert "Cross BuildRight" in line, line
     assert P.has(plan, "partial_sum"), plan
-    assert P.count(plan, "ntile") >= 3, plan
+    assert not P.has(plan, "ntile("), plan
+    # the customer-grain rank window is partitioned by (metric, bin)
+    assert "row_number() windowspecdefinition(_m" in plan, plan
+    # bin-parallelism is pinned, not AQE-coalesced away
+    assert P.has(plan, "REPARTITION_BY_COL"), plan
 
 
 def test_q197_min_cost_frontier_broadcasts_onto_cached_edges(spark, sf_dir):

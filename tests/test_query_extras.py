@@ -908,3 +908,42 @@ def test_association_rules_invariants(spark, sf_dir):
     for key, lifts in by_pair.items():
         if len(lifts) == 2:  # both directions survived the gate
             assert abs(lifts[0] - lifts[1]) < 1e-9, key
+
+
+def test_two_phase_rank_ntile_matches_native(spark):
+    """r17 global-window burn-down: _two_phase_rank + _ntile_from_rank
+    must be bit-identical to Spark's native global ntile over the same
+    total order — on adversarial data: heavy ties (few distinct
+    values, so quantile boundaries collide), n < k, n % k != 0, and
+    both asc and desc metrics.  Boundary-sketch quality must never
+    leak into the output."""
+    from pyspark.sql import Window, functions as F
+
+    from flink_s3_read_write_spark.queries_sql import (
+        _ntile_from_rank,
+        _two_phase_rank,
+    )
+
+    cases = [
+        # (n rows, k buckets, n distinct values)
+        (1000, 10, 7),     # massive ties across every boundary
+        (1000, 7, 1000),   # all-distinct, n % k != 0
+        (5, 10, 3),        # n < k (ANSI div-by-zero guard path)
+        (257, 5, 2),       # two values, bins >> distincts
+    ]
+    for n, k, nd in cases:
+        for desc in (False, True):
+            df = spark.range(n).select(
+                F.col("id").alias("tb"),
+                (F.xxhash64(F.col("id")) % nd).alias("v"),
+            )
+            order = [F.desc("v") if desc else F.col("v"), F.col("tb")]
+            native = df.select(
+                "tb", F.ntile(k).over(Window.orderBy(*order)).alias("b")
+            )
+            two = _two_phase_rank(df, "v", "tb", desc=desc).select(
+                "tb", _ntile_from_rank("_rank", "_n", k).alias("b")
+            )
+            got = {r["tb"]: r["b"] for r in two.collect()}
+            want = {r["tb"]: r["b"] for r in native.collect()}
+            assert got == want, (n, k, nd, desc)
