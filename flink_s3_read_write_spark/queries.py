@@ -68,33 +68,21 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # editing any query; otherwise a pre-edit green row from the previous
 # round would count as post-touch confirmation and auto-demote an
 # edited query on stale evidence.
-_TOUCHED_SINCE_ROUND = 16
+_TOUCHED_SINCE_ROUND = 17
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # r16: means moved to exact integer HALF_UP after the snap-groups
-    # knob planted the non-dyadic 9-dp half boundary (u/5120) and the
-    # raw round(double, 9) paths diverged between engines — the q183
-    # class, now closed at its own documented bound.
-    "q88_stats_aggregates",
-    "q166_ab_test_ztest",
-    # r16, second wave: EVERY remaining rounded output that is a
-    # rational of in-scope integers moved to the shared exact
-    # HALF_UP helper (functions/numeric.round9_exact + DuckDB twin) —
-    # count fractions, cents ratios, expectation products, chi-square
-    # cells, TWAP, PMI lift, rule confidence/lift, interpolation.
-    # The sqrt/corr/z sites stay double: irrational intermediates
-    # cannot land on a decimal grid boundary.
-    "q169_twap",
-    "q171_benford_audit",
-    "q174_classifier_eval",
-    "q179_contingency_table",
-    "q180_mom_revenue_growth",
-    "q181_markov_transitions",
-    "q187_percent_of_parent",
-    "q188_ks_two_sample",
-    "q191_linear_interpolation",
-    "q195_prefix_filter_ssjoin",
-    "q200_pmi_collocations",
-    "q206_association_rules",
+    # r17 global-window burn-down: the three row-scaling unpartitioned
+    # windows became exact two-phase ranks (approx-quantile bins +
+    # per-bin row_number + broadcast offsets) — output-identical by
+    # construction, but restructured plans.
+    "q132_ntile_deciles",
+    "q196_rfm_segmentation",
+    "q198_pps_systematic_sample",
+    # r17 connected_components probe-free unroll (a performance hint,
+    # never a correctness bound — fixpoint unchanged): every registry
+    # path through CC.
+    "q54_dedup_keep_list",
+    "q210_keep_list_ring",
+    "q212_keep_list_star2",
 )
 
 

@@ -1480,6 +1480,11 @@ def q212_keep_list_star2(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         threshold=0.5,
         threshold_frac=(1, 2),
+        # star2's cross-bucket chains converge deeper than the ring+star
+        # default: measured 6-8 label rounds across sf0.001/0.01/0.1, so
+        # unroll 6 probe-free rounds (a hint — the probing fallback
+        # continues to the exact fixpoint when an input needs more)
+        cc_unroll=6,
         **STAR2_KW,
         cand=star2_candidates(spark, sf_dir),
         toks=doc_token_sets(spark, sf_dir),

@@ -271,6 +271,24 @@ def test_connected_components_chains_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_unroll_is_a_hint_not_a_bound(spark):
+    """r17 probe-free unroll: every `unroll` value — underestimate (the
+    probing fallback must carry a deep chain to the true fixpoint),
+    exact, and overestimate (extra rounds are no-ops under min()) —
+    yields the identical fixpoint as the probe-every-round baseline.
+    A 12-vertex path graph needs 11 propagation rounds, far past any
+    unroll hint used by the callers."""
+    chain = [(i, i + 1) for i in range(1, 12)]  # path 1-2-...-12
+    pairs = spark.createDataFrame(chain + [(30, 31)], "id_a long, id_b long")
+    want = {r["id"]: r["cluster_id"]
+            for r in D.connected_components(pairs, unroll=1).collect()}
+    assert want == {**{i: 1 for i in range(1, 13)}, 30: 30, 31: 30}
+    for unroll in (2, 6, 11, 12, 40):
+        got = {r["id"]: r["cluster_id"]
+               for r in D.connected_components(pairs, unroll=unroll).collect()}
+        assert got == want, unroll
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """With a checkpoint dir configured, CC rounds use RELIABLE
     checkpoint() (r17 durability knob) — same fixpoint, and the
