@@ -77,6 +77,9 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "q132_ntile_deciles",
     "q196_rfm_segmentation",
     "q198_pps_systematic_sample",
+    # r17 two-phase parallel prefix sum for the price running count
+    # (VERDICT r16 #4) — output-identical, restructured plan.
+    "q189_spearman_rank_corr",
     # r17 connected_components probe-free unroll (a performance hint,
     # never a correctness bound — fixpoint unchanged): every registry
     # path through CC.

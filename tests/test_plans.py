@@ -642,24 +642,33 @@ def test_q188_ks_cdf_runs_over_value_aggregate(spark, sf_dir):
 
 
 def test_q189_spearman_ranks_on_grouped_values_not_fact_rows(spark, sf_dir):
-    """q189 (r08 shape): the fact table is touched by exactly ONE
-    partial-aggregated count collapse into the joint (flag, qty,
-    price) table; both tie-averaged rank passes are RANGE-frame
-    windows over that domain-bounded grouped table — a rank window
-    over raw rows partitioned by the 3-value flag would serialize the
-    corpus into 3 sort tasks, the one window shape the repo bans."""
+    """q189 (r08 shape + r17 two-phase prefix sum): the fact table is
+    touched by exactly ONE partial-aggregated count collapse into the
+    joint (flag, qty, price) table, cached in-query so every consumer
+    shares the single scan.  The price running count never serializes:
+    its RANGE frames are partitioned by (flag, BIN) — parallel across
+    approx-quantile bins, kept so by an explicit bin repartition —
+    with broadcast cumulative bin-total offsets; the constant-domain
+    qty marginal attaches by broadcast.  A rank window over rows
+    partitioned by the bare 3-value flag would serialize the corpus
+    into 3 sort tasks, the one window shape the repo bans."""
     from flink_s3_read_write_spark.queries import registry
+    import re
 
     plan = P.formatted_plan(registry()["q189_spearman_rank_corr"].fn(spark, sf_dir))
     assert P.has(plan, "partial_count"), plan             # map-side collapse
     assert plan.count("lineitem.parquet") == 1, plan      # one fact scan
-    assert not P.has(plan, "Join"), plan
-    # the window input is the count aggregate, not fact rows: the agg's
-    # count column feeds the window's weighted sums.
-    import re
-
-    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
-    assert "specifiedwindowframe(RangeFrame" in plan, plan
+    # r17: every RANGE-frame window is per-(flag, bin) — never the
+    # bare flag partition that would sort the joint table in 3 tasks
+    specs = re.findall(
+        r"windowspecdefinition\(([^)]*?)specifiedwindowframe\(RangeFrame", plan
+    )
+    assert specs, plan
+    assert all("_bin#" in s for s in specs), plan
+    assert P.has(plan, "REPARTITION_BY_COL"), plan        # bin-parallel
+    # the constant-domain qty marginal attaches by broadcast, never a
+    # shuffle of the joint table by quantity
+    assert P.has(plan, "BroadcastExchange"), plan
 
 
 def test_q190_fuzzy_join_is_blocked_equi_join(spark, sf_dir):
