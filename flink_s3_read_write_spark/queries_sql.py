@@ -3656,7 +3656,17 @@ def q185_interevent_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orderkey) order. Weights come from a per-order line count "
         "(keyed aggregate, planner-chosen join). Weighted quantiles "
         "are the curation primitive behind token-budget selection "
-        "thresholds (q83) done exactly."
+        "thresholds (q83) done exactly. r17: the crossing PRICE is a "
+        "pure function of the (seg, price) weight marginal — the "
+        "cumulative weight is non-decreasing in price, so the oracle's "
+        "first crossing ROW (price, orderkey order) always lands inside "
+        "the first crossing price group — so the order-grain windows "
+        "collapse to a marginal aggregate whose running weight is the "
+        "exact two-phase parallel prefix sum (approx-quantile bins -> "
+        "per-(seg, bin) running sums + broadcast cumulative bin-total "
+        "offsets, the q189 machinery) finished by min(price). The bare "
+        "5-value segment partition never sorts order-scale rows in 5 "
+        "tasks at any input size."
     ),
 )
 def q186_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3665,36 +3675,99 @@ def q186_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     li = load_table(spark, sf_dir, "lineitem")
-    wt = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
-        F.count(F.lit(1)).alias("wt")
-    )
-    w = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(wt, "o_orderkey")
-        .select(
+    # (seg, price) weight marginal — the smallest price whose cumulative
+    # weight reaches half the segment total IS the oracle's crossing
+    # row's price (rows with equal price are contiguous in the oracle's
+    # (price, orderkey) order, so the first row with 2*cw >= tw lies in
+    # the first price group with 2*cum(price) >= tw).  The per-order
+    # line count summed over a (seg, price) group is just the group's
+    # lineitem-row count, so the marginal comes straight off the
+    # lineitem-orders join with ONE aggregate (no per-order wt
+    # pre-aggregate; orders with no lines vanish in the inner join
+    # exactly as the oracle's wt > 0 filter drops them).  Cached
+    # in-query: the boundary stats pass, the crossing-bin pass and the
+    # final in-bin pass all re-read this one aggregate (one fact scan).
+    m = (
+        li.select(F.col("l_orderkey").alias("o_orderkey"))
+        .join(
+            orders.join(
+                F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            ).select(
+                "o_orderkey",
+                F.col("c_mktsegment").alias("seg"),
+                F.col("o_totalprice").cast("decimal(20,2)").alias("price"),
+            ),
             "o_orderkey",
-            F.col("c_mktsegment").alias("seg"),
-            F.col("o_totalprice").cast("decimal(20,2)").alias("price"),
-            "wt",
         )
-        .filter(F.col("wt") > 0)
+        .groupBy("seg", "price")
+        .agg(F.count(F.lit(1)).alias("swt"))
+        .cache()
     )
-    wc = (
-        Window.partitionBy("seg")
-        .orderBy("price", "o_orderkey")
+    # Exact two-phase parallel prefix sum of swt in price order per
+    # segment (r17, VERDICT r16 #6; guide §2.5): distinct prices grow
+    # with the order book, so a bare 5-value seg partition would
+    # serialize the marginal.  Bins come from one approx-quantile pass
+    # (a pure function of the VALUE — tied prices share a bin, bins
+    # are contiguous runs of the per-seg price order); the per-
+    # (seg, bin) totals collapse to a <= 5*nb-row table whose windows
+    # give exclusive offsets, segment totals, and the CROSSING BIN —
+    # the only bin whose rows the final window must order.  The final
+    # pass filters the marginal to crossing bins by a <= 5-row
+    # broadcast, so the exact running sum sorts one bin per segment,
+    # never the marginal.
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext; modest default
+        par = 64
+    nb = max(2, min(int(par), 256))
+    pcts = [i / nb for i in range(1, nb)]
+    # accuracy=100: boundary error moves only bin BALANCE, never the
+    # output (see _two_phase_rank)
+    stats = F.broadcast(
+        m.agg(F.percentile_approx("price", pcts, 100).alias("_bs"))
+    )
+    to_bin = F.size(F.filter(F.col("_bs"), lambda b: b < F.col("price")))
+    woff = (
+        Window.partitionBy("seg").orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # per-(seg, bin) totals: bounded by the bin cap, not the input
+    bt = (
+        m.crossJoin(stats)
+        .groupBy("seg", to_bin.alias("_bin"))
+        .agg(F.sum("swt").alias("_bc"))
+        .select(
+            "seg", "_bin", "_bc",
+            F.coalesce(F.sum("_bc").over(woff), F.lit(0)).alias("_off"),
+            F.sum("_bc").over(Window.partitionBy("seg")).alias("_tw"),
+        )
+    )
+    # crossing bin = first bin whose through-total reaches half: rows
+    # before it sum to < tw/2, so the crossing price lies inside it
+    crossing = bt.filter(
+        F.lit(2) * (F.col("_off") + F.col("_bc")) >= F.col("_tw")
+    ).groupBy("seg").agg(
+        F.min("_bin").alias("_bin"),
+        F.min_by(F.col("_off"), F.col("_bin")).alias("_off"),
+        F.min("_tw").alias("_tw"),
+    )
+    # prices are distinct per (seg, price) marginal row, so a ROWS
+    # running frame is exact; explicit repartition keeps the (tiny)
+    # crossing bins parallel under AQE (see _two_phase_rank)
+    wbin = (
+        Window.partitionBy("seg", "_bin").orderBy("price")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wtot = Window.partitionBy("seg")
-    r = w.select(
-        "seg", "price",
-        F.sum("wt").over(wc).alias("cw"),
-        F.sum("wt").over(wtot).alias("tw"),
-    ).filter(F.lit(2) * F.col("cw") >= F.col("tw"))
-    rk = Window.partitionBy("seg").orderBy("cw", "price")
     return (
-        r.select("seg", "price", F.row_number().over(rk).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select("seg", F.col("price").cast("double").alias("weighted_median_price"))
+        m.crossJoin(stats)
+        .withColumn("_bin", to_bin)
+        .drop("_bs")
+        .join(F.broadcast(crossing), ["seg", "_bin"])
+        .repartition(F.col("seg"), F.col("_bin"))
+        .withColumn("_cum", F.col("_off") + F.sum("swt").over(wbin))
+        .filter(F.lit(2) * F.col("_cum") >= F.col("_tw"))
+        .groupBy("seg")
+        .agg(F.min("price").cast("double").alias("weighted_median_price"))
     )
 
 

@@ -605,16 +605,27 @@ def test_q185_latency_windows_partition_by_type(spark, sf_dir):
     assert not P.has(plan, "percentile"), plan
 
 
-def test_q186_weighted_median_crossing_is_integer_compare(spark, sf_dir):
-    """q186: the cumulative-weight windows partition by segment, the
-    per-order weights come from a keyed aggregate join, and the
-    crossing test stays in the plan as integer arithmetic."""
+def test_q186_weighted_median_prefix_sum_is_bin_parallel(spark, sf_dir):
+    """q186 (r17): the crossing price is min(price) over the filtered
+    (seg, price) weight marginal — no rank window at all — and the
+    marginal's running weight is the two-phase parallel prefix sum:
+    the big-table window partitions by (seg, BIN), kept parallel by an
+    explicit repartition; the only seg-only windows run over the
+    <= 5*nb-row bin-total table.  A bare 5-value seg partition over
+    order-grain rows is the banned serializing shape."""
+    import re
+
     from flink_s3_read_write_spark.queries import registry
 
     plan = P.formatted_plan(registry()["q186_weighted_median"].fn(spark, sf_dir))
     assert P.has(plan, "BroadcastHashJoin"), plan
     assert not P.has(plan, "CartesianProduct"), plan
-    assert P.has(plan, "row_number"), plan
+    assert not P.has(plan, "row_number"), plan
+    # the marginal running sum is per-(seg, _bin)
+    assert re.search(r"windowspecdefinition\(seg#\d+, _bin#", plan), plan
+    assert P.has(plan, "REPARTITION_BY_COL"), plan
+    # one fact scan: every consumer reads the cached marginal
+    assert plan.count("orders.parquet") == 1, plan
 
 
 def test_q187_share_windows_run_over_the_aggregate(spark, sf_dir):
