@@ -1682,18 +1682,23 @@ def _two_phase_rank(
         in_front = lambda b: b > v  # noqa: E731 — boundaries above come first
     else:
         in_front = lambda b: b < v  # noqa: E731
-    binned = (
+    pre = (
         df.crossJoin(stats)
         .withColumn("_bin", F.size(F.filter(F.col("_bs"), in_front)))
         .drop("_bs")
-        # explicit bin repartition: ENSURE_REQUIREMENTS exchanges under
-        # the per-bin window get AQE-coalesced to 1 partition at small
-        # inputs, serializing the very sort this helper parallelizes —
-        # REPARTITION_BY_COL keeps bin-parallelism at every size
-        # (interleaved A/B r17: q132 1.67 -> 1.08 s)
-        .repartition(F.col("_bin"))
     )
-    bincnt = binned.groupBy("_bin").agg(F.count(F.lit(1)).alias("_bc"))
+    # explicit bin repartition: ENSURE_REQUIREMENTS exchanges under
+    # the per-bin window get AQE-coalesced to 1 partition at small
+    # inputs, serializing the very sort this helper parallelizes —
+    # REPARTITION_BY_COL keeps bin-parallelism at every size
+    # (interleaved A/B r17: q132 1.67 -> 1.08 s)
+    binned = pre.repartition(F.col("_bin"))
+    # bin counts come off the PRE-repartition frame: a grouped count
+    # below the explicit exchange partial-aggregates map-side, so the
+    # offsets branch shuffles <= nb rows per task instead of riding
+    # the full-width REPARTITION_BY_COL exchange (guide §2.3
+    # "aggregate before you shuffle")
+    bincnt = pre.groupBy("_bin").agg(F.count(F.lit(1)).alias("_bc"))
     woff = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
     # the offsets window IS unpartitioned — over the bin-count table,
     # whose size is the bin cap (<= 256 rows), not the input
@@ -4523,16 +4528,19 @@ def q196_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("_m") == 2, F.col("_bs2"))
         .otherwise(F.col("_bs3"))
     )
-    binned = (
+    pre = (
         melted.crossJoin(F.broadcast(stats))
         .withColumn("_bin", F.size(F.filter(bs, lambda b: b < v)))
         .drop("_bs1", "_bs2", "_bs3")
-        # REPARTITION_BY_COL keeps the per-(metric, bin) window parallel
-        # (AQE coalesces ENSURE_REQUIREMENTS exchanges to 1 partition at
-        # small inputs — see _two_phase_rank)
-        .repartition(F.col("_m"), F.col("_bin"))
     )
-    bincnt = binned.groupBy("_m", "_bin").agg(F.count(F.lit(1)).alias("_bc"))
+    # REPARTITION_BY_COL keeps the per-(metric, bin) window parallel
+    # (AQE coalesces ENSURE_REQUIREMENTS exchanges to 1 partition at
+    # small inputs — see _two_phase_rank)
+    binned = pre.repartition(F.col("_m"), F.col("_bin"))
+    # bin counts off the PRE-repartition frame: partial-aggregated
+    # map-side below the explicit exchange (<= 3*nb rows shuffled)
+    # instead of riding the full melted frame through it (guide §2.3)
+    bincnt = pre.groupBy("_m", "_bin").agg(F.count(F.lit(1)).alias("_bc"))
     # offsets window: partitioned by metric, over the bin-count table
     # (<= 3 * 256 rows), never the input
     woff = (
@@ -4636,7 +4644,7 @@ def q198_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:  # Spark Connect: no sparkContext; modest default
         par = 64
     kb = max(1, min(int(par).bit_length() - 1, 8))  # 2^kb bins, <= 256
-    binned = orders.select(
+    pre = orders.select(
         "o_orderkey",
         F.md5(F.col("o_orderkey").cast("string")).alias("_h"),
         (F.col("o_totalprice").cast("decimal(12,2)") * 100)
@@ -4653,11 +4661,16 @@ def q198_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(
             F.conv(F.substring("_h", 1, 15), 16, 10).cast("bigint"), 60 - kb
         ),
-    ).repartition(F.col("_bin"))
-    # ^ REPARTITION_BY_COL keeps the per-bin running-sum window parallel
+    )
+    # REPARTITION_BY_COL keeps the per-bin running-sum window parallel
     # (AQE coalesces ENSURE_REQUIREMENTS exchanges to 1 partition at
     # small inputs — see _two_phase_rank)
-    bintot = binned.groupBy("_bin").agg(F.sum("w_cents").alias("_bt"))
+    binned = pre.repartition(F.col("_bin"))
+    # bin totals off the PRE-repartition frame: partial-aggregated
+    # map-side below the explicit exchange (<= 2^kb rows shuffled)
+    # instead of riding the full orders projection through it
+    # (guide §2.3 "aggregate before you shuffle")
+    bintot = pre.groupBy("_bin").agg(F.sum("w_cents").alias("_bt"))
     # the offsets windows ARE unpartitioned — over the bin-total table,
     # whose size is the bin cap (<= 256 rows), not the input; the
     # all-rows frame also yields the grand total W with no extra pass
