@@ -787,6 +787,27 @@ def test_q196_rfm_windows_run_over_customer_grain(spark, sf_dir):
     assert P.has(plan, "REPARTITION_BY_COL"), plan
 
 
+def test_two_phase_offsets_branch_aggregates_below_the_exchange(spark, sf_dir):
+    """r17: the two-phase-rank offsets broadcast derives its bin
+    counts/totals from the PRE-repartition frame, so the grouped count
+    partial-aggregates map-side and the only REPARTITION_BY_COL
+    exchange in the plan is the main per-bin pass — the offsets branch
+    shipping the full input through a second explicit exchange is the
+    regression this pins against (q132 had exactly that shape when the
+    count was grouped off the repartitioned frame)."""
+    from flink_s3_read_write_spark.queries import registry
+
+    for name in ("q132_ntile_deciles", "q198_pps_systematic_sample"):
+        plan = P.formatted_plan(registry()[name].fn(spark, sf_dir))
+        assert P.count(plan, "REPARTITION_BY_COL") == 1, (name, plan)
+        assert P.has(plan, "partial_count") or P.has(plan, "partial_sum"), (name, plan)
+    # q196's two REPARTITION_BY_COL consumers collapse to one at
+    # runtime via the rfm cache; its cold plan inlines the subtree, so
+    # pin only that no repartition feeds a grouped count directly
+    plan = P.formatted_plan(registry()["q196_rfm_segmentation"].fn(spark, sf_dir))
+    assert P.count(plan, "REPARTITION_BY_COL") == 1, plan
+
+
 def test_q197_min_cost_frontier_broadcasts_onto_cached_edges(spark, sf_dir):
     """q197: each Bellman-Ford round joins the (small) frontier onto
     the cached undirected edge list by broadcast — the edge list is
