@@ -80,6 +80,9 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # r17 two-phase parallel prefix sum for the price running count
     # (VERDICT r16 #4) — output-identical, restructured plan.
     "q189_spearman_rank_corr",
+    # r17 crossing-bin prefix sum for the weighted median — output-
+    # identical, restructured plan (no rank window anywhere).
+    "q186_weighted_median",
     # r17 connected_components probe-free unroll (a performance hint,
     # never a correctness bound — fixpoint unchanged): every registry
     # path through CC.
